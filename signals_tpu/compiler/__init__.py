@@ -1,0 +1,713 @@
+"""The patch compiler: one fused XLA program per patch.
+
+The reference *interprets* the node graph per block — depth-first Python
+recursion with per-node dispatch and per-port shape checks on the audio
+thread (``src/signals/chain/dev.py:167-179`` →
+``chain/__init__.py:256-315``).  This module performs the architectural
+inversion: the patch DAG is traced **once** into a single jitted function
+
+    ``step(params, carry, position, host) -> (block, carry', taps)``
+
+and rendering is ``jax.lax.scan`` over block positions — no Python in the
+hot loop, every node fused by XLA onto the VPU/MXU.
+
+Key mechanics
+-------------
+
+* **Windows.**  Every reference request loc maps to a static ``Window
+  (offset, frames)`` relative to the block start: the main block is
+  ``(0, F)``, block-rate sampling is ``(offset, 1)``
+  (``forward_at_block_rate``), and filter context is the pair
+  ``(offset-C, C)`` + ``(offset, F)`` (``forward_with_context``).  Lowering
+  is memoized per ``(node, window)`` — fan-out becomes SSA sharing, which
+  subsumes the reference's per-node block cache (``chain/__init__.py:420-457``).
+* **Start-of-timeline.**  The reference clamps context windows at position 0
+  (``BlockLoc.before``); compiled shapes are static, so context frames before
+  0 are instead zero-masked — identical through any zero-initial-state causal
+  filter.
+* **Traced vs structural state.**  Traced params (constants' values, seeds,
+  ``enabled``) are program inputs — editable per step without recompiling.
+  Structural state (channel counts, file paths, delay lengths) is baked in;
+  the compile cache is keyed by a canonical graph hash that covers it.
+* **Stateful nodes** (delay lines, envelopes) thread a carry pytree through
+  the scan; each also keeps an output-history ring in the carry so context
+  windows reaching *before* the current block are served statically.
+* **Host boundary.**  File readers / capture devices become program inputs
+  (staged per scan); visualization taps and file writers become extra
+  program outputs delivered to the nodes after each device step.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import typing
+
+import numpy as np
+
+from signals_tpu import PortName, SignalFlags
+from signals_tpu.core import ChainLayerError
+from signals_tpu.graph import (
+    Emitter,
+    KernelCtx,
+    Receiver,
+    StatefulEmitter,
+)
+
+F32 = np.float32
+
+
+class CompileError(ChainLayerError):
+    pass
+
+
+class Window(typing.NamedTuple):
+    """A static request window relative to the current block start."""
+    offset: int
+    frames: int
+
+    @property
+    def end(self) -> int:
+        return self.offset + self.frames
+
+
+class _NodeInfo:
+    """Per-node compile-time record."""
+
+    def __init__(self, node: Emitter, uid: str):
+        self.node = node
+        self.uid = uid
+        self.windows: set[Window] = set()
+
+    @property
+    def min_offset(self) -> int:
+        return min((w.offset for w in self.windows), default=0)
+
+
+def _is_delay(node) -> bool:
+    from signals_tpu.nodes.delay import Delay
+    return isinstance(node, Delay)
+
+
+def _is_tap(node) -> bool:
+    return bool(node.flags() & (SignalFlags.VIS | SignalFlags.RECORDER))
+
+
+def _is_host_source(node) -> bool:
+    return getattr(node, 'is_host_source', False)
+
+
+class _GraphIndex:
+    """Stable node numbering + the canonical structural hash."""
+
+    def __init__(self, root: Emitter, block_frames: int, rate: int,
+                 channels: int):
+        self.block_frames = block_frames
+        self.rate = rate
+        self.channels = channels
+        self.infos: dict[int, _NodeInfo] = {}
+        self.order: list[Emitter] = []
+        self._walk(root)
+
+    def _walk(self, node: Emitter) -> None:
+        if id(node) in self.infos:
+            return
+        uid = f'n{len(self.order)}'
+        self.infos[id(node)] = _NodeInfo(node, uid)
+        self.order.append(node)
+        if isinstance(node, Receiver):
+            for name in node.port_names():
+                inp = node._ports[name].sig
+                if inp is not None:
+                    self._walk(inp)
+
+    def info(self, node: Emitter) -> _NodeInfo:
+        return self.infos[id(node)]
+
+    def graph_hash(self) -> str:
+        h = hashlib.sha3_256()
+        h.update(f'F={self.block_frames};R={self.rate};C={self.channels}'
+                 .encode())
+        for node in self.order:
+            info = self.info(node)
+            h.update(f'|{info.uid}:{node.cls_name()}'.encode())
+            state = node.get_state()
+            for name in sorted(type(state).param_names()):
+                param = type(state)._params[name]
+                if param.traced:
+                    # traced values are inputs; only array *shape* is
+                    # structural (channel inference reads it)
+                    v = getattr(state, name)
+                    if isinstance(v, np.ndarray):
+                        h.update(f';{name}@{v.shape}'.encode())
+                else:
+                    h.update(f';{name}={getattr(state, name)!r}'.encode())
+            if isinstance(node, Receiver):
+                for pname in node.port_names():
+                    inp = node._ports[pname].sig
+                    if inp is not None:
+                        h.update(f';{pname}<-{self.info(inp).uid}'.encode())
+        return h.hexdigest()
+
+
+# --- window-collection pass (dry run with dummy numpy blocks) ---------------
+
+
+class _CollectCtx(KernelCtx):
+    """Runs kernels on zero-filled numpy blocks purely to discover which
+    windows each node requests of its inputs (and so how much history
+    stateful nodes must retain)."""
+
+    xp = np
+
+    def __init__(self, compiler: '_Compiler', node: Emitter, window: Window):
+        self.compiler = compiler
+        self.node = node
+        self.window = window
+        self.rate = compiler.rate
+        self.nframes = window.frames
+
+    @property
+    def frame_range(self):
+        return np.zeros((self.nframes, 1), dtype=F32)
+
+    @property
+    def frame_range_int(self):
+        return np.zeros((self.nframes, 1), dtype=np.int32)
+
+    def _input(self, name: PortName) -> typing.Optional[Emitter]:
+        return self.node._ports[name].sig
+
+    def _dummy(self, inp: typing.Optional[Emitter], frames: int):
+        ch = 1 if inp is None else inp.channels
+        return np.zeros((frames, ch), dtype=F32)
+
+    def in_(self, name: PortName):
+        inp = self._input(name)
+        if inp is not None:
+            self.compiler.collect(inp, self.window)
+        return self._dummy(inp, self.nframes)
+
+    def in_block_rate(self, name: PortName):
+        inp = self._input(name)
+        if inp is not None:
+            self.compiler.collect(inp, Window(self.window.offset, 1))
+        return self._dummy(inp, 1)
+
+    def in_context(self, name: PortName, context_frames: int):
+        inp = self._input(name)
+        if inp is not None:
+            self.compiler.collect(
+                inp, Window(self.window.offset - context_frames,
+                            context_frames))
+            self.compiler.collect(inp, self.window)
+        return self._dummy(inp, context_frames + self.nframes)
+
+    def in_channels(self, name: PortName) -> typing.Optional[int]:
+        inp = self._input(name)
+        return None if inp is None else inp.channels
+
+    def param(self, name: str):
+        return getattr(self.node._state, name)
+
+    def sosfilt(self, coeffs, x):
+        coeffs = np.asarray(coeffs)
+        ch = max(coeffs.shape[1], x.shape[1])
+        return np.zeros((x.shape[0], ch), dtype=F32)
+
+
+# --- lowering pass -----------------------------------------------------------
+
+
+class LowerCtx(KernelCtx):
+    """Traces node kernels into the fused program (jax.numpy)."""
+
+    def __init__(self, compiler: '_Compiler', node: Emitter, window: Window):
+        import jax.numpy as jnp
+        self.xp = jnp
+        self.compiler = compiler
+        self.node = node
+        self.window = window
+        self.rate = compiler.rate
+        self.nframes = window.frames
+
+    @property
+    def rate_f32(self):
+        # barrier keeps XLA from algebraically rewriting rate arithmetic
+        # (e.g. x/rate -> x * (1/rate)), which would break bit-parity with
+        # the numpy pull engine
+        import jax
+        import jax.numpy as jnp
+        return jax.lax.optimization_barrier(jnp.float32(self.rate))
+
+    def exact(self, x):
+        import jax
+        return jax.lax.optimization_barrier(x)
+
+    @property
+    def _frame_ints(self):
+        import jax.numpy as jnp
+        w = self.window
+        return (self.compiler.position + jnp.int32(w.offset)
+                + jnp.arange(w.frames, dtype=jnp.int32).reshape(-1, 1))
+
+    @property
+    def frame_range(self):
+        return self._frame_ints.astype(F32)
+
+    @property
+    def frame_range_int(self):
+        return self._frame_ints
+
+    def _input(self, name: PortName) -> typing.Optional[Emitter]:
+        return self.node._ports[name].sig
+
+    def in_(self, name: PortName):
+        import jax.numpy as jnp
+        inp = self._input(name)
+        if inp is None:
+            return jnp.zeros((1, 1), dtype=F32)
+        return self.compiler.lower(inp, self.window)
+
+    def in_block_rate(self, name: PortName):
+        import jax.numpy as jnp
+        inp = self._input(name)
+        if inp is None:
+            return jnp.zeros((1, 1), dtype=F32)
+        return self.compiler.lower(inp, Window(self.window.offset, 1))
+
+    def in_context(self, name: PortName, context_frames: int):
+        import jax.numpy as jnp
+        inp = self._input(name)
+        n, frames = context_frames, self.nframes
+        if inp is None:
+            return jnp.zeros((n + frames, 1), dtype=F32)
+        ch = inp.channels
+        before = self.compiler.lower(inp, Window(self.window.offset - n, n))
+        main = self.compiler.lower(inp, self.window)
+        x = jnp.concatenate([jnp.broadcast_to(before, (n, ch)),
+                             jnp.broadcast_to(main, (frames, ch))], axis=0)
+        # zero frames before the start of the timeline (reference clamps
+        # them away, ``BlockLoc.before``; zeros are equivalent through a
+        # zero-initial-state causal consumer)
+        idx = (self.compiler.position + jnp.int32(self.window.offset - n)
+               + jnp.arange(n + frames, dtype=jnp.int32).reshape(-1, 1))
+        return jnp.where(idx >= 0, x, F32(0.0))
+
+    def in_channels(self, name: PortName) -> typing.Optional[int]:
+        inp = self._input(name)
+        return None if inp is None else inp.channels
+
+    def param(self, name: str):
+        return self.compiler.node_param(self.node, name)
+
+    def sosfilt(self, coeffs, x):
+        from signals_tpu.compiler.filters import sosfilt_scan
+        return sosfilt_scan(coeffs, x)
+
+
+class _Compiler:
+    """One trace of one patch at one (block_frames, rate, channels)."""
+
+    def __init__(self, index: _GraphIndex):
+        self.index = index
+        self.rate = index.rate
+        self.block_frames = index.block_frames
+        # set during trace:
+        self.position = None
+        self.params = None
+        self.carry_in = None
+        self.carry_out: dict = {}
+        self.host = None
+        self.taps: dict[str, typing.Any] = {}
+        self._memo: dict[tuple[int, Window], typing.Any] = {}
+        self._collected: set[tuple[int, Window]] = set()
+        self.host_feeds: list[tuple[Emitter, Window]] = []
+        self._stateful_done: set[int] = set()
+        self._delays_pending: set[int] = set()
+
+    # -- window collection --------------------------------------------------
+
+    def collect(self, node: Emitter, window: Window) -> None:
+        key = (id(node), window)
+        if key in self._collected:
+            return
+        self._collected.add(key)
+        info = self.index.info(node)
+        info.windows.add(window)
+        if window.end > self.block_frames:
+            raise CompileError(
+                f'window {window} of {node.cls_name()} extends past the '
+                f'block end')
+        if _is_host_source(node):
+            return
+        if _is_delay(node):
+            # delay output comes from history; its input is pulled at the
+            # main window each step
+            inp = node._ports['input'].sig
+            if inp is not None:
+                self.collect(inp, Window(0, self.block_frames))
+            return
+        if isinstance(node, StatefulEmitter):
+            # stateful nodes step once per block at the main window
+            ctx = _CollectCtx(self, node, Window(0, self.block_frames))
+            carry = node.init_carry(channels=node.channels, rate=self.rate,
+                                    block_frames=self.block_frames)
+            node.step(ctx, carry)
+            return
+        node.kernel(_CollectCtx(self, node, window))
+
+    # -- param / carry plumbing ----------------------------------------------
+
+    def node_param(self, node: Emitter, name: str):
+        uid = self.index.info(node).uid
+        return self.params[uid][name]
+
+    @staticmethod
+    def extract_params(index: _GraphIndex) -> dict:
+        """Read traced param values off the live graph into the params
+        pytree (called before every render, so edits take effect without
+        recompiling)."""
+        params: dict[str, dict[str, np.ndarray]] = {}
+        for node in index.order:
+            state = node.get_state()
+            leaves = {}
+            for pname, param in type(state)._params.items():
+                if param.traced:
+                    v = getattr(state, pname)
+                    if isinstance(v, bool):
+                        leaves[pname] = np.asarray(v)
+                    elif isinstance(v, (int, np.integer)):
+                        leaves[pname] = np.asarray(v, dtype=np.int32)
+                    elif isinstance(v, np.ndarray):
+                        leaves[pname] = np.asarray(v, dtype=F32)
+                    else:
+                        leaves[pname] = np.asarray(v, dtype=F32)
+            if leaves:
+                params[index.info(node).uid] = leaves
+        return params
+
+    def init_carry(self) -> dict:
+        carry: dict[str, dict[str, np.ndarray]] = {}
+        for node in self.index.order:
+            info = self.index.info(node)
+            hist = max(0, -info.min_offset)
+            if _is_delay(node):
+                carry[info.uid] = node.init_carry(
+                    channels=node.channels, rate=self.rate,
+                    block_frames=self.block_frames, history=hist)
+            elif isinstance(node, StatefulEmitter):
+                c = node.init_carry(channels=node.channels, rate=self.rate,
+                                    block_frames=self.block_frames)
+                if hist > 0:
+                    c['hist'] = np.zeros((hist, node.channels), dtype=F32)
+                carry[info.uid] = c
+        return carry
+
+    # -- lowering -------------------------------------------------------------
+
+    def lower(self, node: Emitter, window: Window):
+        import jax.numpy as jnp
+        key = (id(node), window)
+        if key in self._memo:
+            return self._memo[key]
+        info = self.index.info(node)
+        uid = info.uid
+
+        if _is_host_source(node):
+            feed_key = (node, window)
+            self.host_feeds.append(feed_key)
+            result = self.host[f'{uid}@{window.offset},{window.frames}']
+        elif _is_delay(node):
+            result = self._lower_delay(node, window)
+        elif isinstance(node, StatefulEmitter):
+            result = self._lower_stateful(node, window)
+        else:
+            ctx = LowerCtx(self, node, window)
+            result = jnp.asarray(node.kernel(ctx), dtype=F32)
+            result = self._apply_enabled(node, window, result)
+
+        if _is_tap(node) and window == Window(0, self.block_frames):
+            self.taps[uid] = jnp.broadcast_to(
+                result, (self.block_frames, node.channels))
+        self._memo[key] = result
+        return result
+
+    def _apply_enabled(self, node: Emitter, window: Window, result):
+        import jax.numpy as jnp
+        enabled = self.node_param(node, 'enabled')
+        if node.flags() & SignalFlags.PASSTHRU:
+            inp = node._ports['input'].sig
+            alt = (jnp.zeros((1, 1), dtype=F32) if inp is None
+                   else self.lower(inp, window))
+            result, alt = jnp.broadcast_arrays(result, alt)
+            return jnp.where(enabled, result, alt)
+        return jnp.where(enabled, result, F32(0.0))
+
+    def _serve_history(self, node: Emitter, window: Window, current):
+        """Serve any sub-window of [-H, F) from history + current block."""
+        import jax.numpy as jnp
+        info = self.index.info(node)
+        uid = info.uid
+        hist = self.carry_in.get(uid, {}).get('hist')
+        cur = jnp.broadcast_to(current, (self.block_frames, node.channels))
+        if hist is None:
+            full = cur
+            base = 0
+        else:
+            full = jnp.concatenate([hist, cur], axis=0)
+            base = hist.shape[0]
+        start = base + window.offset
+        if start < 0 or start + window.frames > full.shape[0]:
+            raise CompileError(
+                f'{node.cls_name()} history too short for window {window}')
+        return full[start:start + window.frames]
+
+    def _lower_stateful(self, node: StatefulEmitter, window: Window):
+        import jax.numpy as jnp
+        info = self.index.info(node)
+        uid = info.uid
+        main = Window(0, self.block_frames)
+        mkey = (id(node), main)
+        if id(node) not in self._stateful_done:
+            self._stateful_done.add(id(node))
+            ctx = LowerCtx(self, node, main)
+            carry = {k: v for k, v in self.carry_in[uid].items()
+                     if k != 'hist'}
+            block, new_carry = node.step(ctx, carry)
+            block = jnp.asarray(block, dtype=F32)
+            block = jnp.broadcast_to(
+                block, (self.block_frames, node.channels))
+            enabled = self.node_param(node, 'enabled')
+            block = jnp.where(enabled, block, F32(0.0))
+            out_carry = dict(new_carry)
+            if 'hist' in self.carry_in[uid]:
+                h = self.carry_in[uid]['hist'].shape[0]
+                out_carry['hist'] = jnp.concatenate(
+                    [self.carry_in[uid]['hist'], block], axis=0)[-h:]
+            self.carry_out[uid] = out_carry
+            self._memo[mkey] = block
+        current = self._memo[mkey]
+        if window == main:
+            return current
+        return self._serve_history(node, window, current)
+
+    def _lower_delay(self, node, window: Window):
+        """Delay output is a pure read of the input-history ring; the input
+        itself is lowered lazily at the main window (possibly *after* nodes
+        that consume this output — that is what breaks feedback cycles)."""
+        import jax.numpy as jnp
+        info = self.index.info(node)
+        uid = info.uid
+        buf = self.carry_in[uid]['buf']          # (B, ch): frames [pos-B, pos)
+        B = buf.shape[0]
+        D = node.delay_frames(self.rate)
+        if D < window.end:
+            raise CompileError(
+                f'{node.cls_name()}: delay of {D} frames is shorter than '
+                f'one block ({self.block_frames}); feedback delays must be '
+                f'at least one block long')
+        start = B + window.offset - D
+        if start < 0:
+            raise CompileError(
+                f'{node.cls_name()}: delay buffer too short for {window}')
+        out = buf[start:start + window.frames]
+        self._delays_pending.add(id(node))
+        enabled = self.node_param(node, 'enabled')
+        return jnp.where(enabled, out, F32(0.0))
+
+    def finalize_delays(self) -> None:
+        """After the sink and taps are lowered, lower every delay's input at
+        the main window and emit its buffer update.  Lowering one delay's
+        input may reference other delays' outputs (their reads come from
+        carry, so no cycle); every delay in the index gets its buffer
+        advanced."""
+        import jax.numpy as jnp
+        for node in self.index.order:
+            if not _is_delay(node):
+                continue
+            uid = self.index.info(node).uid
+            buf = self.carry_in[uid]['buf']
+            B = buf.shape[0]
+            inp = node._ports['input'].sig
+            if inp is None:
+                block = jnp.zeros(
+                    (self.block_frames, node.channels), dtype=F32)
+            else:
+                block = jnp.broadcast_to(
+                    self.lower(inp, Window(0, self.block_frames)),
+                    (self.block_frames, node.channels))
+            self.carry_out[uid] = {
+                'buf': jnp.concatenate([buf, block], axis=0)[-B:]}
+
+    def passthrough_carry(self) -> None:
+        """Any carry entries not produced during lowering pass through."""
+        for uid, c in self.carry_in.items():
+            if uid not in self.carry_out:
+                self.carry_out[uid] = c
+
+
+class CompiledPatch:
+    """A patch compiled at fixed (block_frames, rate, channels).
+
+    ``step(params, carry, position, host)`` renders one block;
+    ``render_fn(n_blocks)`` returns a jitted scan over that many blocks.
+    ``params()`` re-reads traced state off the live graph, so node edits
+    apply without recompilation.
+    """
+
+    def __init__(self, root: Emitter, *, block_frames: int, rate: int,
+                 channels: int):
+        import jax
+
+        self.root = root
+        self.block_frames = block_frames
+        self.rate = rate
+        self.channels = channels
+        self.index = _GraphIndex(root, block_frames, rate, channels)
+        self.graph_hash = self.index.graph_hash()
+
+        compiler = _Compiler(self.index)
+        # pass 1: discover windows (dry numpy run)
+        compiler.collect(root, Window(0, block_frames))
+        self.carry0 = compiler.init_carry()
+        self._host_spec = self._collect_host_spec(compiler)
+        self.tap_nodes = {
+            self.index.info(n).uid: n for n in self.index.order
+            if _is_tap(n)}
+
+        index = self.index
+
+        def step_core(params, carry, position, host):
+            import jax.numpy as jnp
+            comp = _Compiler(index)
+            comp.params = params
+            comp.carry_in = carry
+            comp.position = position
+            comp.host = host
+            block = comp.lower(root, Window(0, block_frames))
+            block = jnp.broadcast_to(block, (block_frames, channels))
+            comp.finalize_delays()
+            comp.passthrough_carry()
+            return block, comp.carry_out, comp.taps
+
+        self._step_core = step_core
+        self.step = jax.jit(step_core, donate_argnums=(1,))
+        self._render_cache: dict[int, typing.Any] = {}
+
+    def _collect_host_spec(self, compiler: _Compiler) -> list[tuple]:
+        """(node, window, key) for every host-fed input discovered in the
+        collection pass."""
+        spec = []
+        seen = set()
+        for node in self.index.order:
+            if not _is_host_source(node):
+                continue
+            uid = self.index.info(node).uid
+            for w in sorted(self.index.info(node).windows):
+                key = f'{uid}@{w.offset},{w.frames}'
+                if key not in seen:
+                    seen.add(key)
+                    spec.append((node, w, key))
+        return spec
+
+    # -- public API -----------------------------------------------------------
+
+    def params(self) -> dict:
+        return _Compiler.extract_params(self.index)
+
+    def stage_host(self, position: int, n_blocks: int = 1) -> dict:
+        """Read every host-fed input for ``n_blocks`` blocks starting at
+        ``position``.  Returns key -> (n_blocks, frames, ch) arrays."""
+        out = {}
+        for node, w, key in self._host_spec:
+            blocks = [
+                node.host_read(position + i * self.block_frames + w.offset,
+                               w.frames, self.rate)
+                for i in range(n_blocks)
+            ]
+            out[key] = np.stack(blocks, axis=0)
+        return out
+
+    def _host_slice(self, staged: dict, i: int) -> dict:
+        return {k: v[i] for k, v in staged.items()}
+
+    def render_fn(self, n_blocks: int):
+        """Jitted ``(params, carry, position0, host_staged) ->
+        (blocks (n, F, ch), carry', taps_staged)`` via lax.scan."""
+        import jax
+        import jax.numpy as jnp
+        if n_blocks in self._render_cache:
+            return self._render_cache[n_blocks]
+        step_core = self._step_core
+        F = self.block_frames
+
+        def many(params, carry, position0, host_staged):
+            positions = (jnp.int32(position0)
+                         + jnp.int32(F) * jnp.arange(n_blocks, dtype=jnp.int32))
+
+            def body(c, inp):
+                pos, host = inp
+                block, c2, taps = step_core(params, c, pos, host)
+                return c2, (block, taps)
+
+            carry2, (blocks, taps) = jax.lax.scan(
+                body, carry, (positions, host_staged))
+            return blocks, carry2, taps
+
+        fn = jax.jit(many, donate_argnums=(1,))
+        self._render_cache[n_blocks] = fn
+        return fn
+
+    def render(self, *, position: int = 0, n_blocks: int = 1,
+               carry: typing.Optional[dict] = None,
+               deliver_taps: bool = True):
+        """Render ``n_blocks`` blocks; returns (audio (n*F, ch), carry').
+
+        Tap blocks (visualization, file writers) are delivered to their
+        nodes' ``consume_tap`` on the host after the device call.
+        """
+        import jax
+        params = self.params()
+        if carry is None:
+            carry = jax.tree.map(lambda x: x, self.carry0)
+        host = self.stage_host(position, n_blocks)
+        blocks, carry2, taps = self.render_fn(n_blocks)(
+            params, carry, position, host)
+        audio = np.asarray(blocks).reshape(n_blocks * self.block_frames,
+                                           self.channels)
+        if deliver_taps:
+            for uid, node in self.tap_nodes.items():
+                # disabled side-effect nodes pass audio through but must not
+                # record/queue (reference PASSTHRU semantics)
+                if not node.get_state().enabled:
+                    continue
+                if uid in taps:
+                    arr = np.asarray(taps[uid])
+                    for i in range(n_blocks):
+                        node.consume_tap(
+                            arr[i], position + i * self.block_frames,
+                            self.rate)
+        return audio, carry2
+
+
+_compile_cache: dict[str, CompiledPatch] = {}
+_COMPILE_CACHE_MAX = 32
+
+
+def compile_node(root: Emitter, *, block_frames: int, rate: int,
+                 channels: typing.Optional[int] = None) -> CompiledPatch:
+    """Compile (with caching keyed on the canonical graph hash) the patch
+    rooted at ``root``."""
+    if channels is None:
+        channels = root.channels
+    index = _GraphIndex(root, block_frames, rate, channels)
+    key = index.graph_hash()
+    cached = _compile_cache.get(key)
+    if cached is not None and cached.root is root:
+        return cached
+    compiled = CompiledPatch(root, block_frames=block_frames, rate=rate,
+                             channels=channels)
+    if len(_compile_cache) >= _COMPILE_CACHE_MAX:
+        _compile_cache.pop(next(iter(_compile_cache)))
+    _compile_cache[key] = compiled
+    return compiled

@@ -1,0 +1,100 @@
+"""Delay lines and feedback (new capability; implements the reference's
+declared-but-unimplemented CYCLIC flag, ``src/signals/__init__.py:28-29``).
+
+A ``Delay`` emits its input shifted ``frames`` samples later.  Because its
+output for the current block depends only on *previous* blocks, the compiler
+cuts the topological sort at its input edge — so patch cycles are legal iff
+they pass through a delay of at least one block (feedback latency is
+quantized to the block, the standard block-processing feedback rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from signals_tpu import SignalFlags
+from signals_tpu.core import ChainLayerError, Request
+from signals_tpu.core.state import Param, ge
+from signals_tpu.graph import (
+    ExplicitChannels,
+    KernelCtx,
+    Receiver,
+    StatefulEmitter,
+    port,
+)
+from signals_tpu.registry import register
+
+F32 = np.float32
+
+
+@register()
+class Delay(StatefulEmitter, ExplicitChannels, Receiver):
+    """Fixed-length delay line with explicit channels (channel inference
+    through a feedback cycle would not terminate)."""
+
+    input: Receiver.BoundPort = port('input')
+
+    class State(ExplicitChannels.State, StatefulEmitter.State):
+        #: delay length in frames (structural: sizes the carry buffer)
+        frames: int = Param(4410, validate=ge(1))
+
+    @classmethod
+    def flags(cls) -> SignalFlags:
+        return super().flags() | SignalFlags.EFFECT | SignalFlags.CYCLIC
+
+    @property
+    def channels(self) -> int:
+        return self._state.channels
+
+    def delay_frames(self, rate: int) -> int:
+        return self._state.frames
+
+    def init_carry(self, *, channels: int, rate: int, block_frames: int,
+                   history: int = 0) -> dict[str, np.ndarray]:
+        return {'buf': np.zeros((self._state.frames + history, channels),
+                                dtype=F32)}
+
+    def step(self, ctx: KernelCtx, carry: dict):  # pragma: no cover
+        raise TypeError('Delay is lowered specially by the compiler')
+
+    # --- pull engine -------------------------------------------------------
+    #
+    # Cycle-safe pull evaluation: the output is served from the buffer and
+    # written into the block cache *before* the input is pulled, so a
+    # feedback path re-requesting this block hits the cache instead of
+    # recursing forever.
+
+    def _get_result(self, request: Request) -> np.ndarray:
+        return self._eval(request)
+
+    def _eval(self, request: Request) -> np.ndarray:
+        loc = request.loc
+        nframes = loc.shape.frames
+        D = self._state.frames
+        ch = self.channels
+        if D < nframes:
+            raise ChainLayerError(
+                f'Delay of {D} frames is shorter than the {nframes}-frame '
+                f'block; feedback delays must be at least one block long')
+        if self._carry is None or loc.position < (self._carry_position or 0):
+            self._carry = self.init_carry(channels=ch, rate=loc.rate,
+                                          block_frames=nframes)
+            self._carry_position = loc.position
+        if loc.position != self._carry_position:
+            raise ChainLayerError(
+                f'Delay requires block-monotonic pull evaluation (expected '
+                f'position {self._carry_position}, got {loc.position})')
+        buf = self._carry['buf']
+        B = buf.shape[0]
+        out = buf[B - D:B - D + nframes]
+        if not self._state.enabled:
+            out = np.zeros_like(out)
+        self._write_block_cache(out, request)
+        self._carry_position = loc.end_position
+        in_port = self._ports['input']
+        if in_port:
+            block = np.broadcast_to(in_port.forward(request), (nframes, ch))
+        else:
+            block = np.zeros((nframes, ch), dtype=F32)
+        self._carry = {'buf': np.concatenate([buf, block], axis=0)[-B:]}
+        return out

@@ -1,0 +1,117 @@
+"""Sound-file IO nodes (reference ``src/signals/chain/files.py``).
+
+These are **host nodes**: they cross the device boundary.  The compiler
+turns a :class:`FileReader` into a staged program *input* (blocks read ahead
+on the host, position-addressed like the reference's seek,
+``files.py:56-58``) and a :class:`FileWriter` into a program *output* (a tap
+written to disk after each device step).  WAV IO is self-contained
+(:mod:`signals_tpu.runtime.wavio`) since libsndfile is unavailable.
+"""
+
+from __future__ import annotations
+
+import abc
+import typing
+
+import numpy as np
+
+from signals_tpu import SignalFlags
+from signals_tpu.core import Request
+from signals_tpu.core.state import Param, instance_of
+from signals_tpu.graph import Emitter, KernelCtx, PassThroughResult
+from signals_tpu.registry import register
+from signals_tpu.runtime import wavio
+
+F32 = np.float32
+
+
+class SoundFileBase(Emitter, abc.ABC):
+
+    class State(Emitter.State):
+        #: structural: changing the path changes the program's host bindings
+        path: str = Param('/dev/null', validate=instance_of(str))
+
+    def __init__(self):
+        super().__init__()
+        self._buffer = None
+
+    def _close(self) -> None:
+        if self._buffer is not None:
+            self._buffer.close()
+            self._buffer = None
+
+    def set_state(self, new_state) -> None:
+        old_path = getattr(self._state, 'path', None)
+        super().set_state(new_state)
+        if new_state.path != old_path:
+            self._close()
+
+    def destroy(self) -> None:
+        self._close()
+        super().destroy()
+
+
+@register('signals.chain.files.FileReader')
+class FileReader(SoundFileBase):
+    """Reads blocks at the requested absolute position (reference
+    ``files.py:70-86``).  Out-of-range frames are zero (the reference
+    under-returns and violates its own shape contract there)."""
+
+    #: compiler: lower as a staged host input
+    is_host_source = True
+
+    @classmethod
+    def flags(cls) -> SignalFlags:
+        return super().flags() | SignalFlags.GENERATOR
+
+    def _open(self) -> wavio.WavReader:
+        if self._buffer is None:
+            self._buffer = wavio.WavReader(self._state.path)
+        return self._buffer
+
+    @property
+    def channels(self) -> int:
+        return self._open().channels
+
+    def host_read(self, position: int, frames: int, rate: int) -> np.ndarray:
+        return self._open().read(position, frames)
+
+    def kernel(self, ctx: KernelCtx):
+        # only the pull engine lands here; the compiler replaces this node
+        # with a host feed
+        loc = getattr(ctx, 'request').loc
+        return self.host_read(loc.position, loc.shape.frames, loc.rate)
+
+
+@register('signals.chain.files.FileWriter')
+class FileWriter(SoundFileBase, PassThroughResult):
+    """Writes the forwarded block to disk, then passes it through
+    (reference ``files.py:89-102``).  RECORDER side-effect tap."""
+
+    @classmethod
+    def flags(cls) -> SignalFlags:
+        return super().flags() | SignalFlags.RECORDER
+
+    def _open_writer(self, rate: int, channels: int) -> wavio.WavWriter:
+        if self._buffer is not None and not isinstance(self._buffer,
+                                                       wavio.WavWriter):
+            self._close()
+        if self._buffer is None:
+            self._buffer = wavio.WavWriter(self._state.path, rate=rate,
+                                           channels=channels)
+        return self._buffer
+
+    def kernel(self, ctx: KernelCtx):
+        return ctx.in_('input')
+
+    def consume_tap(self, block: np.ndarray, position: int,
+                    rate: int) -> None:
+        self._open_writer(rate, block.shape[1]).write(block)
+
+    # pull engine: write inline, exactly like the reference
+    def _eval(self, request: Request) -> np.ndarray:
+        result = super()._eval(request)
+        full = np.broadcast_to(
+            result, (request.loc.shape.frames, result.shape[1]))
+        self.consume_tap(full, request.loc.position, request.loc.rate)
+        return result

@@ -1,0 +1,165 @@
+"""Effects and filters (reference ``src/signals/chain/fx.py``).
+
+Elementwise effects (Mix/RingMod/Gain/Amp) compile to fused VPU ops.  The
+critically-tuned Butterworth filters keep the reference's *stateless
+context-window* semantics exactly — re-pull 100 frames of upstream context,
+filter from zero initial state, return the tail (``fx.py:82-106``) — but the
+design math and the IIR recurrence are TPU-native closed forms
+(:mod:`signals_tpu.compiler.filters`) since the cutoff is a traced per-block
+signal and ``scipy`` is host-only.
+"""
+
+from __future__ import annotations
+
+import abc
+
+import numpy as np
+
+from signals_tpu import SignalFlags
+from signals_tpu.compiler import filters as _filters
+from signals_tpu.graph import (
+    BlockCachingEmitter,
+    ImplicitChannels,
+    KernelCtx,
+    Receiver,
+    port,
+)
+from signals_tpu.registry import register
+
+F32 = np.float32
+
+
+class Effect(BlockCachingEmitter, ImplicitChannels, abc.ABC):
+
+    @classmethod
+    def flags(cls) -> SignalFlags:
+        return super().flags() | SignalFlags.EFFECT
+
+
+class BinaryEffect(Effect, abc.ABC):
+    left: Receiver.BoundPort = port('left')
+    right: Receiver.BoundPort = port('right')
+
+
+@register('signals.chain.fx.Mix')
+class Mix(BinaryEffect):
+    """Crossfade: ``mix*L + (1-mix)*R`` with ``mix`` at block rate
+    (reference ``fx.py:35-40``)."""
+
+    mix: Receiver.BoundPort = port('mix')
+
+    def kernel(self, ctx: KernelCtx):
+        mix = ctx.in_block_rate('mix')
+        return mix * ctx.in_('left') + (F32(1.0) - mix) * ctx.in_('right')
+
+
+@register('signals.chain.fx.RingMod')
+class RingMod(BinaryEffect):
+
+    def kernel(self, ctx: KernelCtx):
+        return ctx.in_('left') * ctx.in_('right')
+
+
+@register('signals.chain.fx.Gain')
+class Gain(BinaryEffect):
+    """``L * R`` with the gain side sampled at block rate
+    (reference ``fx.py:49-52``)."""
+
+    def kernel(self, ctx: KernelCtx):
+        return ctx.in_('left') * ctx.in_block_rate('right')
+
+
+@register('signals.chain.fx.Amp')
+class Amp(BinaryEffect):
+    """Signed power: ``sign(L) * |L| ** R`` with the exponent at block rate.
+
+    The reference computes ``copysign(L ** R, L)`` (``fx.py:55-60``), which is
+    NaN for negative L and fractional R; the sign-magnitude form is identical
+    where the reference is defined and finite everywhere.
+    """
+
+    def kernel(self, ctx: KernelCtx):
+        xp = ctx.xp
+        x = ctx.in_('left')
+        exp = ctx.in_block_rate('right')
+        return xp.sign(x) * xp.abs(x) ** exp
+
+
+class CritFilter(Effect, abc.ABC):
+    """Critically-tuned order-2 Butterworth filtering
+    (reference ``fx.py:63-121``).
+
+    State is recomputed from a bounded context window every block — filtering
+    is a pure function of the last ``context_frames() + nframes`` input
+    frames, which is what makes it compilable, seekable, and blockwise
+    parallel.  Coefficients are recomputed per block from the traced cutoff
+    inputs, reproducing the reference's time-varying-cutoff behavior
+    (``fx.py:99-105``).
+    """
+
+    input: Receiver.BoundPort = port('input')
+
+    order = 2
+
+    def context_frames(self) -> int:
+        return 100
+
+    @abc.abstractmethod
+    def type_code(self) -> str:
+        """One of the :mod:`signals_tpu.compiler.filters` type codes."""
+        raise NotImplementedError
+
+    @abc.abstractmethod
+    def _crits(self, ctx: KernelCtx) -> tuple:
+        raise NotImplementedError
+
+    def kernel(self, ctx: KernelCtx):
+        nyquist = ctx.rate_f32 * F32(0.5)
+        coeffs = _filters.design_coupled(ctx.xp, self.type_code(),
+                                         self._crits(ctx), nyquist)
+        x = ctx.in_context('input', self.context_frames())
+        y = ctx.sosfilt(coeffs, x)
+        return y[-ctx.nframes:]
+
+
+class SingleCritFilter(CritFilter, abc.ABC):
+    cutoff: Receiver.BoundPort = port('cutoff')
+
+    def _crits(self, ctx: KernelCtx) -> tuple:
+        return (ctx.in_block_rate('cutoff'),)
+
+
+class DoubleCritFilter(CritFilter, abc.ABC):
+    low: Receiver.BoundPort = port('low')
+    high: Receiver.BoundPort = port('high')
+
+    def _crits(self, ctx: KernelCtx) -> tuple:
+        return (ctx.in_block_rate('low'), ctx.in_block_rate('high'))
+
+
+@register('signals.chain.fx.LowPass')
+class LowPass(SingleCritFilter):
+
+    def type_code(self) -> str:
+        return _filters.LOWPASS
+
+
+@register('signals.chain.fx.HighPass')
+class HighPass(SingleCritFilter):
+
+    def type_code(self) -> str:
+        return _filters.HIGHPASS
+
+
+@register('signals.chain.fx.BandPass')
+class BandPass(DoubleCritFilter):
+
+    def type_code(self) -> str:
+        return _filters.BANDPASS
+
+
+@register('signals.chain.fx.BandStop')
+class BandStop(DoubleCritFilter):
+
+    def type_code(self) -> str:
+        return _filters.BANDSTOP

@@ -1,0 +1,91 @@
+"""Oscillators (reference ``src/signals/chain/osc.py``).
+
+Phase model is stateless absolute time, exactly as the reference
+(``osc.py:32``): ``cycles = frame_index / rate * hertz + phase`` with
+``hertz`` and ``phase`` sampled once per block.  Statelessness gives
+sample-exact reproducibility and free seeking, and compiles to pure
+vectorized VPU math with nothing carried between blocks.
+
+The reference's ``OscTable`` wavetable is deliberately not reproduced: the
+reference's own measurement found it slower than direct evaluation
+(``osc.py:67-68``), and on TPU a gather-based table lookup is strictly worse
+than fused transcendental evaluation.
+"""
+
+from __future__ import annotations
+
+import abc
+
+import numpy as np
+
+from signals_tpu import SignalFlags
+from signals_tpu.graph import (
+    BlockCachingEmitter,
+    ImplicitChannels,
+    KernelCtx,
+    Receiver,
+    port,
+)
+from signals_tpu.registry import register
+
+F32 = np.float32
+
+
+class Osc(BlockCachingEmitter, ImplicitChannels, abc.ABC):
+    hertz: Receiver.BoundPort = port('hertz')
+    phase: Receiver.BoundPort = port('phase')
+
+    @classmethod
+    def flags(cls) -> SignalFlags:
+        return super().flags() | SignalFlags.GENERATOR
+
+    def kernel(self, ctx: KernelCtx):
+        # phase: cycles ; hertz: cycles/second — both at block rate
+        phase = ctx.in_block_rate('phase')
+        hertz = ctx.in_block_rate('hertz')
+        xp = ctx.xp
+        # frames / (frames/second) * (cycles/second), reduced to one cycle
+        # *before* the phase offset and the periodic function.  This exact
+        # op sequence is chosen for cross-engine bit-parity: IEEE remainder
+        # is exact (x - floor(x)), so both engines reduce identically, and
+        # there is no mul+add pair XLA could contract into an FMA (which
+        # rounds differently from numpy).  It is also the numerically right
+        # thing: transcendental range reduction of a large absolute-time
+        # argument loses accuracy linearly in |t|.
+        turns = xp.mod(ctx.frame_range / ctx.rate_f32 * hertz, F32(1.0))
+        t = xp.mod(turns + phase, F32(1.0))
+        return self._osc(ctx.xp, t)
+
+    @abc.abstractmethod
+    def _osc(self, xp, t):
+        raise NotImplementedError
+
+
+@register('signals.chain.osc.Sine')
+class Sine(Osc):
+
+    def _osc(self, xp, t):
+        return xp.sin(t * F32(2 * np.pi))
+
+
+@register('signals.chain.osc.Square')
+class Square(Osc):
+
+    def _osc(self, xp, t):
+        return xp.sign(F32(0.5) - xp.mod(t, F32(1.0)))
+
+
+@register('signals.chain.osc.Sawtooth')
+class Sawtooth(Osc):
+
+    def _osc(self, xp, t):
+        return F32(2.0) * xp.mod(t - F32(0.5), F32(1.0)) - F32(1.0)
+
+
+@register('signals.chain.osc.Triangle')
+class Triangle(Osc):
+
+    def _osc(self, xp, t):
+        t = t - F32(0.25)
+        return ((F32(4.0) * xp.mod(t, F32(0.5)) - F32(1.0))
+                * xp.sign(xp.mod(t, F32(1.0)) - F32(0.5)))

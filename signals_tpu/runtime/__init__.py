@@ -1,0 +1,104 @@
+"""Host runtime: the render loop between compiled programs and audio sinks.
+
+The reference's runtime is PortAudio's callback thread pulling the Python
+graph directly (``src/signals/chain/dev.py:139-179``) — the graph *is* the
+hot loop.  Here the TPU renders ahead: a host thread drives the compiled
+patch and pushes blocks into a lock-free ring buffer
+(:mod:`signals_tpu.runtime.ring`, C++), whose consumer — a real audio
+callback, a paced virtual device, or a file — drains at the sample rate.
+Underruns are counted instead of crashing the stream.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import typing
+
+import numpy as np
+
+
+class Transport:
+    """Play/pause/seek state machine driving a compiled patch into a block
+    consumer.  One per sink device.
+
+    ``consumer(block, position)`` is called with each rendered ``(F, ch)``
+    float32 block, in order, from the render thread.
+    """
+
+    def __init__(self,
+                 compiled,
+                 consumer: typing.Callable[[np.ndarray, int], None],
+                 *,
+                 realtime: bool = False,
+                 blocks_per_call: int = 8):
+        self.compiled = compiled
+        self.consumer = consumer
+        self.realtime = realtime
+        self.blocks_per_call = blocks_per_call
+        self.position = 0
+        self._carry = None
+        self._thread: typing.Optional[threading.Thread] = None
+        self._running = threading.Event()
+        self._lock = threading.Lock()
+
+    @property
+    def is_active(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def warmup(self) -> None:
+        """Trigger XLA compilation before the clock starts (first-call
+        compile would otherwise burn ~seconds of the realtime budget and
+        underrun immediately)."""
+        pos, carry = self.position, self._carry
+        with self._lock:
+            self.compiled.render(position=pos, n_blocks=self.blocks_per_call,
+                                 carry=None, deliver_taps=False)
+        self.position, self._carry = pos, carry
+
+    def start(self) -> None:
+        if self.is_active:
+            return
+        self.warmup()
+        self._running.set()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running.clear()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def seek(self, position: int) -> None:
+        with self._lock:
+            self.position = position
+            self._carry = None  # carried state is position-dependent
+
+    def tell(self) -> int:
+        return self.position
+
+    def render(self, n_blocks: int) -> np.ndarray:
+        """Synchronous render of ``n_blocks`` from the current position
+        (advances the transport)."""
+        with self._lock:
+            audio, self._carry = self.compiled.render(
+                position=self.position, n_blocks=n_blocks, carry=self._carry)
+            self.position += n_blocks * self.compiled.block_frames
+            return audio
+
+    def _run(self) -> None:
+        F = self.compiled.block_frames
+        rate = self.compiled.rate
+        seconds_per_batch = self.blocks_per_call * F / rate
+        while self._running.is_set():
+            t0 = time.monotonic()
+            start_pos = self.position
+            audio = self.render(self.blocks_per_call)
+            for i in range(self.blocks_per_call):
+                self.consumer(audio[i * F:(i + 1) * F], start_pos + i * F)
+            if self.realtime:
+                elapsed = time.monotonic() - t0
+                budget = seconds_per_batch - elapsed
+                if budget > 0:
+                    time.sleep(budget)

@@ -1,0 +1,49 @@
+"""Test configuration: JAX on a virtual 8-device CPU mesh.
+
+Tests force the CPU backend (the TPU tunnel is slow to compile against and
+tests must not depend on hardware); multi-chip sharding tests use the 8
+virtual host devices.  ``bench.py`` is the TPU path.
+"""
+
+import os
+
+os.environ.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=8')
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from signals_tpu.core import BlockLoc, Request, Shape  # noqa: E402
+
+
+@pytest.fixture
+def rate():
+    return 44100
+
+
+@pytest.fixture
+def block_frames():
+    return 512
+
+
+def pull_blocks(node, n_blocks, *, block_frames=512, rate=44100, channels=1,
+                start_block=0):
+    """Drive the pull engine like the reference audio callback
+    (``dev.py:167-179``) and return the concatenated full-shape audio."""
+    out = []
+    for i in range(start_block, start_block + n_blocks):
+        loc = BlockLoc(position=i * block_frames, rate=rate,
+                       shape=Shape(frames=block_frames, channels=channels))
+        block = node.respond(Request(requestor=None, port='test', loc=loc))
+        out.append(np.broadcast_to(block, (block_frames, channels)))
+    return np.concatenate(out, axis=0)
+
+
+def fixed(value):
+    from signals_tpu.nodes.fixed import Fixed
+    f = Fixed()
+    f.get_state().value = np.atleast_2d(np.asarray(value, dtype=np.float32))
+    return f

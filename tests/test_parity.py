@@ -1,0 +1,256 @@
+"""Compiled-engine vs pull-interpreter parity: the oracle discipline.
+
+Every patch is rendered both ways; max-abs difference must be ≤ 1e-5
+(float32, 44.1 kHz — the BASELINE tolerance).  Most stateless paths are in
+fact bit-exact because both engines share kernel definitions and the
+compiled engine pins IEEE arithmetic (see ``KernelCtx.rate_f32``).
+"""
+
+import numpy as np
+import pytest
+
+from signals_tpu.compiler import compile_node
+from signals_tpu.nodes.delay import Delay
+from signals_tpu.nodes.env import ADSR
+from signals_tpu.nodes.fx import (
+    Amp,
+    BandPass,
+    BandStop,
+    Gain,
+    HighPass,
+    LowPass,
+    Mix,
+    RingMod,
+)
+from signals_tpu.nodes.noise import White
+from signals_tpu.nodes.osc import Sawtooth, Sine, Square, Triangle
+from signals_tpu.nodes.shape import Flatten, FlattenUnit, Merge, Select
+
+from conftest import fixed, pull_blocks
+
+F = 512
+RATE = 44100
+TOL = 1e-5
+
+
+def _parity(node, *, n_blocks=16, channels=1, tol=TOL, start_block=0):
+    compiled = compile_node(node, block_frames=F, rate=RATE,
+                            channels=channels)
+    audio, _ = compiled.render(position=start_block * F, n_blocks=n_blocks)
+    oracle = pull_blocks(node, n_blocks, block_frames=F, rate=RATE,
+                         channels=channels, start_block=start_block)
+    err = np.abs(audio - oracle).max()
+    assert err <= tol, f'engines diverge: max abs err {err}'
+    return audio
+
+
+@pytest.mark.parametrize('cls', [Sine, Square, Sawtooth, Triangle])
+def test_oscillators(cls):
+    osc = cls()
+    osc.hertz = fixed(440.0)
+    osc.phase = fixed(0.1)
+    _parity(osc)
+
+
+def test_elementwise_fx():
+    saw = Sawtooth()
+    saw.hertz = fixed(220.0)
+    sine = Sine()
+    sine.hertz = fixed(3.0)
+    m = Mix()
+    m.left = saw
+    m.right = sine
+    m.mix = fixed(0.3)
+    r = RingMod()
+    r.left = m
+    r.right = sine
+    g = Gain()
+    g.left = r
+    g.right = fixed(0.8)
+    a = Amp()
+    a.left = g
+    a.right = fixed(1.5)
+    _parity(a)
+
+
+@pytest.mark.parametrize('mk', [
+    lambda: _single(LowPass, 1200.0),
+    lambda: _single(HighPass, 500.0),
+    lambda: _double(BandPass, 300.0, 3000.0),
+    lambda: _double(BandStop, 300.0, 3000.0),
+])
+def test_filters(mk):
+    _parity(mk(), n_blocks=12)
+
+
+def _single(cls, cutoff):
+    saw = Sawtooth()
+    saw.hertz = fixed(110.0)
+    f = cls()
+    f.input = saw
+    f.cutoff = fixed(cutoff)
+    return f
+
+
+def _double(cls, lo, hi):
+    saw = Sawtooth()
+    saw.hertz = fixed(110.0)
+    f = cls()
+    f.input = saw
+    f.low = fixed(lo)
+    f.high = fixed(hi)
+    return f
+
+
+def test_filter_with_time_varying_cutoff():
+    """LFO-modulated cutoff: coefficients recomputed per block in both
+    engines (reference ``fx.py:99-105`` semantics)."""
+    saw = Sawtooth()
+    saw.hertz = fixed(110.0)
+    lfo = Sine()
+    lfo.hertz = fixed(2.0)
+    g = Gain()
+    g.left = lfo
+    g.right = fixed(1500.0)
+    off = Mix()
+    off.left = g
+    off.right = fixed(2000.0)
+    off.mix = fixed(0.5)
+    lp = LowPass()
+    lp.input = saw
+    lp.cutoff = off
+    _parity(lp, n_blocks=12)
+
+
+def test_nested_filters():
+    saw = Sawtooth()
+    saw.hertz = fixed(110.0)
+    lp = LowPass()
+    lp.input = saw
+    lp.cutoff = fixed(4000.0)
+    hp = HighPass()
+    hp.input = lp
+    hp.cutoff = fixed(200.0)
+    # start past the context horizon: sub-context startup clamping
+    # legitimately differs for *nested* filters in the first ~2 context
+    # windows (documented deviation)
+    _parity(hp, n_blocks=10, start_block=1)
+
+
+def test_noise_parity_is_exact():
+    w = White()
+    w.get_state().channels = 2
+    _parity(w, channels=2, tol=0.0)
+
+
+def test_shape_ops():
+    stereo = Merge()
+    a = Sine()
+    a.hertz = fixed(440.0)
+    b = Sawtooth()
+    b.hertz = fixed(220.0)
+    stereo.left = a
+    stereo.right = b
+    _parity(stereo, channels=2)
+    sel = Select()
+    sel.input = stereo
+    sel.get_state().index = 1
+    _parity(sel)
+    fl = Flatten()
+    fl.input = stereo
+    _parity(fl)
+    fm = FlattenUnit()
+    fm.input = stereo
+    _parity(fm)
+
+
+def test_adsr_parity():
+    gate = Square()           # 1 Hz gate: 0.5 s on, 0.5 s off
+    gate.hertz = fixed(1.0)
+    env = ADSR()
+    env.gate = gate
+    st = env.get_state()
+    st.attack, st.decay, st.sustain, st.release = 0.01, 0.05, 0.6, 0.1
+    carrier = Sine()
+    carrier.hertz = fixed(330.0)
+    voiced = RingMod()
+    voiced.left = carrier
+    voiced.right = env
+    _parity(voiced, n_blocks=100)  # ~1.2 s: several gate cycles
+
+
+def test_delay_straight_line():
+    src = Sawtooth()
+    src.hertz = fixed(220.0)
+    d = Delay()
+    d.get_state().frames = 2000
+    d.input = src
+    audio = _parity(d, n_blocks=16)
+    # delayed signal: frame n equals source at n-2000
+    direct = pull_blocks_src()
+    np.testing.assert_allclose(audio[2000:3000, 0], direct[:1000, 0],
+                               atol=1e-6)
+
+
+def pull_blocks_src():
+    src = Sawtooth()
+    src.hertz = fixed(220.0)
+    return pull_blocks(src, 16, block_frames=F, rate=RATE, channels=1)
+
+
+def test_feedback_loop():
+    """src -> mixer <- (delay of mixer output * feedback gain): a real
+    cycle, legal through the CYCLIC delay."""
+    def build():
+        src = Sine()
+        src.hertz = fixed(440.0)
+        mix = Mix()
+        d = Delay()
+        d.get_state().frames = 3 * F
+        fb = Gain()
+        fb.left = d
+        fb.right = fixed(0.5)
+        mix.left = src
+        mix.right = fb
+        mix.mix = fixed(0.6)
+        d.input = mix          # the cycle
+        return mix
+
+    node = build()
+    compiled = compile_node(node, block_frames=F, rate=RATE, channels=1)
+    audio, _ = compiled.render(position=0, n_blocks=24)
+    oracle = pull_blocks(build(), 24, block_frames=F, rate=RATE, channels=1)
+    err = np.abs(audio - oracle).max()
+    assert err <= TOL, err
+    # echoes actually present: energy after one delay period
+    assert np.abs(audio[3 * F:]).max() > 0
+
+
+def test_render_is_resumable():
+    """Carry round-trip: two render calls == one long render."""
+    saw = Sawtooth()
+    saw.hertz = fixed(110.0)
+    lp = LowPass()
+    lp.input = saw
+    lp.cutoff = fixed(2000.0)
+    compiled = compile_node(lp, block_frames=F, rate=RATE, channels=1)
+    full, _ = compiled.render(position=0, n_blocks=8)
+    a, carry = compiled.render(position=0, n_blocks=4)
+    b, _ = compiled.render(position=4 * F, n_blocks=4, carry=carry)
+    np.testing.assert_array_equal(np.concatenate([a, b]), full)
+
+
+def test_traced_edit_without_recompile():
+    hz = fixed(440.0)
+    osc = Sine()
+    osc.hertz = hz
+    compiled = compile_node(osc, block_frames=F, rate=RATE, channels=1)
+    h1 = compiled.graph_hash
+    a1, _ = compiled.render(n_blocks=1)
+    hz.get_state().value = np.array([[880.0]], dtype=np.float32)
+    from signals_tpu.compiler import compile_node as cn
+    compiled2 = cn(osc, block_frames=F, rate=RATE, channels=1)
+    assert compiled2 is compiled            # same graph hash -> cache hit
+    assert compiled2.graph_hash == h1
+    a2, _ = compiled2.render(n_blocks=1)
+    assert not np.array_equal(a1, a2)       # new value took effect
