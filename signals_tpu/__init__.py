@@ -44,7 +44,10 @@ class SignalsError(Exception):
     """
 
     def __str__(self) -> str:
-        return ' '.join((type(self).__name__, *map(str, self.args)))
+        # genexpr, not map(): the `signals_tpu.map` submodule shadows the
+        # builtin in this module's namespace once imported
+        return ' '.join((type(self).__name__,
+                         *(str(a) for a in self.args)))
 
 
 #: Value types a node state property may hold (reference ``__init__.py:24``).

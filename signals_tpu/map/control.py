@@ -1,0 +1,817 @@
+"""The control layer: command language, undo/redo, persistence
+(reference ``src/signals/map/control.py``).
+
+A ``Controller`` drives a :class:`signals_tpu.map.Map` through a set of
+``LineCommand`` s, each with a long name and (for the frequent ones) a
+symbol — ``+ - * = > >/ << >>`` — a bounded undo/redo history, atomic batch
+commands with rollback, text serialization of the whole patch (the ``.sigs``
+format, identical to the reference's so its patch files load unchanged), and
+a SHA3-256 state hash.  It doubles as the ``cmd.Cmd`` headless REPL.
+
+One reference bug is fixed rather than kept: the reference nests its
+``seek`` command class *inside* ``StopCommand`` so it never registers
+(``control.py:688-702``); here ``Seek`` is a first-class command.
+"""
+
+from __future__ import annotations
+
+import abc
+import argparse
+import cmd
+import collections
+import hashlib
+import itertools
+import pathlib
+import shlex
+import sys
+import traceback
+import typing
+
+from signals_tpu import registry as _registry
+import signals_tpu.nodes.dev as dev
+from signals_tpu.map import (
+    BadName,
+    ConnectionInfo,
+    Coordinates,
+    LinkedSigInfo,
+    Map,
+    MapLayerError,
+    MappedDevInfo,
+    MappedSigInfo,
+    PlaybackState,
+    PortInfo,
+    SigState,
+    SigStateItem,
+)
+
+
+class NonExitingArgumentParser(argparse.ArgumentParser):
+    """argparse exits the process on error by default; raise instead
+    (reference ``control.py:36-40``)."""
+
+    def error(self, message: str) -> typing.NoReturn:
+        raise argparse.ArgumentError(argument=None, message=message)
+
+
+class CommandError(MapLayerError):
+    pass
+
+
+class BadCommandSyntax(CommandError):
+    pass
+
+
+class BadCommand(CommandError):
+
+    def __init__(self, cmd_: str, cmds: typing.Iterable[str]):
+        super().__init__(cmd_, 'Valid options are:',
+                         ', '.join(sorted(cmds)))
+
+
+class BadHistory(CommandError):
+    pass
+
+
+class BadUndo(BadHistory):
+
+    def __init__(self):
+        super().__init__('Cannot undo any further')
+
+
+class BadRedo(BadHistory):
+
+    def __init__(self):
+        super().__init__('Cannot redo any further')
+
+
+class Command(abc.ABC):
+
+    @abc.abstractmethod
+    def affect(self, controller: 'Controller') -> None:
+        raise NotImplementedError
+
+
+class LineCommand(Command, abc.ABC):
+    """A command parseable from one text line: name/symbol + argparse."""
+
+    @classmethod
+    def symbol(cls) -> typing.Optional[str]:
+        return None
+
+    @classmethod
+    @abc.abstractmethod
+    def name(cls) -> str:
+        raise NotImplementedError
+
+    @classmethod
+    def parser(cls) -> argparse.ArgumentParser:
+        parser = NonExitingArgumentParser(prog=cls.name(), add_help=False)
+        cls.add_arguments(parser)
+        return parser
+
+    @classmethod
+    def add_arguments(cls, parser: argparse.ArgumentParser) -> None:
+        pass
+
+    @classmethod
+    def from_args(cls, args: argparse.Namespace) -> 'LineCommand':
+        return cls(**vars(args))
+
+    def __init__(self, **kwargs):
+        for k, v in kwargs.items():
+            setattr(self, k, v)
+
+
+class StackCommand(Command, abc.ABC):
+    """Undoable command: ``affect`` pushes onto the history."""
+
+    def affect(self, controller: 'Controller') -> None:
+        controller.push(self)
+
+    @abc.abstractmethod
+    def do(self, controller: 'Controller') -> None:
+        raise NotImplementedError
+
+    @abc.abstractmethod
+    def undo(self, controller: 'Controller') -> None:
+        raise NotImplementedError
+
+
+class SerializingCommand(Command, abc.ABC):
+
+    @abc.abstractmethod
+    def serialize(self) -> str:
+        raise NotImplementedError
+
+
+class LossyCommand(Command, abc.ABC):
+    """Command whose ``do`` captures data its ``undo`` needs
+    (reference ``control.py:73-81``).  The stash is created lazily so
+    cooperative ``__init__`` chaining is not required of subclasses."""
+
+    @property
+    def _stash_list(self) -> list:
+        stash = getattr(self, '_stash', None)
+        if stash is None:
+            stash = self._stash = []
+        return stash
+
+    def pop_stash(self):
+        return self._stash_list.pop()
+
+    def push_stash(self, value) -> None:
+        self._stash_list.append(value)
+
+
+class BatchStackCommand(StackCommand):
+    """Atomic multi-command: failure mid-batch rolls back the completed
+    prefix in reverse (reference ``control.py:105-129``)."""
+
+    def __init__(self, *, cmds: typing.Sequence[StackCommand], label: str):
+        self.cmds = list(cmds)
+        self.label = label
+
+    def do(self, controller: 'Controller') -> None:
+        for i, cmd_ in enumerate(self.cmds):
+            try:
+                cmd_.do(controller)
+            except Exception:
+                self._rollback(controller, self.cmds[:i])
+                raise
+
+    def undo(self, controller: 'Controller') -> None:
+        self._rollback(controller, self.cmds)
+
+    @staticmethod
+    def _rollback(controller: 'Controller',
+                  cmds: typing.Reversible[StackCommand]) -> None:
+        # an undo failure here means corrupted state: let it propagate
+        for cmd_ in reversed(cmds):
+            cmd_.undo(controller)
+
+
+class PlaybackCommand(LineCommand, abc.ABC):
+    """Transport command applying to named sinks, or all sinks when no
+    target given (reference ``control.py:207-231``)."""
+
+    @classmethod
+    def add_arguments(cls, parser: argparse.ArgumentParser) -> None:
+        parser.add_argument('at', type=Coordinates.parse, nargs='*')
+
+    @abc.abstractmethod
+    def target_state(self) -> PlaybackState:
+        raise NotImplementedError
+
+    def affect(self, controller: 'Controller') -> None:
+        state = self.target_state()
+        for at in self._targets(controller.map):
+            controller.map.playback(at, state)
+
+    def _targets(self, sig_map: Map) -> typing.Iterable[Coordinates]:
+        if self.at:
+            yield from self.at
+        else:
+            for sink in sig_map.iter_sinks():
+                yield sink.at
+
+
+class CommandSet:
+    """Auto-registers its nested concrete LineCommands by name and symbol
+    (reference ``control.py:263-289``)."""
+
+    def __init__(self):
+        self._commands_by_alias: dict[str, type[LineCommand]] = {}
+        for cmd_cls in vars(type(self)).values():
+            if _registry.is_concrete_subclass(cmd_cls, LineCommand):
+                self._commands_by_alias[cmd_cls.name()] = cmd_cls
+                symbol = cmd_cls.symbol()
+                if symbol is not None:
+                    self._commands_by_alias[symbol] = cmd_cls
+
+    @property
+    def names(self) -> typing.AbstractSet[str]:
+        return self._commands_by_alias.keys()
+
+    def parse(self, alias: str,
+              args: typing.Sequence[str]) -> LineCommand:
+        try:
+            cmd_cls = self._commands_by_alias[alias]
+        except KeyError:
+            raise BadCommand(alias, cmds=self._commands_by_alias)
+        try:
+            namespace = cmd_cls.parser().parse_args(args)
+        except argparse.ArgumentError as e:
+            raise BadCommandSyntax(e.message)
+        return cmd_cls.from_args(namespace)
+
+    # --- patch-mutating commands -------------------------------------------
+
+    class Add(LineCommand, StackCommand, SerializingCommand):
+        signal: MappedSigInfo
+
+        @classmethod
+        def symbol(cls) -> str:
+            return '+'
+
+        @classmethod
+        def name(cls) -> str:
+            return 'add'
+
+        @classmethod
+        def add_arguments(cls, parser) -> None:
+            parser.add_argument('at', type=Coordinates.parse)
+            parser.add_argument('sig_cls', type=str)
+            parser.add_argument('sig_state', type=SigStateItem.parse,
+                                nargs='*')
+
+        @classmethod
+        def from_args(cls, args) -> 'CommandSet.Add':
+            return cls(signal=MappedSigInfo(at=args.at,
+                                            cls_name=args.sig_cls,
+                                            state=SigState(args.sig_state)))
+
+        def serialize(self) -> str:
+            return ' '.join((self.symbol(), str(self.signal.at),
+                             self.signal.cls_name, str(self.signal.state)))
+
+        def do(self, controller: 'Controller') -> None:
+            controller.map.add(self.signal)
+
+        def undo(self, controller: 'Controller') -> None:
+            controller.map.rm(self.signal.at)
+
+    class Remove(LineCommand, StackCommand, LossyCommand):
+        at: Coordinates
+
+        @classmethod
+        def symbol(cls) -> str:
+            return '-'
+
+        @classmethod
+        def name(cls) -> str:
+            return 'rm'
+
+        @classmethod
+        def add_arguments(cls, parser) -> None:
+            parser.add_argument('at', type=Coordinates.parse)
+
+        def do(self, controller: 'Controller') -> None:
+            self.push_stash(controller.map.rm(self.at))
+
+        def undo(self, controller: 'Controller') -> None:
+            stash: LinkedSigInfo = self.pop_stash()
+            controller.map.add(stash)
+            for connection in stash.links:
+                controller.map.connect(connection)
+
+    class Edit(LineCommand, StackCommand, LossyCommand):
+        at: Coordinates
+        state: SigState
+
+        @classmethod
+        def symbol(cls) -> str:
+            return '*'
+
+        @classmethod
+        def name(cls) -> str:
+            return 'ed'
+
+        @classmethod
+        def add_arguments(cls, parser) -> None:
+            parser.add_argument('at', type=Coordinates.parse)
+            parser.add_argument('sig_state', type=SigStateItem.parse,
+                                nargs='+')
+
+        @classmethod
+        def from_args(cls, args) -> 'CommandSet.Edit':
+            return cls(at=args.at, state=SigState(args.sig_state))
+
+        def do(self, controller: 'Controller') -> None:
+            self.push_stash(controller.map.edit(at=self.at,
+                                                state=self.state))
+
+        def undo(self, controller: 'Controller') -> None:
+            controller.map.edit(self.at, self.pop_stash())
+
+    class Move(LineCommand, StackCommand):
+        at1: Coordinates
+        at2: Coordinates
+
+        @classmethod
+        def symbol(cls) -> str:
+            return '='
+
+        @classmethod
+        def name(cls) -> str:
+            return 'mv'
+
+        @classmethod
+        def add_arguments(cls, parser) -> None:
+            parser.add_argument('at1', type=Coordinates.parse)
+            parser.add_argument('at2', type=Coordinates.parse)
+
+        def do(self, controller: 'Controller') -> None:
+            controller.map.mv(self.at1, self.at2)
+
+        def undo(self, controller: 'Controller') -> None:
+            controller.map.mv(self.at2, self.at1)
+
+    class Connect(LineCommand, StackCommand, SerializingCommand,
+                  LossyCommand):
+        connection: ConnectionInfo
+
+        @classmethod
+        def symbol(cls) -> str:
+            return '>'
+
+        @classmethod
+        def name(cls) -> str:
+            return 'con'
+
+        @classmethod
+        def add_arguments(cls, parser) -> None:
+            parser.add_argument('input_at', type=Coordinates.parse)
+            parser.add_argument('output', type=PortInfo.parse)
+
+        @classmethod
+        def from_args(cls, args) -> 'CommandSet.Connect':
+            return cls(connection=ConnectionInfo(input_at=args.input_at,
+                                                 output=args.output))
+
+        def serialize(self) -> str:
+            return ' '.join((self.symbol(), str(self.connection.input_at),
+                             str(self.connection.output)))
+
+        def do(self, controller: 'Controller') -> None:
+            old_input_at = controller.map.connect(self.connection)
+            self.push_stash(
+                None if old_input_at is None else
+                ConnectionInfo(input_at=old_input_at,
+                               output=self.connection.output))
+
+        def undo(self, controller: 'Controller') -> None:
+            controller.map.disconnect(self.connection.output)
+            stash = self.pop_stash()
+            if stash is not None:
+                controller.map.connect(stash)
+
+    class Disconnect(LineCommand, StackCommand, LossyCommand):
+        port: PortInfo
+
+        @classmethod
+        def symbol(cls) -> str:
+            return '>/'
+
+        @classmethod
+        def name(cls) -> str:
+            return 'discon'
+
+        @classmethod
+        def add_arguments(cls, parser) -> None:
+            parser.add_argument('port', type=PortInfo.parse)
+
+        def do(self, controller: 'Controller') -> None:
+            input_at = controller.map.disconnect(info=self.port)
+            self.push_stash(ConnectionInfo(input_at=input_at,
+                                           output=self.port))
+
+        def undo(self, controller: 'Controller') -> None:
+            controller.map.connect(self.pop_stash())
+
+    # --- device association -------------------------------------------------
+
+    class _DeviceCommand(LineCommand, StackCommand, SerializingCommand,
+                         abc.ABC):
+        at: Coordinates
+        device_name: str
+
+        @classmethod
+        def add_arguments(cls, parser) -> None:
+            parser.add_argument('at', type=Coordinates.parse)
+            parser.add_argument('device_name')
+
+        def serialize(self) -> str:
+            return ' '.join((self.name(), str(self.at), self.device_name))
+
+        def do(self, controller: 'Controller') -> None:
+            controller.map.add(self._get_device(controller))
+
+        def undo(self, controller: 'Controller') -> None:
+            controller.map.rm(self.at)
+
+        @abc.abstractmethod
+        def _get_device(self, controller: 'Controller') -> MappedDevInfo:
+            raise NotImplementedError
+
+    class Source(_DeviceCommand):
+
+        @classmethod
+        def name(cls) -> str:
+            return 'source'
+
+        def _get_device(self, controller: 'Controller') -> MappedDevInfo:
+            return MappedDevInfo.for_source(
+                at=self.at,
+                device=controller.rack.get_source(self.device_name))
+
+    class Sink(_DeviceCommand):
+
+        @classmethod
+        def name(cls) -> str:
+            return 'sink'
+
+        def _get_device(self, controller: 'Controller') -> MappedDevInfo:
+            return MappedDevInfo.for_sink(
+                at=self.at,
+                device=controller.rack.get_sink(self.device_name))
+
+    class Sources(LineCommand):
+
+        @classmethod
+        def name(cls) -> str:
+            return 'sources'
+
+        def affect(self, controller: 'Controller') -> None:
+            for device in controller.rack.sources():
+                print(device.describe(), file=controller.stdout)
+
+    class Sinks(LineCommand):
+
+        @classmethod
+        def name(cls) -> str:
+            return 'sinks'
+
+        def affect(self, controller: 'Controller') -> None:
+            for device in controller.rack.sinks():
+                print(device.describe(), file=controller.stdout)
+
+    # --- history ------------------------------------------------------------
+
+    class Undo(LineCommand):
+        times: int
+
+        @classmethod
+        def symbol(cls) -> str:
+            return '<<'
+
+        @classmethod
+        def name(cls) -> str:
+            return 'undo'
+
+        @classmethod
+        def add_arguments(cls, parser) -> None:
+            parser.add_argument('times', type=int, nargs='?', default=1)
+
+        def affect(self, controller: 'Controller') -> None:
+            for _ in range(self.times):
+                controller.undo()
+
+    class Redo(LineCommand):
+        times: int
+
+        @classmethod
+        def symbol(cls) -> str:
+            return '>>'
+
+        @classmethod
+        def name(cls) -> str:
+            return 'redo'
+
+        @classmethod
+        def add_arguments(cls, parser) -> None:
+            parser.add_argument('times', type=int, nargs='?', default=1)
+
+        def affect(self, controller: 'Controller') -> None:
+            for _ in range(self.times):
+                controller.redo()
+
+    # --- whole-patch --------------------------------------------------------
+
+    class Init(LineCommand):
+
+        @classmethod
+        def name(cls) -> str:
+            return 'init'
+
+        def affect(self, controller: 'Controller') -> None:
+            controller.push(self.batch_clear(controller))
+
+        @classmethod
+        def batch_clear(cls, controller: 'Controller') -> BatchStackCommand:
+            cmds: list[StackCommand] = []
+            for connection in controller.map.iter_connections():
+                cmds.append(CommandSet.Disconnect(port=connection.output))
+            for signal in itertools.chain(controller.map.iter_sinks(),
+                                          controller.map.iter_sources(),
+                                          controller.map.iter_signals()):
+                cmds.append(CommandSet.Remove(at=signal.at))
+            return BatchStackCommand(cmds=cmds, label=cls.name())
+
+    class Save(LineCommand):
+        path: pathlib.Path
+
+        @classmethod
+        def name(cls) -> str:
+            return 'save'
+
+        @classmethod
+        def add_arguments(cls, parser) -> None:
+            parser.add_argument('path', type=pathlib.Path)
+
+        def affect(self, controller: 'Controller') -> None:
+            with open(self.path, 'w') as f:
+                for line in controller.dump():
+                    f.write(line + '\n')
+
+    class Load(LineCommand):
+        path: pathlib.Path
+
+        @classmethod
+        def name(cls) -> str:
+            return 'load'
+
+        @classmethod
+        def add_arguments(cls, parser) -> None:
+            parser.add_argument('path', type=pathlib.Path)
+
+        def affect(self, controller: 'Controller') -> None:
+            controller.push(self.batch_load(self.path, controller))
+
+        @classmethod
+        def batch_load(cls, path: pathlib.Path,
+                       controller: 'Controller') -> BatchStackCommand:
+            clear = CommandSet.Init.batch_clear(controller)
+            cmds = list(clear.cmds)
+            allowed = {'add', 'con', 'source', 'sink'}
+            with open(path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    cmd_ = controller.parse_line(line)
+                    if cmd_.name() in allowed:
+                        assert isinstance(cmd_, StackCommand), cmd_
+                        cmds.append(cmd_)
+                    else:
+                        raise BadCommand(line, allowed)
+            return BatchStackCommand(cmds=cmds, label=cls.name())
+
+    class Show(LineCommand):
+
+        @classmethod
+        def name(cls) -> str:
+            return 'show'
+
+        def affect(self, controller: 'Controller') -> None:
+            for line in controller.dump():
+                print(line, file=controller.stdout)
+
+    class Hash(LineCommand):
+
+        @classmethod
+        def name(cls) -> str:
+            return 'hash'
+
+        def affect(self, controller: 'Controller') -> None:
+            print(controller.hash(), file=controller.stdout)
+
+    class Exit(LineCommand):
+
+        @classmethod
+        def name(cls) -> str:
+            return 'exit'
+
+        def affect(self, controller: 'Controller') -> None:
+            controller.exit = True
+
+    class Grep(LineCommand):
+        pattern: str
+
+        @classmethod
+        def name(cls) -> str:
+            return 'grep'
+
+        @classmethod
+        def add_arguments(cls, parser) -> None:
+            parser.add_argument('pattern')
+
+        def affect(self, controller: 'Controller') -> None:
+            for name in controller.grep(self.pattern):
+                print(name, file=controller.stdout)
+
+    # --- playback -----------------------------------------------------------
+
+    class Play(PlaybackCommand):
+
+        @classmethod
+        def name(cls) -> str:
+            return 'play'
+
+        def target_state(self) -> PlaybackState:
+            return PlaybackState(position=None, active=True)
+
+    class Pause(PlaybackCommand):
+
+        @classmethod
+        def name(cls) -> str:
+            return 'pause'
+
+        def target_state(self) -> PlaybackState:
+            return PlaybackState(position=None, active=False)
+
+    class Stop(PlaybackCommand):
+
+        @classmethod
+        def name(cls) -> str:
+            return 'stop'
+
+        def target_state(self) -> PlaybackState:
+            return PlaybackState(position=0, active=False)
+
+    class Seek(PlaybackCommand):
+        """First-class here; unreachable in the reference (mis-nested
+        inside its stop command, ``control.py:688-702``)."""
+
+        position: int
+
+        @classmethod
+        def name(cls) -> str:
+            return 'seek'
+
+        @classmethod
+        def add_arguments(cls, parser) -> None:
+            parser.add_argument('position', type=int)
+            PlaybackCommand.add_arguments(parser)
+
+        def target_state(self) -> PlaybackState:
+            return PlaybackState(position=self.position, active=None)
+
+
+class Controller(cmd.Cmd):
+    """Owns the Map, the Library, the Rack and the history; parses and
+    applies command lines (reference ``control.py:705-837``)."""
+
+    def __init__(self,
+                 *,
+                 interactive: bool,
+                 command_set: typing.Optional[CommandSet] = None,
+                 map: typing.Optional[Map] = None,
+                 modules: typing.Iterable[str] = (),
+                 history_limit: int = 100,
+                 stdin=None,
+                 stdout=None):
+        super().__init__(stdin=stdin, stdout=stdout)
+        self.use_rawinput = False
+        self.modcount = 0
+        self.interactive = interactive
+        self.map = Map() if map is None else map
+        self.command_set = CommandSet() if command_set is None else command_set
+        self.library = _registry.Library(modules)
+        self.library.scan()
+        self.rack = dev.Rack()
+        self.rack.scan()
+        self.history: collections.deque[StackCommand] = collections.deque(
+            maxlen=history_limit)
+        self.history_index: typing.Optional[int] = None
+        self.exit = False
+
+    @property
+    def prompt(self) -> str:
+        return 'signals: ' if self.interactive else ''
+
+    def emptyline(self) -> bool:
+        return False
+
+    def default(self, line: str) -> bool:
+        if line == 'EOF':
+            self.exit = True
+        else:
+            try:
+                cmd_ = self.parse_line(line)
+                cmd_.affect(self)
+            except MapLayerError as e:
+                if self.interactive:
+                    print(str(e), file=self.stdout)
+                else:
+                    raise
+            except Exception:
+                print('Unexpected error:', file=self.stdout)
+                print(traceback.format_exc(), file=self.stdout)
+                if not self.interactive:
+                    raise
+        return self.exit
+
+    # --- history ------------------------------------------------------------
+
+    def push(self, cmd_: StackCommand) -> None:
+        cmd_.do(self)
+        self.modcount += 1
+        if self.history_index is not None:
+            while len(self.history) > self.history_index + 1:
+                self.history.pop()
+        self.history.append(cmd_)
+        self.history_index = len(self.history) - 1
+
+    def undo(self) -> None:
+        if self.history_index is None:
+            raise BadUndo
+        cmd_ = self.history[self.history_index]
+        cmd_.undo(self)
+        self.modcount -= 1
+        self.history_index -= 1
+        if self.history_index < 0:
+            self.history_index = None
+
+    def redo(self) -> None:
+        target = 0 if self.history_index is None else self.history_index + 1
+        if target >= len(self.history):
+            raise BadRedo
+        self.history[target].do(self)
+        self.modcount += 1
+        self.history_index = target
+
+    def reset_history(self) -> None:
+        self.history.clear()
+        self.history_index = None
+        self.modcount = 0
+
+    # --- serialization ------------------------------------------------------
+
+    def dump(self) -> typing.Iterator[str]:
+        """Canonical text form: sources, sinks, adds, connects, each sorted
+        (reference ``control.py:807-823``)."""
+        for source in sorted(self.map.iter_sources(),
+                             key=lambda i: tuple(i.at)):
+            yield CommandSet.Source(at=source.at,
+                                    device_name=source.device.name
+                                    ).serialize()
+        for sink in sorted(self.map.iter_sinks(), key=lambda i: tuple(i.at)):
+            yield CommandSet.Sink(at=sink.at,
+                                  device_name=sink.device.name).serialize()
+        for signal in sorted(self.map.iter_signals(),
+                             key=lambda i: tuple(i.at)):
+            yield CommandSet.Add(signal=signal).serialize()
+        for connection in sorted(self.map.iter_connections(),
+                                 key=lambda c: (tuple(c.output.at),
+                                                c.output.port)):
+            yield CommandSet.Connect(connection=connection).serialize()
+
+    def grep(self, pattern: str) -> list[str]:
+        return self.library.grep(pattern)
+
+    def parse_line(self, line: str) -> LineCommand:
+        alias, *args = shlex.split(line)
+        return self.command_set.parse(alias, args)
+
+    def hash(self) -> str:
+        state_hash = hashlib.sha3_256()
+        for line in self.dump():
+            state_hash.update(line.encode())
+        return state_hash.hexdigest()
+
+
+def main(argv: typing.Sequence[str] = ()) -> None:
+    Controller(interactive=True, modules=list(argv)).cmdloop()
+
+
+if __name__ == '__main__':
+    main(sys.argv[1:])

@@ -1,0 +1,244 @@
+"""Control layer: command parsing, undo/redo, .sigs round-trip, hash
+(reference ``src/signals/map/control.py``)."""
+
+import io
+import pathlib
+
+import numpy as np
+import pytest
+
+from signals_tpu.map import Coordinates, MapLayerError
+from signals_tpu.map.control import (
+    BadCommand,
+    BadCommandSyntax,
+    BadRedo,
+    BadUndo,
+    Controller,
+)
+
+FIXTURES = pathlib.Path(__file__).parent / 'fixtures'
+
+
+def make_controller(interactive=False):
+    return Controller(interactive=interactive, stdout=io.StringIO())
+
+
+def run(ctl, *lines):
+    for line in lines:
+        ctl.default(line)
+
+
+def test_add_edit_show():
+    ctl = make_controller()
+    run(ctl,
+        '+ 1a signals_tpu.nodes.fixed.Fixed value=[[440]]',
+        '+ 2a signals_tpu.nodes.osc.Sine',
+        '> 1a 2a.hertz')
+    dump = list(ctl.dump())
+    assert dump == [
+        '+ 1a signals_tpu.nodes.fixed.Fixed enabled=true value=[[440.0]]',
+        '+ 2a signals_tpu.nodes.osc.Sine enabled=true',
+        '> 1a 2a.hertz',
+    ]
+
+
+def test_symbols_and_names_equivalent():
+    a = make_controller()
+    b = make_controller()
+    run(a, '+ 1a signals_tpu.nodes.osc.Sine')
+    run(b, 'add 1a signals_tpu.nodes.osc.Sine')
+    assert list(a.dump()) == list(b.dump())
+
+
+def test_bad_command_and_syntax():
+    ctl = make_controller()
+    with pytest.raises(BadCommand):
+        ctl.parse_line('frobnicate 1a')
+    with pytest.raises(BadCommandSyntax):
+        ctl.parse_line('add')  # missing args
+
+
+def test_interactive_swallows_map_errors():
+    ctl = make_controller(interactive=True)
+    ctl.default('- 9z')  # empty coordinates
+    assert 'Empty' in ctl.stdout.getvalue()
+    ctl2 = make_controller(interactive=False)
+    with pytest.raises(MapLayerError):
+        ctl2.default('- 9z')
+
+
+def test_undo_redo_cycle():
+    ctl = make_controller()
+    run(ctl, '+ 1a signals_tpu.nodes.osc.Sine')
+    run(ctl, '+ 1b signals_tpu.nodes.fixed.Fixed value=[[100]]')
+    run(ctl, '> 1b 1a.hertz')
+    h3 = ctl.hash()
+    run(ctl, 'undo')
+    run(ctl, 'undo')
+    assert len(list(ctl.dump())) == 1
+    run(ctl, 'redo 2')
+    assert ctl.hash() == h3
+    run(ctl, 'undo 3')
+    assert list(ctl.dump()) == []
+    with pytest.raises(BadUndo):
+        ctl.undo()
+    run(ctl, 'redo 3')
+    assert ctl.hash() == h3
+    with pytest.raises(BadRedo):
+        ctl.redo()
+
+
+def test_undo_remove_restores_links():
+    ctl = make_controller()
+    run(ctl,
+        '+ 1a signals_tpu.nodes.fixed.Fixed value=[[440]]',
+        '+ 2a signals_tpu.nodes.osc.Sine',
+        '+ 3a signals_tpu.nodes.fx.Gain',
+        '> 1a 2a.hertz',
+        '> 2a 3a.left')
+    before = ctl.hash()
+    run(ctl, '- 2a')       # removes node and both connections
+    assert '> 1a 2a.hertz' not in list(ctl.dump())
+    run(ctl, 'undo')
+    assert ctl.hash() == before
+
+
+def test_history_truncation_on_new_command():
+    ctl = make_controller()
+    run(ctl, '+ 1a signals_tpu.nodes.osc.Sine')
+    run(ctl, '+ 1b signals_tpu.nodes.osc.Square')
+    run(ctl, 'undo')
+    run(ctl, '+ 1c signals_tpu.nodes.osc.Triangle')
+    with pytest.raises(BadRedo):
+        ctl.redo()          # redo branch was truncated
+    names = {line.split()[2] for line in ctl.dump() if line.startswith('+')}
+    assert names == {'signals_tpu.nodes.osc.Sine',
+                     'signals_tpu.nodes.osc.Triangle'}
+
+
+def test_edit_undo():
+    ctl = make_controller()
+    run(ctl, '+ 1a signals_tpu.nodes.fixed.Fixed value=[[440]]')
+    run(ctl, '* 1a value=[[880]]')
+    sig = ctl.map.find(Coordinates.parse('1a'))
+    np.testing.assert_array_equal(sig.get_state().value, [[880.0]])
+    run(ctl, 'undo')
+    np.testing.assert_array_equal(sig.get_state().value, [[440.0]])
+
+
+def test_save_load_hash_roundtrip(tmp_path):
+    ctl = make_controller()
+    run(ctl,
+        'sink 7a default',
+        '+ 1a signals_tpu.nodes.fixed.Fixed value=[[440]]',
+        '+ 2a signals_tpu.nodes.osc.Sine',
+        '> 1a 2a.hertz',
+        '> 2a 7a.input')
+    h = ctl.hash()
+    path = tmp_path / 'patch.sigs'
+    run(ctl, f'save {path}')
+    assert path.exists()
+
+    ctl2 = make_controller()
+    run(ctl2, f'load {path}')
+    assert ctl2.hash() == h
+
+    # load replaces current content atomically
+    run(ctl2, f'load {path}')
+    assert ctl2.hash() == h
+    # and undo restores the pre-load patch
+    run(ctl2, 'undo')
+    assert ctl2.hash() == h
+
+
+def test_load_rejects_non_dump_commands(tmp_path):
+    bad = tmp_path / 'bad.sigs'
+    bad.write_text('undo\n')
+    ctl = make_controller()
+    with pytest.raises(BadCommand):
+        ctl.default(f'load {bad}')
+
+
+def test_init_clears():
+    ctl = make_controller()
+    run(ctl,
+        '+ 1a signals_tpu.nodes.fixed.Fixed value=[[1]]',
+        '+ 2a signals_tpu.nodes.osc.Sine',
+        '> 1a 2a.hertz')
+    h = ctl.hash()
+    run(ctl, 'init')
+    assert list(ctl.dump()) == []
+    run(ctl, 'undo')
+    assert ctl.hash() == h
+
+
+def test_grep():
+    ctl = make_controller()
+    names = ctl.grep('*osc*')
+    assert 'signals_tpu.nodes.osc.Sine' in names
+    assert all('osc' in n for n in names)
+    assert ctl.grep('*nomatch*') == []
+
+
+def test_mv_command():
+    ctl = make_controller()
+    run(ctl, '+ 1a signals_tpu.nodes.osc.Sine', '= 1a 5c')
+    assert '+ 5c signals_tpu.nodes.osc.Sine enabled=true' in list(ctl.dump())
+    run(ctl, 'undo')
+    assert '+ 1a signals_tpu.nodes.osc.Sine enabled=true' in list(ctl.dump())
+
+
+def test_sources_sinks_listing():
+    ctl = make_controller()
+    run(ctl, 'sinks')
+    out = ctl.stdout.getvalue()
+    assert 'default' in out
+
+
+def test_reference_fixture_loads():
+    """The reference's own saved patches load unchanged (class-name
+    aliases; fixture mirrors ``src/signals/lowpass_test.sigs``)."""
+    ctl = make_controller()
+    ctl.default(f'load {FIXTURES / "lowpass_test.sigs"}')
+    dump = list(ctl.dump())
+    assert any('LowPass' in line for line in dump)
+    assert any(line.startswith('sink 7a default') for line in dump)
+    # round-trips through our dump format stably
+    h1 = ctl.hash()
+    run(ctl, 'undo', 'redo')
+    assert ctl.hash() == h1
+
+
+def test_batch_rollback_is_atomic(tmp_path):
+    """A load that fails mid-batch must restore the prior patch."""
+    ctl = make_controller()
+    run(ctl, '+ 1a signals_tpu.nodes.osc.Sine')
+    h = ctl.hash()
+    bad = tmp_path / 'partial.sigs'
+    bad.write_text('\n'.join([
+        '+ 2a signals_tpu.nodes.osc.Square',
+        '+ 2a signals_tpu.nodes.osc.Triangle',  # occupied -> fails
+    ]) + '\n')
+    with pytest.raises(MapLayerError):
+        ctl.default(f'load {bad}')
+    assert ctl.hash() == h
+
+
+def test_playback_and_seek(monkeypatch):
+    ctl = make_controller()
+    run(ctl,
+        'sink 7a default',
+        '+ 1a signals_tpu.nodes.fixed.Fixed value=[[440]]',
+        '+ 2a signals_tpu.nodes.osc.Sine',
+        '> 1a 2a.hertz',
+        '> 2a 7a.input')
+    sink = ctl.map.find(Coordinates.parse('7a'))
+    sink.realtime = False
+    run(ctl, 'seek 10 7a')
+    assert sink.frame_position == 10 * sink.block_frames
+    run(ctl, 'play 7a')
+    assert sink.is_active
+    run(ctl, 'pause 7a')
+    assert not sink.is_active
+    run(ctl, 'stop 7a')
+    assert sink.frame_position == 0
