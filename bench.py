@@ -1,0 +1,295 @@
+"""Benchmark harness: the five BASELINE configs on real hardware.
+
+Prints ONE JSON line: the headline metric is config 4 (64-voice
+subtractive patch with LFO-modulated cutoff) in ×realtime @ 44.1 kHz per
+chip; ``vs_baseline`` is the ratio against the 1000× north-star
+(BASELINE.md).  Details for every config land in the ``extra`` field.
+
+Run on TPU (default backend); pass ``--cpu`` to force the CPU backend and
+``--quick`` for a fast smoke run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+RATE = 44100
+BLOCK = 1024
+TOL = 1e-5
+
+
+def fixed(value):
+    from signals_tpu.nodes.fixed import Fixed
+    f = Fixed()
+    f.get_state().value = np.atleast_2d(np.asarray(value, dtype=np.float32))
+    return f
+
+
+def build_sine_plot():
+    """Config 1: single 440 Hz sine -> vis tap (block render + plot)."""
+    from signals_tpu.nodes.osc import Sine
+    from signals_tpu.nodes.vis import Wave
+    osc = Sine()
+    osc.hertz = fixed(440.0)
+    tap = Wave()
+    tap.input = osc
+    return tap
+
+
+def build_additive_voice():
+    """Config 2 voice: one detuned sine+saw pair -> gain."""
+    from signals_tpu.nodes.fx import Gain, Mix
+    from signals_tpu.nodes.osc import Sawtooth, Sine
+    hz = fixed(220.0)
+    sine = Sine()
+    sine.hertz = hz
+    saw = Sawtooth()
+    saw.hertz = hz
+    m = Mix()
+    m.left = sine
+    m.right = saw
+    m.mix = fixed(0.5)
+    g = Gain()
+    g.left = m
+    g.right = fixed(1.0 / 16)
+    return g, hz
+
+
+def build_subtractive_voice():
+    """Config 3/4 voice: saw -> LP (LFO-swept cutoff) -> ADSR envelope."""
+    from signals_tpu.nodes.env import ADSR
+    from signals_tpu.nodes.fx import Gain, LowPass, Mix, RingMod
+    from signals_tpu.nodes.osc import Sawtooth, Sine, Square
+    hz = fixed(110.0)
+    saw = Sawtooth()
+    saw.hertz = hz
+    lfo = Sine()
+    lfo.hertz = fixed(0.5)
+    depth = Gain()
+    depth.left = lfo
+    depth.right = fixed(900.0)
+    cutoff = Mix()              # 2000 + LFO*900
+    cutoff.left = depth
+    cutoff.right = fixed(2000.0)
+    cutoff.mix = fixed(0.5)
+    lp = LowPass()
+    lp.input = saw
+    lp.cutoff = cutoff
+    gate = Square()
+    gate.hertz = fixed(2.0)
+    env = ADSR()
+    env.gate = gate
+    st = env.get_state()
+    st.attack, st.decay, st.sustain, st.release = 0.01, 0.08, 0.6, 0.1
+    voiced = RingMod()
+    voiced.left = lp
+    voiced.right = env
+    out = Gain()
+    out.left = voiced
+    out.right = fixed(1.0 / 64)
+    return out, hz
+
+
+def build_fm_delay():
+    """Config 5: 3-op FM stack + delay/feedback loop + spectral tap."""
+    from signals_tpu.nodes.delay import Delay
+    from signals_tpu.nodes.fx import Gain, Mix
+    from signals_tpu.nodes.osc import Sine
+    from signals_tpu.nodes.vis import Spec
+    op3 = Sine()
+    op3.hertz = fixed(660.0)
+    i3 = Gain()
+    i3.left = op3
+    i3.right = fixed(1.5)
+    op2 = Sine()
+    op2.hertz = fixed(220.0)
+    op2.phase = i3
+    i2 = Gain()
+    i2.left = op2
+    i2.right = fixed(2.0)
+    op1 = Sine()
+    op1.hertz = fixed(110.0)
+    op1.phase = i2
+    mix = Mix()
+    d = Delay()
+    d.get_state().frames = 4 * BLOCK
+    fb = Gain()
+    fb.left = d
+    fb.right = fixed(0.45)
+    mix.left = op1
+    mix.right = fb
+    mix.mix = fixed(0.6)
+    d.input = mix
+    tap = Spec()
+    tap.input = mix
+    return tap
+
+
+def check_parity(root, *, n_blocks=9, channels=1, tol=TOL, start_block=0):
+    """Compiled output vs the numpy pull-interpreter oracle."""
+    from signals_tpu.compiler import compile_node
+    from signals_tpu.core import BlockLoc, Request, Shape
+    compiled = compile_node(root, block_frames=BLOCK, rate=RATE,
+                            channels=channels)
+    audio, _ = compiled.render(position=start_block * BLOCK,
+                               n_blocks=n_blocks, deliver_taps=False)
+    oracle = []
+    for i in range(start_block, start_block + n_blocks):
+        loc = BlockLoc(position=i * BLOCK, rate=RATE,
+                       shape=Shape(BLOCK, channels))
+        block = root.respond(Request(requestor=None, port='bench', loc=loc))
+        oracle.append(np.broadcast_to(block, (BLOCK, channels)))
+    err = float(np.abs(audio - np.concatenate(oracle)).max())
+    return err
+
+
+def time_render(render_once, *, min_seconds=2.0, min_iters=3):
+    """Steady-state wall time per call (after a warmup call)."""
+    render_once()                       # warmup/compile
+    times = []
+    t_total = 0.0
+    while t_total < min_seconds or len(times) < min_iters:
+        t0 = time.perf_counter()
+        render_once()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        t_total += dt
+    return float(np.median(times))
+
+
+def bench_single(root, *, seconds=1.0, label='', channels=1):
+    from signals_tpu.compiler import compile_node
+    import jax
+    compiled = compile_node(root, block_frames=BLOCK, rate=RATE,
+                            channels=channels)
+    n_blocks = int(round(seconds * RATE / BLOCK))
+    params = compiled.params()
+    host = compiled.stage_host(0, n_blocks)
+    fn = compiled.render_fn(n_blocks)
+    carry0 = compiled.carry0
+
+    def render_once():
+        blocks, carry, taps = fn(params, jax.tree.map(lambda x: x, carry0),
+                                 0, host)
+        jax.block_until_ready(blocks)
+
+    t = time_render(render_once)
+    samples = n_blocks * BLOCK
+    return {'label': label, 'x_realtime': samples / RATE / t,
+            'samples_per_sec': samples / t, 'wall_per_call_s': t}
+
+
+def bench_poly(root, hz_node, n_voices, *, seconds=1.0, label=''):
+    import jax
+    from signals_tpu.parallel import PolyPatch
+    freqs = (110.0 * 2 ** (np.arange(n_voices) % 12 / 12.0)
+             * (1 + 0.001 * np.arange(n_voices))).astype(np.float32)
+    poly = PolyPatch(root, n_voices=n_voices,
+                     overrides={(hz_node, 'value'): freqs},
+                     block_frames=BLOCK, rate=RATE, channels=1)
+    n_blocks = int(round(seconds * RATE / BLOCK))
+    params, _ = poly.params()
+    carry0 = poly.init_carry()
+    host = poly.compiled.stage_host(0, n_blocks)
+    fn = poly.render_fn(n_blocks)
+
+    def render_once():
+        mix, carry = fn(params, jax.tree.map(lambda x: x, carry0), 0, host)
+        jax.block_until_ready(mix)
+
+    t = time_render(render_once)
+    samples = n_blocks * BLOCK
+    return {'label': label, 'n_voices': n_voices,
+            'x_realtime': samples / RATE / t,
+            'samples_per_sec': samples / t, 'wall_per_call_s': t}
+
+
+def bench_block_latency(root, *, channels=1):
+    """p50 latency of a single-block step call (the realtime-path metric)."""
+    import jax
+    from signals_tpu.compiler import compile_node
+    compiled = compile_node(root, block_frames=BLOCK, rate=RATE,
+                            channels=channels)
+    params = compiled.params()
+    carry = jax.tree.map(lambda x: x, compiled.carry0)
+    host = compiled.stage_host(0, 1)
+    h0 = {k: v[0] for k, v in host.items()}
+    out = compiled.step(params, carry, 0, h0)
+    jax.block_until_ready(out)
+    lat = []
+    carry = out[1]
+    for i in range(50):
+        t0 = time.perf_counter()
+        out = compiled.step(params, carry, (i + 1) * BLOCK, h0)
+        jax.block_until_ready(out[0])
+        carry = out[1]
+        lat.append(time.perf_counter() - t0)
+    return float(np.median(lat))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--cpu', action='store_true')
+    parser.add_argument('--quick', action='store_true')
+    args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+    seconds = 0.25 if args.quick else 1.0
+    extra = {}
+    parity = {}
+
+    # config 1: sine + plot
+    c1 = build_sine_plot()
+    parity['sine'] = check_parity(c1)
+    extra['c1_sine_plot'] = bench_single(c1, seconds=seconds,
+                                         label='sine+vis')
+
+    # config 2: 16-osc additive
+    voice2, hz2 = build_additive_voice()
+    parity['additive'] = check_parity(voice2)
+    extra['c2_additive16'] = bench_poly(voice2, hz2, 16, seconds=seconds,
+                                        label='additive-16')
+
+    # config 3: subtractive voice
+    voice3, hz3 = build_subtractive_voice()
+    parity['subtractive'] = check_parity(voice3)
+    extra['c3_subtractive'] = bench_single(voice3, seconds=seconds,
+                                           label='subtractive-voice')
+    extra['p50_block_latency_ms'] = bench_block_latency(voice3) * 1e3
+
+    # config 4 (headline): 64-voice poly
+    voice4, hz4 = build_subtractive_voice()
+    extra['c4_poly64'] = bench_poly(voice4, hz4, 64, seconds=seconds,
+                                    label='poly-64')
+
+    # config 5: FM + delay feedback + spectral tap
+    c5 = build_fm_delay()
+    parity['fm_delay'] = check_parity(c5)
+    extra['c5_fm_delay'] = bench_single(c5, seconds=seconds,
+                                        label='fm+delay+spec')
+
+    extra['parity_max_abs_err'] = parity
+    extra['parity_ok'] = all(v <= TOL for v in parity.values())
+
+    headline = extra['c4_poly64']['x_realtime']
+    result = {
+        'metric': 'audio samples/sec/chip (x realtime @44.1kHz), '
+                  '64-voice subtractive patch',
+        'value': round(headline, 1),
+        'unit': 'x_realtime',
+        'vs_baseline': round(headline / 1000.0, 3),
+        'extra': extra,
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == '__main__':
+    main()

@@ -99,12 +99,20 @@ class SinkDevice(Device, Receiver, ExplicitChannels):
 
     def __init__(self, info: DeviceInfo, *,
                  block_frames: int = 1024,
-                 realtime: bool = True):
+                 realtime: bool = True,
+                 ring_blocks: int = 8,
+                 output_fd: int = -1):
         super().__init__(info)
         self.block_frames = block_frames
         self.realtime = realtime
+        #: render-ahead depth of the native ring buffer (blocks)
+        self.ring_blocks = ring_blocks
+        #: raw f32 output target for the paced consumer (-1 = discard)
+        self.output_fd = output_fd
         self.frame_position = 0
         self._transport = None
+        self._ring = None
+        self._consumer = None
         self._capture: typing.Optional[list[np.ndarray]] = None
 
     @classmethod
@@ -152,8 +160,22 @@ class SinkDevice(Device, Receiver, ExplicitChannels):
         if self.is_open:
             raise BadPlaybackState('The output stream is already open')
         from signals_tpu.runtime import Transport
-        self._transport = Transport(self._compile(), self._consume,
-                                    realtime=self.realtime)
+        if self.realtime:
+            # realtime path: the native ring carries blocks from the render
+            # thread to the clocked consumer (the virtual output device);
+            # ring backpressure paces the renderer (render-ahead depth =
+            # ring capacity), so Transport itself runs unthrottled.  The
+            # consumer is started in start(), after JIT warmup, so the
+            # stream doesn't open with a burst of underrun silence.
+            from signals_tpu.runtime.ring import RingBuffer
+            self._ring = RingBuffer(
+                capacity_frames=self.ring_blocks * self.block_frames,
+                channels=self._state.channels)
+            self._transport = Transport(self._compile(), self._consume_ring,
+                                        realtime=False)
+        else:
+            self._transport = Transport(self._compile(), self._consume,
+                                        realtime=False)
         self._transport.seek(self.frame_position)
 
     def close(self) -> None:
@@ -161,17 +183,36 @@ class SinkDevice(Device, Receiver, ExplicitChannels):
             raise BadPlaybackState('The output stream is not open')
         self._transport.stop()
         self._transport = None
+        if self._consumer is not None:
+            self._consumer.stop()
+            self._consumer = None
+        if self._ring is not None:
+            self._ring.close()
+            self._ring = None
+
+    @property
+    def underruns(self) -> int:
+        """Blocks the clocked consumer had to zero-fill."""
+        return 0 if self._consumer is None else self._consumer.underruns
 
     def start(self) -> None:
         if not self.is_open:
             self.open()
         self._transport.start()
+        if self._ring is not None and self._consumer is None:
+            from signals_tpu.runtime.ring import PacedConsumer
+            self._consumer = PacedConsumer(self._ring, rate=self.rate,
+                                           block_frames=self.block_frames,
+                                           fd=self.output_fd)
 
     def stop(self) -> None:
         if not self.is_active:
             raise BadPlaybackState('The output stream is not active')
         self.frame_position = self._transport.tell()
         self._transport.stop()
+        if self._consumer is not None:
+            self._consumer.stop()
+            self._consumer = None
 
     def seek(self, position_blocks: int) -> None:
         self.frame_position = position_blocks * self.block_frames
@@ -194,6 +235,20 @@ class SinkDevice(Device, Receiver, ExplicitChannels):
         if self._capture is not None:
             self._capture.append(block)
         self.consume_block(block, position)
+
+    def _consume_ring(self, block: np.ndarray, position: int) -> None:
+        """Push into the ring with backpressure (this is what paces the
+        render-ahead loop at the sample rate)."""
+        import time as _time
+        self._consume(block, position)
+        written = 0
+        while written < block.shape[0]:
+            transport = self._transport
+            if transport is None or not transport._running.is_set():
+                break          # stopping: drop the remainder
+            written += self._ring.write(block[written:])
+            if written < block.shape[0]:
+                _time.sleep(self.block_frames / self.rate / 4)
 
     def consume_block(self, block: np.ndarray, position: int) -> None:
         """Override point: hand a rendered block to actual output."""

@@ -1,0 +1,178 @@
+"""Polyphony and multi-chip scaling.
+
+The reference is single-voice, single-process (SURVEY §2b: no parallelism of
+any kind).  On TPU, polyphony is a *data axis*: one compiled patch program is
+``vmap``-ped over a leading voice axis (per-voice parameter overrides:
+pitches, gates, detunes), and the master mix is a sum over that axis — one
+fused program for the whole polyphonic instrument.
+
+Scaling beyond one chip shards the voice axis over a
+``jax.sharding.Mesh`` with ``shard_map``: each chip renders its voice shard
+and the master mix is a ``psum`` over ICI.  Carried state (delay lines,
+envelopes) stays voice-sharded, so no state ever crosses chips — the only
+inter-chip traffic is the mixed block (frames × channels floats per block).
+"""
+
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+
+from signals_tpu.compiler import CompiledPatch, compile_node
+from signals_tpu.graph import Emitter
+
+F32 = np.float32
+
+Override = typing.Union[np.ndarray, typing.Sequence]
+
+
+class PolyPatch:
+    """A patch rendered as ``n_voices`` parallel instances.
+
+    ``overrides`` maps ``(node, param_name)`` to a per-voice array whose
+    leading dimension is ``n_voices``; each entry must broadcast against the
+    node's scalar parameter shape.  All other parameters are shared.
+
+    >>> # poly = PolyPatch(root, n_voices=64,
+    >>> #                  overrides={(hz_node, 'value'): freqs})
+    >>> # audio, carry = poly.render(n_blocks=43)
+    """
+
+    def __init__(self,
+                 root: Emitter,
+                 *,
+                 n_voices: int,
+                 overrides: dict,
+                 block_frames: int = 1024,
+                 rate: int = 44100,
+                 channels: typing.Optional[int] = None,
+                 mesh=None,
+                 axis_name: str = 'voices'):
+        self.n_voices = n_voices
+        self.compiled: CompiledPatch = compile_node(
+            root, block_frames=block_frames, rate=rate, channels=channels)
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self._overrides = {}
+        index = self.compiled.index
+        for (node, pname), values in overrides.items():
+            uid = index.info(node).uid
+            arr = np.asarray(values, dtype=F32)
+            if arr.shape[0] != n_voices:
+                raise ValueError(
+                    f'override for {pname!r} has leading dim '
+                    f'{arr.shape[0]}, expected n_voices={n_voices}')
+            self._overrides[(uid, pname)] = arr
+        self._render_cache: dict[int, typing.Any] = {}
+
+    # -- parameter staging ---------------------------------------------------
+
+    def params(self) -> tuple[dict, dict]:
+        """(params pytree with overridden leaves stacked, in_axes pytree)."""
+        base = self.compiled.params()
+        axes = {uid: {k: None for k in leaves}
+                for uid, leaves in base.items()}
+        for (uid, pname), arr in self._overrides.items():
+            leaf = np.asarray(base[uid][pname])
+            if arr.ndim == 1:          # (V,) scalars -> (V, 1, 1, ...)
+                arr = arr.reshape((self.n_voices,) + (1,) * leaf.ndim)
+            stacked = np.broadcast_to(
+                arr, (self.n_voices, *leaf.shape)).astype(leaf.dtype)
+            base[uid][pname] = stacked
+            axes[uid][pname] = 0
+        return base, axes
+
+    def init_carry(self) -> dict:
+        """Per-voice carried state: carry0 stacked on the voice axis."""
+        import jax
+        return jax.tree.map(
+            lambda x: np.broadcast_to(x[None], (self.n_voices, *x.shape)).copy(),
+            self.compiled.carry0)
+
+    # -- rendering -----------------------------------------------------------
+
+    def _make_render(self, n_blocks: int):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        compiled = self.compiled
+        F = compiled.block_frames
+        step_core = compiled._step_core
+        _, axes = self.params()
+        n_voices = self.n_voices
+
+        def voice_step(params, carry, position, host):
+            block, carry2, _taps = step_core(params, carry, position, host)
+            return jnp.broadcast_to(block, (F, compiled.channels)), carry2
+
+        vstep = jax.vmap(voice_step, in_axes=(axes, 0, None, None),
+                         out_axes=(0, 0))
+
+        def many(params, carry, position0, host_staged):
+            positions = (jnp.int32(position0)
+                         + jnp.int32(F) * jnp.arange(n_blocks,
+                                                     dtype=jnp.int32))
+
+            def body(c, inp):
+                pos, host = inp
+                blocks, c2 = vstep(params, c, pos, host)
+                return c2, blocks.sum(axis=0)   # master mix over voices
+
+            carry2, mix = jax.lax.scan(body, carry,
+                                       (positions, host_staged))
+            return mix, carry2
+
+        if self.mesh is None:
+            return jax.jit(many, donate_argnums=(1,))
+
+        # -- voice-sharded over the mesh: the vmapped voice axis is laid out
+        # across devices; the per-block sum over voices becomes a psum over
+        # ICI under sharding propagation.
+        from jax.sharding import NamedSharding
+        mesh = self.mesh
+        ax = self.axis_name
+        voice_sharding = NamedSharding(mesh, P(ax))
+        replicated = NamedSharding(mesh, P())
+
+        def shard_leaf_params(axes_leaf):
+            return voice_sharding if axes_leaf == 0 else replicated
+
+        params_shardings = jax.tree.map(shard_leaf_params, axes,
+                                        is_leaf=lambda x: x is None or x == 0)
+        carry_shardings = jax.tree.map(lambda _: voice_sharding,
+                                       self.compiled.carry0)
+        return jax.jit(
+            many,
+            in_shardings=(params_shardings, carry_shardings, None, None),
+            out_shardings=(replicated, carry_shardings),
+            donate_argnums=(1,))
+
+    def render_fn(self, n_blocks: int):
+        if n_blocks not in self._render_cache:
+            self._render_cache[n_blocks] = self._make_render(n_blocks)
+        return self._render_cache[n_blocks]
+
+    def render(self, *, position: int = 0, n_blocks: int = 1,
+               carry: typing.Optional[dict] = None):
+        """Render the master mix; returns ``(audio (n*F, ch), carry')``."""
+        params, _ = self.params()
+        if carry is None:
+            carry = self.init_carry()
+        host = self.compiled.stage_host(position, n_blocks)
+        mix, carry2 = self.render_fn(n_blocks)(params, carry, position, host)
+        F = self.compiled.block_frames
+        audio = np.asarray(mix).reshape(n_blocks * F, self.compiled.channels)
+        return audio, carry2
+
+
+def voice_mesh(n_devices: typing.Optional[int] = None,
+               axis_name: str = 'voices'):
+    """A 1-D device mesh over the voice axis (all devices by default)."""
+    import jax
+    from jax.sharding import Mesh
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
