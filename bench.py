@@ -13,8 +13,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# persistent XLA compilation cache: repeat bench runs (and the driver's
+# runs) skip the slow tunnel compiles
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      os.path.expanduser('~/.cache/signals_tpu_xla'))
 
 import numpy as np
 

@@ -1,0 +1,48 @@
+"""Minimal programmatic API demo (counterpart of the reference's
+``scripts/edited_sine.py``): wire a sine to a sink and play it through the
+realtime ring runtime.
+
+Connection is attribute assignment on ports, exactly like the reference's
+programmatic API; rendering goes through the compiled engine.
+"""
+
+import time
+
+import numpy as np
+
+import signals_tpu.nodes.dev as dev
+import signals_tpu.nodes.fixed as fixed
+import signals_tpu.nodes.osc as osc
+
+
+def main():
+    rack = dev.Rack()
+    rack.scan()
+    for sink_info in rack.sinks():
+        print(sink_info.describe())
+
+    sink = dev.SinkDevice(rack.get_sink('default'))
+    sink.get_state().channels = 2
+
+    sine = osc.Sine()
+    sink.input = sine
+
+    sine_hertz = fixed.Fixed()
+    sine_hertz.get_state().value = np.array([[440.0]], dtype=np.float32)
+    sine.hertz = sine_hertz
+
+    sink.capture(True)
+    sink.start()
+    try:
+        time.sleep(2.0)
+    except KeyboardInterrupt:
+        pass
+    sink.stop()
+    sink.close()
+    audio = sink.captured()
+    print(f'rendered {audio.shape[0]} frames, '
+          f'{sink.underruns} underruns, peak {np.abs(audio).max():.3f}')
+
+
+if __name__ == '__main__':
+    main()

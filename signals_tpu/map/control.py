@@ -605,6 +605,26 @@ class CommandSet:
             for line in controller.dump():
                 print(line, file=controller.stdout)
 
+    class View(LineCommand):
+        """ASCII patcher view — the headless counterpart of the GUI grid
+        surface.  ``view layout`` uses the layered auto-layout."""
+
+        layout: str
+
+        @classmethod
+        def name(cls) -> str:
+            return 'view'
+
+        @classmethod
+        def add_arguments(cls, parser) -> None:
+            parser.add_argument('layout', nargs='?', default='')
+
+        def affect(self, controller: 'Controller') -> None:
+            from signals_tpu.ui.ascii import render_map
+            print(render_map(controller.map,
+                             use_layout=(self.layout == 'layout')),
+                  file=controller.stdout)
+
     class Hash(LineCommand):
 
         @classmethod

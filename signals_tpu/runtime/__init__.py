@@ -32,11 +32,14 @@ class Transport:
                  *,
                  realtime: bool = False,
                  blocks_per_call: int = 8):
+        from signals_tpu.utils import LatencyStats
         self.compiled = compiled
         self.consumer = consumer
         self.realtime = realtime
         self.blocks_per_call = blocks_per_call
         self.position = 0
+        #: per-block render latency metrics (p50/p95, realtime headroom)
+        self.stats = LatencyStats()
         self._carry = None
         self._thread: typing.Optional[threading.Thread] = None
         self._running = threading.Event()
@@ -82,8 +85,12 @@ class Transport:
         """Synchronous render of ``n_blocks`` from the current position
         (advances the transport)."""
         with self._lock:
+            t0 = time.perf_counter()
             audio, self._carry = self.compiled.render(
                 position=self.position, n_blocks=n_blocks, carry=self._carry)
+            per_block = (time.perf_counter() - t0) / n_blocks
+            for _ in range(n_blocks):
+                self.stats.record(per_block)
             self.position += n_blocks * self.compiled.block_frames
             return audio
 
