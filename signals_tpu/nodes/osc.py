@@ -31,6 +31,24 @@ from signals_tpu.registry import register
 F32 = np.float32
 
 
+def _frac(xp, x):
+    """``x mod 1`` as primitive IEEE ops.
+
+    ``xp.mod`` is a *composite* (remainder + sign correction) whose exact
+    sequence differs between numpy and XLA backends, so results can differ
+    by an ulp for negative operands — which a periodic discontinuity then
+    amplifies.  ``x - floor(x)`` is two single IEEE-exact-rounded ops, so
+    every backend produces identical bits.
+    """
+    return x - xp.floor(x)
+
+
+def _frac_half(xp, x):
+    """``x mod 0.5`` via the same primitive-op trick (scaling by powers of
+    two is exact)."""
+    return F32(0.5) * _frac(xp, x * F32(2.0))
+
+
 class Osc(BlockCachingEmitter, ImplicitChannels, abc.ABC):
     hertz: Receiver.BoundPort = port('hertz')
     phase: Receiver.BoundPort = port('phase')
@@ -52,8 +70,8 @@ class Osc(BlockCachingEmitter, ImplicitChannels, abc.ABC):
         # rounds differently from numpy).  It is also the numerically right
         # thing: transcendental range reduction of a large absolute-time
         # argument loses accuracy linearly in |t|.
-        turns = xp.mod(ctx.frame_range / ctx.rate_f32 * hertz, F32(1.0))
-        t = xp.mod(turns + phase, F32(1.0))
+        turns = _frac(xp, ctx.frame_range / ctx.rate_f32 * hertz)
+        t = _frac(xp, turns + phase)
         return self._osc(ctx.xp, t)
 
     @abc.abstractmethod
@@ -72,14 +90,14 @@ class Sine(Osc):
 class Square(Osc):
 
     def _osc(self, xp, t):
-        return xp.sign(F32(0.5) - xp.mod(t, F32(1.0)))
+        return xp.sign(F32(0.5) - _frac(xp, t))
 
 
 @register('signals.chain.osc.Sawtooth')
 class Sawtooth(Osc):
 
     def _osc(self, xp, t):
-        return F32(2.0) * xp.mod(t - F32(0.5), F32(1.0)) - F32(1.0)
+        return F32(2.0) * _frac(xp, t - F32(0.5)) - F32(1.0)
 
 
 @register('signals.chain.osc.Triangle')
@@ -87,5 +105,5 @@ class Triangle(Osc):
 
     def _osc(self, xp, t):
         t = t - F32(0.25)
-        return ((F32(4.0) * xp.mod(t, F32(0.5)) - F32(1.0))
-                * xp.sign(xp.mod(t, F32(1.0)) - F32(0.5)))
+        return ((F32(4.0) * _frac_half(xp, t) - F32(1.0))
+                * xp.sign(_frac(xp, t) - F32(0.5)))
