@@ -301,8 +301,8 @@ class LowerCtx(KernelCtx):
         return self.compiler.node_param(self.node, name)
 
     def sosfilt(self, coeffs, x):
-        from signals_tpu.compiler.filters import sosfilt_scan
-        return sosfilt_scan(coeffs, x)
+        from signals_tpu.compiler.filters import sosfilt_chunked
+        return sosfilt_chunked(coeffs, x)
 
 
 class _Compiler:

@@ -217,6 +217,95 @@ def design_coupled(xp, btype: str, crits, nyquist) -> 'np.ndarray':
         return out.astype(F32)
 
 
+def _coupled_params(jnp, coeffs, s):
+    """Per-section coupled-form parameters, each ``(ch,)``."""
+    if coeffs.shape[-1] >= 11:
+        rc = coeffs[s, :, 6]
+        rs = coeffs[s, :, 7]
+        d0 = coeffs[s, :, 8]
+        d1 = coeffs[s, :, 9]
+        d2 = coeffs[s, :, 10]
+    else:
+        b0, b1, b2 = coeffs[s, :, 0], coeffs[s, :, 1], coeffs[s, :, 2]
+        a1, a2 = coeffs[s, :, 4], coeffs[s, :, 5]
+        rc = -a1 * F32(0.5)
+        rs = jnp.sqrt(jnp.maximum(a2 - a1 * a1 * F32(0.25), F32(1e-20)))
+        d0 = b0
+        d1 = b1 - a1 * b0
+        d2 = (b2 - a2 * b0 + rc * d1) / rs
+    return rc, rs, d0, d1, d2
+
+
+def sosfilt_chunked(coeffs, x, *, chunk: int = 16):
+    """Zero-initial-state SOS cascade as a chunked state-space scan.
+
+    Same math as :func:`sosfilt_scan` (coupled-form biquads), but organized
+    for the TPU memory hierarchy: the timeline is split into ``chunk``-frame
+    blocks processed by ``lax.scan``; within a chunk, the recurrence is a
+    precomputed causal convolution with the powers of the (scaled-rotation)
+    transition operator — dense ``(L, L, ch)`` contractions that stay in
+    VMEM/registers — and only a tiny ``(2, ch)`` state crosses chunk
+    boundaries.  The associative-scan form materializes ~log N full-size
+    intermediates through HBM per section; this form reads x once and
+    writes y once.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    coeffs = jnp.asarray(coeffs, dtype=jnp.float32)
+    x = jnp.asarray(x, dtype=jnp.float32)
+    nsec = coeffs.shape[0]
+    n, ch_x = x.shape
+    ch = max(coeffs.shape[1], ch_x)
+    x = jnp.broadcast_to(x, (n, ch))
+    L = chunk
+    pad = (-n) % L
+    xp_ = jnp.pad(x, ((0, pad), (0, 0)))
+    nchunks = (n + pad) // L
+
+    for s in range(nsec):
+        rc, rs, d0, d1, d2 = _coupled_params(jnp, coeffs, s)
+        rc_b = jnp.broadcast_to(rc, (ch,))
+        rs_b = jnp.broadcast_to(rs, (ch,))
+        # powers of the rotation: P[m] = (pc[m], ps[m]) = A^m, m = 0..L
+        pcs = [jnp.ones((ch,), jnp.float32)]
+        pss = [jnp.zeros((ch,), jnp.float32)]
+        for _ in range(L):
+            pcs.append(rc_b * pcs[-1] - rs_b * pss[-1])
+            pss.append(rs_b * pcs[-2] + rc_b * pss[-1])
+        pc = jnp.stack(pcs)          # (L+1, ch)
+        ps = jnp.stack(pss)
+        # causal in-chunk convolution operators T[k, j] = A^(k-j) e, k >= j
+        k_idx = jnp.arange(L)[:, None]
+        j_idx = jnp.arange(L)[None, :]
+        delta = jnp.clip(k_idx - j_idx, 0, L)
+        mask = (k_idx >= j_idx).astype(jnp.float32)[..., None]
+        T1 = pc[delta] * mask        # (L, L, ch)
+        T2 = ps[delta] * mask
+        # state propagation to each in-chunk position: A^(k+1)
+        pow1c = pc[1:]               # (L, ch)
+        pow1s = ps[1:]
+
+        xc = xp_.reshape(nchunks, L, ch)
+
+        def body(s_prev, x_chunk, *, T1=T1, T2=T2, pow1c=pow1c,
+                 pow1s=pow1s, d0=d0, d1=d1, d2=d2):
+            s1_prev, s2_prev = s_prev
+            s1c = jnp.einsum('kjc,jc->kc', T1, x_chunk)
+            s2c = jnp.einsum('kjc,jc->kc', T2, x_chunk)
+            s1 = s1c + pow1c * s1_prev - pow1s * s2_prev
+            s2 = s2c + pow1s * s1_prev + pow1c * s2_prev
+            s1m = jnp.concatenate([s1_prev[None], s1[:-1]], axis=0)
+            s2m = jnp.concatenate([s2_prev[None], s2[:-1]], axis=0)
+            y = d0 * x_chunk + d1 * s1m + d2 * s2m
+            return (s1[-1], s2[-1]), y
+
+        zero = jnp.zeros((ch,), jnp.float32)
+        _, yc = jax.lax.scan(body, (zero, zero), xc)
+        xp_ = yc.reshape(nchunks * L, ch)
+    return xp_[:n]
+
+
 def sosfilt_scan(coeffs, x):
     """Zero-initial-state SOS cascade via associative scan (jax only).
 

@@ -172,10 +172,12 @@ class SinkDevice(Device, Receiver, ExplicitChannels):
                 capacity_frames=self.ring_blocks * self.block_frames,
                 channels=self._state.channels)
             self._transport = Transport(self._compile(), self._consume_ring,
-                                        realtime=False)
+                                        realtime=False,
+                                        refresh=self._compile)
         else:
             self._transport = Transport(self._compile(), self._consume,
-                                        realtime=False)
+                                        realtime=False,
+                                        refresh=self._compile)
         self._transport.seek(self.frame_position)
 
     def close(self) -> None:

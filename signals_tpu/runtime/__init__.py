@@ -31,15 +31,24 @@ class Transport:
                  consumer: typing.Callable[[np.ndarray, int], None],
                  *,
                  realtime: bool = False,
-                 blocks_per_call: int = 8):
+                 blocks_per_call: int = 8,
+                 refresh: typing.Optional[typing.Callable] = None):
         from signals_tpu.utils import LatencyStats
         self.compiled = compiled
         self.consumer = consumer
         self.realtime = realtime
         self.blocks_per_call = blocks_per_call
+        #: optional live-edit hook: called between batches, returns the
+        #: (possibly re-)compiled patch.  Traced edits (values, enables)
+        #: apply without it — params are re-read every render; this catches
+        #: *structural* edits (connections, channels), which also reset the
+        #: carried state.
+        self.refresh = refresh
         self.position = 0
         #: per-block render latency metrics (p50/p95, realtime headroom)
         self.stats = LatencyStats()
+        #: the exception that stopped the stream, if any
+        self.error: typing.Optional[BaseException] = None
         self._carry = None
         self._thread: typing.Optional[threading.Thread] = None
         self._running = threading.Event()
@@ -95,15 +104,32 @@ class Transport:
             return audio
 
     def _run(self) -> None:
+        import traceback
         F = self.compiled.block_frames
         rate = self.compiled.rate
         seconds_per_batch = self.blocks_per_call * F / rate
         while self._running.is_set():
             t0 = time.monotonic()
             start_pos = self.position
-            audio = self.render(self.blocks_per_call)
-            for i in range(self.blocks_per_call):
-                self.consumer(audio[i * F:(i + 1) * F], start_pos + i * F)
+            try:
+                if self.refresh is not None:
+                    new = self.refresh()
+                    if new is not self.compiled:
+                        with self._lock:
+                            self.compiled = new
+                            self._carry = None
+                audio = self.render(self.blocks_per_call)
+                for i in range(self.blocks_per_call):
+                    self.consumer(audio[i * F:(i + 1) * F],
+                                  start_pos + i * F)
+            except Exception as e:
+                # like the reference's audio callback (dev.py:172-176):
+                # record, log, stop the stream cleanly instead of dying
+                # silently on the render thread
+                self.error = e
+                traceback.print_exc()
+                self._running.clear()
+                break
             if self.realtime:
                 elapsed = time.monotonic() - t0
                 budget = seconds_per_batch - elapsed

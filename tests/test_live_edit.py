@@ -1,0 +1,76 @@
+"""Live editing during playback: traced edits apply instantly, structural
+edits recompile between batches (the reference's interpreted engine applies
+everything instantly; the compiled engine must preserve that UX)."""
+
+import time
+
+import numpy as np
+
+from signals_tpu.nodes.dev import Rack, SinkDevice
+from signals_tpu.nodes.fx import Gain
+from signals_tpu.nodes.osc import Sine, Square
+
+from conftest import fixed
+
+
+def _dominant_freq(x, rate=44100):
+    spec = np.abs(np.fft.rfft(x))
+    return np.fft.rfftfreq(len(x), 1 / rate)[spec.argmax()]
+
+
+def test_traced_edit_applies_during_playback():
+    rack = Rack()
+    rack.scan()
+    hz = fixed(440.0)
+    osc = Sine()
+    osc.hertz = hz
+    sink = SinkDevice(rack.get_sink('null'), block_frames=512,
+                      realtime=False)
+    sink.get_state().channels = 1
+    sink.input = osc
+    sink.capture(True)
+    sink.start()
+    time.sleep(0.4)
+    hz.get_state().value = np.array([[1760.0]], dtype=np.float32)
+    time.sleep(0.4)
+    sink.stop()
+    sink.close()
+    audio = sink.captured()[:, 0]
+    assert len(audio) > 8192
+    head = _dominant_freq(audio[:4096])
+    tail = _dominant_freq(audio[-4096:])
+    assert abs(head - 440.0) < 30, head
+    assert abs(tail - 1760.0) < 60, tail
+
+
+def test_structural_edit_recompiles_during_playback():
+    rack = Rack()
+    rack.scan()
+    hz = fixed(440.0)
+    osc = Sine()
+    osc.hertz = hz
+    g = Gain()
+    g.left = osc
+    g.right = fixed(1.0)
+    sink = SinkDevice(rack.get_sink('null'), block_frames=512,
+                      realtime=False)
+    sink.get_state().channels = 1
+    sink.input = g
+    sink.capture(True)
+    sink.start()
+    time.sleep(0.5)
+    # structural edit: swap the oscillator feeding the gain
+    sq = Square()
+    sq.hertz = hz
+    g.left = sq
+    time.sleep(1.5)     # allow a recompile + several batches
+    sink.stop()
+    sink.close()
+    audio = sink.captured()[:, 0]
+    # discriminate waveforms by duty at high level: a square sits at ±1
+    # all the time, a sine only near its peaks
+    head_duty = float((np.abs(audio[:2048]) > 0.9).mean())
+    tail_duty = float((np.abs(audio[-2048:]) > 0.9).mean())
+    assert head_duty < 0.5, head_duty
+    assert tail_duty > 0.95, tail_duty
+    assert sink._transport is None or sink._transport.error is None

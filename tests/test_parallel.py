@@ -88,18 +88,35 @@ def test_poly_stateful_voices():
     assert np.abs(audio).max() > 0
 
 
+def test_channel_and_vmap_layouts_agree():
+    freqs = np.linspace(100, 800, 8).astype(np.float32)
+    root_a, hz_a, _ = _voice()
+    a = PolyPatch(root_a, n_voices=8, overrides={(hz_a, 'value'): freqs},
+                  block_frames=F, rate=RATE, layout='channels')
+    assert a.layout == 'channels'
+    out_a, _ = a.render(n_blocks=4)
+    root_b, hz_b, _ = _voice()
+    b = PolyPatch(root_b, n_voices=8, overrides={(hz_b, 'value'): freqs},
+                  block_frames=F, rate=RATE, channels=1, layout='vmap')
+    out_b, _ = b.render(n_blocks=4)
+    assert out_a.shape == out_b.shape
+    assert np.abs(out_a - out_b).max() <= 1e-5
+
+
 def test_mesh_sharded_render_matches_single_device():
     n_dev = len(jax.devices())
     assert n_dev >= 8, 'conftest should provide 8 virtual cpu devices'
-    root, hz, _ = _voice()
     freqs = np.linspace(100, 800, 16).astype(np.float32)
-    single = PolyPatch(root, n_voices=16, overrides={(hz, 'value'): freqs},
-                       block_frames=F, rate=RATE, channels=1)
+    root_a, hz_a, _ = _voice()
+    single = PolyPatch(root_a, n_voices=16,
+                       overrides={(hz_a, 'value'): freqs},
+                       block_frames=F, rate=RATE, channels=1, layout='vmap')
     ref, _ = single.render(n_blocks=4)
 
     mesh = voice_mesh(8)
-    sharded = PolyPatch(root, n_voices=16,
-                        overrides={(hz, 'value'): freqs},
+    root_b, hz_b, _ = _voice()
+    sharded = PolyPatch(root_b, n_voices=16,
+                        overrides={(hz_b, 'value'): freqs},
                         block_frames=F, rate=RATE, channels=1, mesh=mesh)
     out, carry = sharded.render(n_blocks=4)
     assert np.abs(out - ref).max() <= 1e-5
