@@ -168,7 +168,24 @@ def time_render(render_once, *, min_seconds=2.0, min_iters=3):
     return float(np.median(times))
 
 
-def bench_single(root, *, seconds=1.0, label='', channels=1):
+def time_render_pipelined(launch, *, n_outstanding=8, rounds=2):
+    """Sustained wall time per call with ``n_outstanding`` async dispatches
+    in flight — hides the host↔device round-trip, which dominates
+    single-call timings through the TPU tunnel.  ``launch(i)`` must return
+    an (unblocked) device array."""
+    import jax
+    jax.block_until_ready(launch(0))    # warmup/compile
+    best = float('inf')
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        outs = [launch(i) for i in range(n_outstanding)]
+        jax.block_until_ready(outs)
+        best = min(best, (time.perf_counter() - t0) / n_outstanding)
+    return best
+
+
+def bench_single(root, *, seconds=1.0, label='', channels=1,
+                 pipelined=True):
     from signals_tpu.compiler import compile_node
     import jax
     compiled = compile_node(root, block_frames=BLOCK, rate=RATE,
@@ -179,38 +196,43 @@ def bench_single(root, *, seconds=1.0, label='', channels=1):
     fn = compiled.render_fn(n_blocks)
     carry0 = compiled.carry0
 
-    def render_once():
+    def launch(i):
         blocks, carry, taps = fn(params, jax.tree.map(lambda x: x, carry0),
                                  0, host)
-        jax.block_until_ready(blocks)
+        return blocks
 
-    t = time_render(render_once)
+    if pipelined:
+        t = time_render_pipelined(launch)
+    else:
+        t = time_render(lambda: jax.block_until_ready(launch(0)))
     samples = n_blocks * BLOCK
     return {'label': label, 'x_realtime': samples / RATE / t,
             'samples_per_sec': samples / t, 'wall_per_call_s': t}
 
 
-def bench_poly(root, hz_node, n_voices, *, seconds=1.0, label=''):
+def bench_poly(root, hz_node, n_voices, *, seconds=1.0, label='',
+               layout='channels'):
     import jax
     from signals_tpu.parallel import PolyPatch
     freqs = (110.0 * 2 ** (np.arange(n_voices) % 12 / 12.0)
              * (1 + 0.001 * np.arange(n_voices))).astype(np.float32)
     poly = PolyPatch(root, n_voices=n_voices,
                      overrides={(hz_node, 'value'): freqs},
-                     block_frames=BLOCK, rate=RATE, channels=1)
+                     block_frames=BLOCK, rate=RATE, layout=layout,
+                     **({'channels': 1} if layout == 'vmap' else {}))
     n_blocks = int(round(seconds * RATE / BLOCK))
     params, _ = poly.params()
     carry0 = poly.init_carry()
     host = poly.compiled.stage_host(0, n_blocks)
     fn = poly.render_fn(n_blocks)
 
-    def render_once():
+    def launch(i):
         mix, carry = fn(params, jax.tree.map(lambda x: x, carry0), 0, host)
-        jax.block_until_ready(mix)
+        return mix
 
-    t = time_render(render_once)
+    t = time_render_pipelined(launch)
     samples = n_blocks * BLOCK
-    return {'label': label, 'n_voices': n_voices,
+    return {'label': label, 'n_voices': n_voices, 'layout': layout,
             'x_realtime': samples / RATE / t,
             'samples_per_sec': samples / t, 'wall_per_call_s': t}
 

@@ -239,6 +239,14 @@ class LowerCtx(KernelCtx):
         import jax.numpy as jnp
         return jax.lax.optimization_barrier(jnp.float32(self.rate))
 
+    @property
+    def inv_rate_f32(self):
+        # barrier blocks reassociation of (x * inv_rate) * hz into
+        # x * (inv_rate * hz), which would round differently from numpy
+        import jax
+        import jax.numpy as jnp
+        return jax.lax.optimization_barrier(jnp.float32(1.0 / self.rate))
+
     def exact(self, x):
         import jax
         return jax.lax.optimization_barrier(x)
@@ -301,8 +309,8 @@ class LowerCtx(KernelCtx):
         return self.compiler.node_param(self.node, name)
 
     def sosfilt(self, coeffs, x):
-        from signals_tpu.compiler.filters import sosfilt_chunked
-        return sosfilt_chunked(coeffs, x)
+        from signals_tpu.compiler import filters as _filters
+        return _filters.sosfilt(coeffs, x)
 
 
 class _Compiler:

@@ -160,6 +160,19 @@ class KernelCtx(abc.ABC):
         """
         return np.float32(self.rate)
 
+    @property
+    def inv_rate_f32(self):
+        """``1/rate`` as an f32 scalar, computed on the host.
+
+        Phase-critical kernels must *multiply* by this rather than divide
+        by the rate: TPU f32 division is reciprocal-multiply based and not
+        correctly rounded, so ``x / rate`` drifts ~2 ulps from numpy —
+        which absolute-time phase accumulation then amplifies across a
+        periodic discontinuity.  Multiplication is exactly rounded on every
+        backend, and this constant is bit-identical in both engines.
+        """
+        return np.float32(1.0 / self.rate)
+
     def exact(self, x):
         """IEEE rounding fence: prevents the compiled engine from contracting
         the producing ops (e.g. mul+add → FMA), so intermediate values match

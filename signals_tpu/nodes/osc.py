@@ -70,7 +70,7 @@ class Osc(BlockCachingEmitter, ImplicitChannels, abc.ABC):
         # rounds differently from numpy).  It is also the numerically right
         # thing: transcendental range reduction of a large absolute-time
         # argument loses accuracy linearly in |t|.
-        turns = _frac(xp, ctx.frame_range / ctx.rate_f32 * hertz)
+        turns = _frac(xp, ctx.frame_range * ctx.inv_rate_f32 * hertz)
         t = _frac(xp, turns + phase)
         return self._osc(ctx.xp, t)
 
