@@ -329,7 +329,6 @@ class _Compiler:
         self.taps: dict[str, typing.Any] = {}
         self._memo: dict[tuple[int, Window], typing.Any] = {}
         self._collected: set[tuple[int, Window]] = set()
-        self.host_feeds: list[tuple[Emitter, Window]] = []
         self._stateful_done: set[int] = set()
         self._delays_pending: set[int] = set()
 
@@ -422,8 +421,6 @@ class _Compiler:
         uid = info.uid
 
         if _is_host_source(node):
-            feed_key = (node, window)
-            self.host_feeds.append(feed_key)
             result = self.host[f'{uid}@{window.offset},{window.frames}']
         elif _is_delay(node):
             result = self._lower_delay(node, window)
