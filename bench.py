@@ -136,8 +136,13 @@ def build_fm_delay():
     return tap
 
 
-def check_parity(root, *, n_blocks=9, channels=1, tol=TOL, start_block=0):
-    """Compiled output vs the numpy pull-interpreter oracle."""
+def check_parity(root, *, n_blocks=43, channels=1, tol=TOL, start_block=0):
+    """Compiled output vs the numpy pull-interpreter oracle.
+
+    Uses the same (graph, n_blocks) program the perf measurement uses, so
+    each config compiles exactly once per process (tunnel compiles are
+    minutes each).
+    """
     from signals_tpu.compiler import compile_node
     from signals_tpu.core import BlockLoc, Request, Shape
     compiled = compile_node(root, block_frames=BLOCK, rate=RATE,
@@ -270,24 +275,25 @@ def main(argv=None):
         jax.config.update('jax_platforms', 'cpu')
 
     seconds = 0.25 if args.quick else 1.0
+    n_blocks = int(round(seconds * RATE / BLOCK))
     extra = {}
     parity = {}
 
     # config 1: sine + plot
     c1 = build_sine_plot()
-    parity['sine'] = check_parity(c1)
+    parity['sine'] = check_parity(c1, n_blocks=n_blocks)
     extra['c1_sine_plot'] = bench_single(c1, seconds=seconds,
                                          label='sine+vis')
 
     # config 2: 16-osc additive
     voice2, hz2 = build_additive_voice()
-    parity['additive'] = check_parity(voice2)
+    parity['additive'] = check_parity(voice2, n_blocks=n_blocks)
     extra['c2_additive16'] = bench_poly(voice2, hz2, 16, seconds=seconds,
                                         label='additive-16')
 
     # config 3: subtractive voice
     voice3, hz3 = build_subtractive_voice()
-    parity['subtractive'] = check_parity(voice3)
+    parity['subtractive'] = check_parity(voice3, n_blocks=n_blocks)
     extra['c3_subtractive'] = bench_single(voice3, seconds=seconds,
                                            label='subtractive-voice')
     extra['p50_block_latency_ms'] = bench_block_latency(voice3) * 1e3
@@ -299,7 +305,7 @@ def main(argv=None):
 
     # config 5: FM + delay feedback + spectral tap
     c5 = build_fm_delay()
-    parity['fm_delay'] = check_parity(c5)
+    parity['fm_delay'] = check_parity(c5, n_blocks=n_blocks)
     extra['c5_fm_delay'] = bench_single(c5, seconds=seconds,
                                         label='fm+delay+spec')
 
