@@ -42,8 +42,9 @@ _WN_MIN = 1e-5
 _WN_MAX = 1.0 - 1e-5
 
 #: IIR execution strategy for the compiled engine: 'assoc' (associative
-#: scan — best measured on TPU so far) or 'chunked' (state-space chunk
-#: scan).  Module-level so deployments can switch without code changes.
+#: scan), 'chunked' (state-space chunk scan), or 'pallas' (VMEM-resident
+#: Pallas kernel — see :mod:`signals_tpu.compiler.pallas_kernels`).
+#: Module-level so deployments can switch without code changes.
 FILTER_IMPL = 'assoc'
 CHUNK_FRAMES = 16
 
@@ -52,6 +53,9 @@ def sosfilt(coeffs, x):
     """Dispatch to the configured IIR execution strategy."""
     if FILTER_IMPL == 'chunked':
         return sosfilt_chunked(coeffs, x, chunk=CHUNK_FRAMES)
+    if FILTER_IMPL == 'pallas':
+        from signals_tpu.compiler.pallas_kernels import sosfilt_pallas
+        return sosfilt_pallas(coeffs, x)
     return sosfilt_scan(coeffs, x)
 
 _SQRT2 = math.sqrt(2.0)

@@ -1,0 +1,146 @@
+"""Pallas TPU kernels for the hot DSP ops.
+
+The one op XLA doesn't schedule well for this workload is the IIR
+recurrence: ``jax.lax.associative_scan`` materializes ~log N full-size
+intermediates through HBM per biquad section, making filtering
+memory-bound.  :func:`sosfilt_pallas` runs the whole cascade **inside
+VMEM**: the timeline is processed in 8-frame chunks (one VPU sublane tile);
+within a chunk the coupled-form recurrence is an unrolled causal
+combination with precomputed powers of the scaled-rotation transition, and
+only a ``(1, lanes)`` state row crosses chunks.  HBM traffic is exactly
+one read of x and one write of y.
+
+Voices/channels ride the lane dimension (the framework's channel-voices
+layout), so a 64..128-voice filter bank costs the same as one voice.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+F32 = np.float32
+
+CHUNK = 8          # sublane tile height
+LANES = 128
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _section_kernel(x_ref, pc_ref, ps_ref, taps_ref, out_ref, *,
+                    nchunks: int):
+    """One biquad section over the whole (padded) timeline.
+
+    ``pc_ref``/``ps_ref``: (CHUNK+1, C) powers of the pole rotation
+    (cos/sin parts, rows 0..CHUNK); ``taps_ref``: (3, C) = [d0, d1, d2];
+    ``x_ref``/``out_ref``: (nchunks*CHUNK, C).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    pc = pc_ref[:, :]            # (CHUNK+1, C)
+    ps = ps_ref[:, :]
+    d0 = taps_ref[0:1, :]        # (1, C)
+    d1 = taps_ref[1:2, :]
+    d2 = taps_ref[2:3, :]
+    pow1c = pc[1:, :]            # (CHUNK, C): A^(k+1) for k=0..CHUNK-1
+    pow1s = ps[1:, :]
+
+    def body(i, state):
+        s1_prev, s2_prev = state                   # (1, C) each
+        import jax.numpy as jnp
+        x_chunk = x_ref[pl_ds(i)]                  # (CHUNK, C)
+        # causal in-chunk combination: s_c[k] = Σ_{j<=k} A^(k-j) e x[j]
+        s1c = pc[0:1, :] * x_chunk                 # d = 0 term (A^0 e = [1,0])
+        s2c = ps[0:1, :] * x_chunk
+        for d in range(1, CHUNK):                  # static unroll
+            shifted = jnp.pad(x_chunk[:CHUNK - d], ((d, 0), (0, 0)))
+            s1c = s1c + pc[d:d + 1, :] * shifted
+            s2c = s2c + ps[d:d + 1, :] * shifted
+        # carry-in contribution: A^(k+1) s_prev
+        s1 = s1c + pow1c * s1_prev - pow1s * s2_prev
+        s2 = s2c + pow1s * s1_prev + pow1c * s2_prev
+        # y[k] = d0 x[k] + d1 s1[k-1] + d2 s2[k-1]
+        s1m = jnp.concatenate([s1_prev, s1[:-1]], axis=0)
+        s2m = jnp.concatenate([s2_prev, s2[:-1]], axis=0)
+        out_ref[pl_ds(i)] = d0 * x_chunk + d1 * s1m + d2 * s2m
+        return (s1[-1:], s2[-1:])
+
+    import jax.numpy as jnp
+    zero = jnp.zeros((1, x_ref.shape[1]), dtype=jnp.float32)
+    jax.lax.fori_loop(0, nchunks, body, (zero, zero))
+
+
+def pl_ds(i):
+    import jax.experimental.pallas as pl
+    return (pl.ds(i * CHUNK, CHUNK), slice(None))
+
+
+@functools.lru_cache(maxsize=64)
+def _build_section_call(n_padded: int, c_padded: int, interpret: bool):
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nchunks = n_padded // CHUNK
+    kernel = functools.partial(_section_kernel, nchunks=nchunks)
+
+    def call(x, pc, ps, taps):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_padded, c_padded),
+                                           np.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x, pc, ps, taps)
+
+    return jax.jit(call)
+
+
+def sosfilt_pallas(coeffs, x, *, interpret: bool = False):
+    """Drop-in equivalent of
+    :func:`signals_tpu.compiler.filters.sosfilt_scan` running as a Pallas
+    kernel.  ``coeffs``: (nsec, ch, 11) from ``design_coupled``;
+    ``x``: (N, ch)."""
+    import jax.numpy as jnp
+    from signals_tpu.compiler.filters import _coupled_params
+
+    coeffs = jnp.asarray(coeffs, dtype=jnp.float32)
+    x = jnp.asarray(x, dtype=jnp.float32)
+    nsec = coeffs.shape[0]
+    n, ch_x = x.shape
+    ch = max(coeffs.shape[1], ch_x)
+    x = jnp.broadcast_to(x, (n, ch))
+
+    n_pad = _round_up(n, CHUNK)
+    c_pad = _round_up(ch, LANES)
+    xp_ = jnp.pad(x, ((0, n_pad - n), (0, c_pad - ch)))
+    call = _build_section_call(n_pad, c_pad, interpret)
+
+    for s in range(nsec):
+        rc, rs, d0, d1, d2 = _coupled_params(jnp, coeffs, s)
+        rc = jnp.pad(jnp.broadcast_to(rc, (ch,)), (0, c_pad - ch))
+        rs = jnp.pad(jnp.broadcast_to(rs, (ch,)), (0, c_pad - ch))
+        pcs = [jnp.ones((c_pad,), jnp.float32)]
+        pss = [jnp.zeros((c_pad,), jnp.float32)]
+        for _ in range(CHUNK):
+            pcs.append(rc * pcs[-1] - rs * pss[-1])
+            pss.append(rs * pcs[-2] + rc * pss[-1])
+        pc = jnp.stack(pcs)                       # (CHUNK+1, c_pad)
+        ps = jnp.stack(pss)
+        taps = jnp.stack([
+            jnp.pad(jnp.broadcast_to(d0, (ch,)), (0, c_pad - ch)),
+            jnp.pad(jnp.broadcast_to(d1, (ch,)), (0, c_pad - ch)),
+            jnp.pad(jnp.broadcast_to(d2, (ch,)), (0, c_pad - ch)),
+        ])
+        xp_ = call(xp_, pc, ps, taps)
+    return xp_[:n, :ch]
