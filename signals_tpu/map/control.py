@@ -605,6 +605,63 @@ class CommandSet:
             for line in controller.dump():
                 print(line, file=controller.stdout)
 
+    class Bounce(LineCommand):
+        """Offline render: ``bounce <sink_at> <path.wav> [seconds]`` —
+        renders the patch feeding a sink deterministically through the
+        compiled engine and writes a WAV (no reference counterpart; the
+        reference can only record in real time via FileWriter)."""
+
+        at: Coordinates
+        path: pathlib.Path
+        seconds: float
+
+        @classmethod
+        def name(cls) -> str:
+            return 'bounce'
+
+        @classmethod
+        def add_arguments(cls, parser) -> None:
+            parser.add_argument('at', type=Coordinates.parse)
+            parser.add_argument('path', type=pathlib.Path)
+            parser.add_argument('seconds', type=float, nargs='?',
+                                default=1.0)
+
+        def affect(self, controller: 'Controller') -> None:
+            from signals_tpu.runtime.wavio import write_wav
+            sink = controller.map.find(self.at)
+            if not isinstance(sink, dev.SinkDevice):
+                from signals_tpu.map import BadPlaybackTarget
+                raise BadPlaybackTarget(self.at, sink)
+            audio = sink.render_offline(seconds=self.seconds)
+            write_wav(self.path, audio, sink.rate)
+            print(f'wrote {self.path}: {audio.shape[0]} frames '
+                  f'({audio.shape[1]} ch)', file=controller.stdout)
+
+    class Stats(LineCommand):
+        """Render statistics per sink: block latency percentiles, realtime
+        headroom, underruns."""
+
+        @classmethod
+        def name(cls) -> str:
+            return 'stats'
+
+        def affect(self, controller: 'Controller') -> None:
+            for info in controller.map.iter_sinks():
+                sink = controller.map.find(info.at)
+                line = f'{info.at} {info.device.name}:'
+                transport = sink._transport
+                if transport is None:
+                    line += ' (closed)'
+                else:
+                    s = transport.stats.summary(sink.block_frames,
+                                                sink.rate)
+                    line += (f' blocks={s["blocks"]}'
+                             f' p50={s["p50_ms"]:.2f}ms'
+                             f' p95={s["p95_ms"]:.2f}ms'
+                             f' x_realtime={s["x_realtime_p50"]:.0f}'
+                             f' underruns={sink.underruns}')
+                print(line, file=controller.stdout)
+
     class View(LineCommand):
         """ASCII patcher view — the headless counterpart of the GUI grid
         surface.  ``view layout`` uses the layered auto-layout."""

@@ -242,3 +242,29 @@ def test_playback_and_seek(monkeypatch):
     assert not sink.is_active
     run(ctl, 'stop 7a')
     assert sink.frame_position == 0
+
+
+def test_bounce_command(tmp_path):
+    from signals_tpu.runtime import wavio
+    ctl = make_controller()
+    run(ctl,
+        'sink 7a default',
+        '+ 1a signals_tpu.nodes.fixed.Fixed value=[[440]]',
+        '+ 2a signals_tpu.nodes.osc.Sine',
+        '> 1a 2a.hertz',
+        '> 2a 7a.input')
+    out = tmp_path / 'bounce.wav'
+    run(ctl, f'bounce 7a {out} 0.25')
+    data, rate = wavio.read_wav(out)
+    assert rate == 44100
+    assert data.shape[0] >= 0.2 * 44100
+    spec = np.abs(np.fft.rfft(data[:, 0]))
+    freq = np.fft.rfftfreq(len(data), 1 / 44100)[spec.argmax()]
+    assert abs(freq - 440.0) < 10
+
+
+def test_stats_command():
+    ctl = make_controller()
+    run(ctl, 'sink 7a default')
+    run(ctl, 'stats')
+    assert '(closed)' in ctl.stdout.getvalue()
