@@ -168,7 +168,10 @@ class PolyPatch:
                 return c2, jnp.broadcast_to(mix, (F, out_ch))
 
             carry2, mix = jax.lax.scan(body, carry,
-                                       (positions, host_staged))
+                                       (positions, host_staged),
+                                       unroll=max(1, min(
+                                           self.compiled.scan_unroll,
+                                           n_blocks)))
             return mix, carry2
 
         return jax.jit(many, donate_argnums=(1,))
@@ -205,7 +208,10 @@ class PolyPatch:
                 return c2, blocks.sum(axis=0)   # master mix over voices
 
             carry2, mix = jax.lax.scan(body, carry,
-                                       (positions, host_staged))
+                                       (positions, host_staged),
+                                       unroll=max(1, min(
+                                           self.compiled.scan_unroll,
+                                           n_blocks)))
             return mix, carry2
 
         if self.mesh is None:

@@ -17,6 +17,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 from signals_tpu.core import BlockLoc, Request, Shape  # noqa: E402
+import signals_tpu.compiler  # noqa: E402
+
+# scan unrolling trades compile time for steady-state throughput; tests
+# only care about semantics, so keep compiles fast
+signals_tpu.compiler.CompiledPatch.scan_unroll = 1
 
 
 @pytest.fixture
