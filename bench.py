@@ -175,16 +175,20 @@ def time_render(render_once, *, min_seconds=2.0, min_iters=3):
 
 def time_render_pipelined(launch, *, n_outstanding=8, rounds=2):
     """Sustained wall time per call with ``n_outstanding`` async dispatches
-    in flight — hides the host↔device round-trip, which dominates
-    single-call timings through the TPU tunnel.  ``launch(i)`` must return
-    an (unblocked) device array."""
-    import jax
-    jax.block_until_ready(launch(0))    # warmup/compile
+    in flight — hides the host↔device round-trip of a single call.
+    ``launch(i)`` must return an (unblocked) device array.
+
+    Timing is to full host materialization (``np.asarray``), not
+    ``block_until_ready``: under the axon tunnel the latter can return
+    before remote execution finishes, producing fantasy numbers.
+    """
+    np.asarray(launch(0))               # warmup/compile
     best = float('inf')
     for _ in range(rounds):
         t0 = time.perf_counter()
         outs = [launch(i) for i in range(n_outstanding)]
-        jax.block_until_ready(outs)
+        for o in outs:
+            np.asarray(o)
         best = min(best, (time.perf_counter() - t0) / n_outstanding)
     return best
 
@@ -209,7 +213,7 @@ def bench_single(root, *, seconds=1.0, label='', channels=1,
     if pipelined:
         t = time_render_pipelined(launch)
     else:
-        t = time_render(lambda: jax.block_until_ready(launch(0)))
+        t = time_render(lambda: np.asarray(launch(0)))
     samples = n_blocks * BLOCK
     return {'label': label, 'x_realtime': samples / RATE / t,
             'samples_per_sec': samples / t, 'wall_per_call_s': t}
@@ -253,13 +257,13 @@ def bench_block_latency(root, *, channels=1):
     host = compiled.stage_host(0, 1)
     h0 = {k: v[0] for k, v in host.items()}
     out = compiled.step(params, carry, 0, h0)
-    jax.block_until_ready(out)
+    np.asarray(out[0])
     lat = []
     carry = out[1]
     for i in range(50):
         t0 = time.perf_counter()
         out = compiled.step(params, carry, (i + 1) * BLOCK, h0)
-        jax.block_until_ready(out[0])
+        np.asarray(out[0])
         carry = out[1]
         lat.append(time.perf_counter() - t0)
     return float(np.median(lat))
