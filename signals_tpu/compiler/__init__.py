@@ -636,10 +636,11 @@ class CompiledPatch:
     def _host_slice(self, staged: dict, i: int) -> dict:
         return {k: v[i] for k, v in staged.items()}
 
-    #: scan unroll factor: TPU loop iterations carry ~50-100 µs of fixed
-    #: overhead, which dwarfs the per-block math for small patches;
-    #: unrolling amortizes it without changing per-block semantics.
-    scan_unroll = 8
+    #: scan unroll factor for the block loop.  Unrolling was measured NOT
+    #: to improve honest (host-materialized) throughput on the axon TPU
+    #: tunnel while inflating compile time several-fold, so the default is
+    #: no unrolling; kept as a knob for directly-attached TPU hosts.
+    scan_unroll = 1
 
     def render_fn(self, n_blocks: int):
         """Jitted ``(params, carry, position0, host_staged) ->
