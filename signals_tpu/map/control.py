@@ -637,6 +637,57 @@ class CommandSet:
             print(f'wrote {self.path}: {audio.shape[0]} frames '
                   f'({audio.shape[1]} ch)', file=controller.stdout)
 
+    class Plot(LineCommand):
+        """Render a Vis node's queued blocks to an image:
+        ``plot <vis_at> <path.png> [frames]`` (run after playback or
+        ``bounce`` so the tap has data).  Headless counterpart of the
+        reference's vis dock (``ui/vis.py``)."""
+
+        at: Coordinates
+        path: pathlib.Path
+        frames: int
+
+        @classmethod
+        def name(cls) -> str:
+            return 'plot'
+
+        @classmethod
+        def add_arguments(cls, parser) -> None:
+            parser.add_argument('at', type=Coordinates.parse)
+            parser.add_argument('path', type=pathlib.Path)
+            parser.add_argument('frames', type=int, nargs='?', default=1500)
+
+        def affect(self, controller: 'Controller') -> None:
+            import matplotlib
+            matplotlib.use('Agg')
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots(figsize=(6, 3))
+            controller.map.render(self.at, ax, self.frames)
+            fig.savefig(self.path)
+            plt.close(fig)
+            print(f'wrote {self.path}', file=controller.stdout)
+
+    class Export(LineCommand):
+        """Export the patch diagram as SVG: ``export <path.svg> [layout]``."""
+
+        path: pathlib.Path
+        layout: str
+
+        @classmethod
+        def name(cls) -> str:
+            return 'export'
+
+        @classmethod
+        def add_arguments(cls, parser) -> None:
+            parser.add_argument('path', type=pathlib.Path)
+            parser.add_argument('layout', nargs='?', default='layout')
+
+        def affect(self, controller: 'Controller') -> None:
+            from signals_tpu.ui.svg import save_svg
+            save_svg(controller.map, self.path,
+                     use_layout=(self.layout == 'layout'))
+            print(f'wrote {self.path}', file=controller.stdout)
+
     class Stats(LineCommand):
         """Render statistics per sink: block latency percentiles, realtime
         headroom, underruns."""

@@ -268,3 +268,23 @@ def test_stats_command():
     run(ctl, 'sink 7a default')
     run(ctl, 'stats')
     assert '(closed)' in ctl.stdout.getvalue()
+
+
+def test_plot_and_export_commands(tmp_path):
+    ctl = make_controller()
+    run(ctl,
+        'sink 7a default',
+        '+ 1a signals_tpu.nodes.fixed.Fixed value=[[440]]',
+        '+ 2a signals_tpu.nodes.osc.Sine',
+        '+ 3a signals_tpu.nodes.vis.Wave',
+        '> 1a 2a.hertz',
+        '> 2a 3a.input',
+        '> 3a 7a.input')
+    wav = tmp_path / 'b.wav'
+    run(ctl, f'bounce 7a {wav} 0.1')     # fills the vis tap
+    png = tmp_path / 'wave.png'
+    run(ctl, f'plot 3a {png}')
+    assert png.stat().st_size > 1000
+    svg = tmp_path / 'patch.svg'
+    run(ctl, f'export {svg}')
+    assert b'<svg' in svg.read_bytes()
