@@ -124,9 +124,10 @@ class _GraphIndex:
         return self.infos[id(node)]
 
     def graph_hash(self) -> str:
+        from signals_tpu.compiler import filters as _filters
         h = hashlib.sha3_256()
-        h.update(f'F={self.block_frames};R={self.rate};C={self.channels}'
-                 .encode())
+        h.update(f'F={self.block_frames};R={self.rate};C={self.channels};'
+                 f'I={_filters.FILTER_IMPL}'.encode())
         for node in self.order:
             info = self.info(node)
             h.update(f'|{info.uid}:{node.cls_name()}'.encode())

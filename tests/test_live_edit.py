@@ -63,7 +63,14 @@ def test_structural_edit_recompiles_during_playback():
     sq = Square()
     sq.hertz = hz
     g.left = sq
-    time.sleep(1.5)     # allow a recompile + several batches
+    # poll until the recompiled square shows up in fresh output (the
+    # recompile happens between batches; time depends on machine load)
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        time.sleep(0.5)
+        tail = sink.captured()[-2048:, 0]
+        if len(tail) and (np.abs(tail) > 0.9).mean() > 0.95:
+            break
     sink.stop()
     sink.close()
     audio = sink.captured()[:, 0]
