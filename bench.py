@@ -278,7 +278,10 @@ def main(argv=None):
         import jax
         jax.config.update('jax_platforms', 'cpu')
 
-    seconds = 0.25 if args.quick else 1.0
+    # 10-second calls: per-call dispatch through the tunnel has a
+    # ~30 ms floor, so short calls measure latency, not rendering.
+    # Production rendering batches seconds of audio per dispatch.
+    seconds = 0.25 if args.quick else 10.0
     n_blocks = int(round(seconds * RATE / BLOCK))
     extra = {}
     parity = {}
