@@ -645,7 +645,14 @@ class CompiledPatch:
 
     def render_fn(self, n_blocks: int):
         """Jitted ``(params, carry, position0, host_staged) ->
-        (blocks (n, F, ch), carry', taps_staged)`` via lax.scan."""
+        (blocks (n, F, ch), carry', taps_staged)``.
+
+        Stateless patches (empty carry — no delays/envelopes) have fully
+        independent blocks, so the block loop vanishes into a ``vmap`` over
+        positions: one device launch for the whole batch, instead of a
+        while-loop paying per-iteration overhead (~70 µs/block measured
+        through the tunnel).  Stateful patches scan.
+        """
         import jax
         import jax.numpy as jnp
         if n_blocks in self._render_cache:
@@ -653,19 +660,32 @@ class CompiledPatch:
         step_core = self._step_core
         F = self.block_frames
         unroll = max(1, min(self.scan_unroll, n_blocks))
+        stateless = not self.carry0
 
-        def many(params, carry, position0, host_staged):
-            positions = (jnp.int32(position0)
-                         + jnp.int32(F) * jnp.arange(n_blocks, dtype=jnp.int32))
+        def positions_of(position0):
+            return (jnp.int32(position0)
+                    + jnp.int32(F) * jnp.arange(n_blocks, dtype=jnp.int32))
 
-            def body(c, inp):
-                pos, host = inp
-                block, c2, taps = step_core(params, c, pos, host)
-                return c2, (block, taps)
+        if stateless:
+            def many(params, carry, position0, host_staged):
+                def one(pos, host):
+                    block, _, taps = step_core(params, {}, pos, host)
+                    return block, taps
 
-            carry2, (blocks, taps) = jax.lax.scan(
-                body, carry, (positions, host_staged), unroll=unroll)
-            return blocks, carry2, taps
+                blocks, taps = jax.vmap(one)(positions_of(position0),
+                                             host_staged)
+                return blocks, carry, taps
+        else:
+            def many(params, carry, position0, host_staged):
+                def body(c, inp):
+                    pos, host = inp
+                    block, c2, taps = step_core(params, c, pos, host)
+                    return c2, (block, taps)
+
+                carry2, (blocks, taps) = jax.lax.scan(
+                    body, carry, (positions_of(position0), host_staged),
+                    unroll=unroll)
+                return blocks, carry2, taps
 
         fn = jax.jit(many, donate_argnums=(1,))
         self._render_cache[n_blocks] = fn

@@ -155,17 +155,30 @@ class PolyPatch:
         out_ch = self._out_channels
         V = self.n_voices
 
+        stateless = not compiled.carry0
+
         def many(params, carry, position0, host_staged):
             positions = (jnp.int32(position0)
                          + jnp.int32(F) * jnp.arange(n_blocks,
                                                      dtype=jnp.int32))
 
+            def mixdown(block):
+                mix = jnp.broadcast_to(block, (F, V)).sum(
+                    axis=1, keepdims=True)
+                return jnp.broadcast_to(mix, (F, out_ch))
+
+            if stateless:
+                # independent blocks: one launch, no loop
+                def one(pos, host):
+                    block, _, _ = step_core(params, {}, pos, host)
+                    return mixdown(block)
+
+                return jax.vmap(one)(positions, host_staged), carry
+
             def body(c, inp):
                 pos, host = inp
                 block, c2, _taps = step_core(params, c, pos, host)
-                mix = jnp.broadcast_to(block, (F, V)).sum(
-                    axis=1, keepdims=True)
-                return c2, jnp.broadcast_to(mix, (F, out_ch))
+                return c2, mixdown(block)
 
             carry2, mix = jax.lax.scan(body, carry,
                                        (positions, host_staged),
