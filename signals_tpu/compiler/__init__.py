@@ -88,6 +88,13 @@ def _is_delay(node) -> bool:
     return isinstance(node, Delay)
 
 
+def _is_grid_stateless(node) -> bool:
+    """Node offering a carry-free grid-history lowering (``grid_kernel``) —
+    the compiler prefers it over the step/carry path because patches
+    without carry render loop-free."""
+    return getattr(node, 'is_grid_stateless', False)
+
+
 def _is_tap(node) -> bool:
     return bool(node.flags() & (SignalFlags.VIS | SignalFlags.RECORDER))
 
@@ -203,6 +210,15 @@ class _CollectCtx(KernelCtx):
             self.compiler.collect(inp, self.window)
         return self._dummy(inp, context_frames + self.nframes)
 
+    def in_grid_samples(self, name: PortName, stride: int, count: int):
+        inp = self._input(name)
+        if inp is not None:
+            anchor_off = stride * (self.window.offset // stride)
+            for j in range(count):
+                self.compiler.collect(inp, Window(anchor_off - j * stride, 1))
+        out = self._dummy(inp, count)
+        return out
+
     def in_channels(self, name: PortName) -> typing.Optional[int]:
         inp = self._input(name)
         return None if inp is None else inp.channels
@@ -284,6 +300,24 @@ class LowerCtx(KernelCtx):
             return jnp.zeros((1, 1), dtype=F32)
         return self.compiler.lower(inp, Window(self.window.offset, 1))
 
+    def in_grid_samples(self, name: PortName, stride: int, count: int):
+        import jax.numpy as jnp
+        inp = self._input(name)
+        if inp is None:
+            return jnp.zeros((count, 1), dtype=F32)
+        ch = inp.channels
+        # rendering positions are stride(=block)-aligned, so the absolute
+        # grid maps to static window offsets
+        anchor_off = stride * (self.window.offset // stride)
+        samples = []
+        for j in range(count - 1, -1, -1):
+            off = anchor_off - j * stride
+            s = self.compiler.lower(inp, Window(off, 1))
+            s = jnp.broadcast_to(s, (1, ch))
+            valid = (self.compiler.position + jnp.int32(off)) >= 0
+            samples.append(jnp.where(valid, s, F32(0.0)))
+        return jnp.concatenate(samples, axis=0)
+
     def in_context(self, name: PortName, context_frames: int):
         import jax.numpy as jnp
         inp = self._input(name)
@@ -355,6 +389,16 @@ class _Compiler:
             if inp is not None:
                 self.collect(inp, Window(0, self.block_frames))
             return
+        if _is_grid_stateless(node):
+            for pname, stride, count in node.grid_windows(
+                    self.block_frames, self.rate):
+                inp = node._ports[pname].sig
+                if inp is None:
+                    continue
+                anchor_off = stride * (window.offset // stride)
+                for j in range(count):
+                    self.collect(inp, Window(anchor_off - j * stride, 1))
+            return
         if isinstance(node, StatefulEmitter):
             # stateful nodes step once per block at the main window
             ctx = _CollectCtx(self, node, Window(0, self.block_frames))
@@ -399,6 +443,8 @@ class _Compiler:
         for node in self.index.order:
             info = self.index.info(node)
             hist = max(0, -info.min_offset)
+            if _is_grid_stateless(node):
+                continue            # lowered carry-free
             if _is_delay(node):
                 carry[info.uid] = node.init_carry(
                     channels=node.channels, rate=self.rate,
@@ -425,6 +471,12 @@ class _Compiler:
             result = self.host[f'{uid}@{window.offset},{window.frames}']
         elif _is_delay(node):
             result = self._lower_delay(node, window)
+        elif _is_grid_stateless(node):
+            ctx = LowerCtx(self, node, window)
+            result = jnp.asarray(
+                node.grid_kernel(ctx, self.block_frames), dtype=F32)
+            enabled = self.node_param(node, 'enabled')
+            result = jnp.where(enabled, result, F32(0.0))
         elif isinstance(node, StatefulEmitter):
             result = self._lower_stateful(node, window)
         else:

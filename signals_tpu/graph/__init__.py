@@ -215,6 +215,21 @@ class KernelCtx(abc.ABC):
         sampled per block (reference ``forward_at_block_rate``,
         ``chain/__init__.py:305-306``).  Shape ``(1, ch)``."""
 
+    def in_grid_samples(self, name: PortName, stride: int, count: int):
+        """``count`` one-frame input samples taken on the absolute
+        ``stride``-aligned grid, at the grid points at-or-before this
+        window's start, oldest first — shape ``(count, ch)``.
+
+        This is the bounded-memory control-history primitive: a stateless
+        node can reconstruct "what happened recently" (gate edges, held
+        values) from a fixed number of grid samples, exactly like filters
+        reconstruct their state from a bounded context window.  Grid
+        alignment makes the result identical no matter which window the
+        node is evaluated in.  Requires block-aligned rendering positions
+        (the renderer's invariant; ``stride`` should equal the block size).
+        """
+        raise NotImplementedError
+
     @abc.abstractmethod
     def in_context(self, name: PortName, context_frames: int):
         """Input over ``[window_start - context, window_end)`` for stateless
@@ -602,6 +617,25 @@ class PullCtx(KernelCtx):
 
     def in_block_rate(self, name: PortName) -> np.ndarray:
         return self._port(name).forward_at_block_rate(self.request)
+
+    def in_grid_samples(self, name: PortName, stride: int,
+                        count: int) -> np.ndarray:
+        port_ = self._port(name)
+        anchor = (self.request.loc.position // stride) * stride
+        samples = []
+        for j in range(count - 1, -1, -1):
+            pos = anchor - j * stride
+            if pos < 0 or not port_:
+                samples.append(Emitter.empty_result())
+                continue
+            loc = self.request.loc._replace(
+                position=pos,
+                shape=Shape(frames=1,
+                            channels=self.request.loc.shape.channels))
+            samples.append(port_.request(loc))
+        ch = max(s.shape[1] for s in samples)
+        return np.concatenate(
+            [np.broadcast_to(s, (1, ch)) for s in samples], axis=0)
 
     def in_context(self, name: PortName, context_frames: int) -> np.ndarray:
         # Like BoundPort.forward_with_context, but broadcast-shaped sub-blocks

@@ -34,7 +34,20 @@ class ADSR(StatefulEmitter, ImplicitChannels):
 
     Retrigger-safe: attack restarts from the envelope's current level, and
     release decays linearly from the level at the off-edge.
+
+    Execution: the pull engine steps carried state per block
+    (:meth:`step`).  The compiler instead lowers the envelope
+    **statelessly** (:meth:`grid_kernel`): the gate is sampled on the
+    absolute block grid over a bounded ``horizon``, edge times come from a
+    running maximum, and retrigger levels from an associative chain of the
+    per-edge affine updates — so envelope patches stay loop-free
+    (independent blocks) and the block scan disappears.  The two agree
+    exactly once boundary effects decay, i.e. when ``horizon`` comfortably
+    exceeds ``attack+decay`` and ``release`` (both capped to ``horizon``).
     """
+
+    #: compiler: lower via grid_kernel, carry-free
+    is_grid_stateless = True
 
     gate: Receiver.BoundPort = port('gate')
 
@@ -43,6 +56,8 @@ class ADSR(StatefulEmitter, ImplicitChannels):
         decay: float = Param(0.1, validate=ge(0.0), traced=True)
         sustain: float = Param(0.7, validate=ge(0.0), traced=True)
         release: float = Param(0.2, validate=ge(0.0), traced=True)
+        #: structural: seconds of gate history the compiled form retains
+        horizon: float = Param(1.0, validate=ge(0.01))
 
     @classmethod
     def flags(cls) -> SignalFlags:
@@ -104,3 +119,108 @@ class ADSR(StatefulEmitter, ImplicitChannels):
             'level_off': xp.broadcast_to(level_off, (1, ch)).astype(F32),
         }
         return out, new_carry
+
+    # --- compiled engine: stateless bounded-horizon lowering ---------------
+
+    def _adsr_params(self, ctx):
+        xp = ctx.xp
+        rate = ctx.rate_f32
+        one = F32(1.0)
+        A = xp.maximum(ctx.param('attack') * rate, one)
+        D = xp.maximum(ctx.param('decay') * rate, one)
+        S = ctx.param('sustain')
+        R = xp.maximum(ctx.param('release') * rate, one)
+        return A, D, S, R
+
+    def _grid_count(self, stride: int, rate: int) -> int:
+        return max(2, int(np.ceil(self._state.horizon * rate / stride)) + 1)
+
+    def grid_windows(self, stride: int, rate: int):
+        """(port, stride, count) grid-history requirements, for the
+        compiler's window-collection pass."""
+        return [('gate', stride, self._grid_count(stride, rate))]
+
+    def grid_kernel(self, ctx: KernelCtx, stride: int):
+        """Carry-free evaluation from ``K`` grid samples of the gate.
+
+        Edge *times* are running maxima over the sampled history; edge
+        *levels* obey a linear recurrence in ``(level_on, level_off)``
+        whose per-step update is affine (attack/release values are affine
+        in the previous levels), so the whole chain evaluates with one
+        associative scan — no sequential dependence between blocks.
+        """
+        import jax
+        xp = ctx.xp
+        A, D, S, R = self._adsr_params(ctx)
+        K = self._grid_count(stride, ctx.rate)
+        horizon_frames = F32(K * stride)
+
+        g = ctx.in_grid_samples('gate', stride, K)     # (K, ch) oldest first
+        ch = g.shape[1]
+        on = g > F32(0.5)
+        prev_on = xp.concatenate([on[:1], on[:-1]], axis=0)
+        rise = on & ~prev_on
+        fall = ~on & prev_on
+
+        # absolute positions of the grid samples (newest = window anchor);
+        # integer arithmetic so large positions stay exact
+        fri0 = ctx.frame_range_int[0:1]
+        anchor = (fri0 - xp.mod(fri0, stride)).astype(F32)
+        pos = anchor + F32(stride) * (
+            xp.arange(K, dtype=np.int32).astype(F32).reshape(-1, 1)
+            - F32(K - 1))                               # (K, 1)
+        sentinel = anchor - horizon_frames              # "long ago"
+
+        # latest edge positions at-or-before each sample: running maximum
+        t_on_seq = jax.lax.cummax(xp.where(rise, pos, sentinel), axis=0)
+        t_off_seq = jax.lax.cummax(xp.where(fall, pos, sentinel), axis=0)
+        t_on_prev = xp.concatenate([xp.broadcast_to(sentinel, (1, ch)),
+                                    t_on_seq[:-1]], axis=0)
+        t_off_prev = xp.concatenate([xp.broadcast_to(sentinel, (1, ch)),
+                                     t_off_seq[:-1]], axis=0)
+
+        # per-step affine update of L = (lv_on, lv_off):
+        #  rise (gate was off): lv_on' = beta*lv_off  (release value)
+        #  fall (gate was on):  lv_off' = alpha*lv_on + gamma (on-side value)
+        dt_on = pos - t_on_prev
+        in_attack = dt_on < A
+        alpha = xp.where(in_attack, F32(1.0) - dt_on / A, F32(0.0))
+        gamma = xp.where(
+            in_attack, dt_on / A,
+            xp.where(dt_on < A + D,
+                     F32(1.0) - (F32(1.0) - S) * ((dt_on - A) / D), S))
+        beta = xp.maximum(F32(0.0), F32(1.0) - (pos - t_off_prev) / R)
+
+        riz = rise.astype(F32)
+        fal = fall.astype(F32)
+        idm = F32(1.0) - riz - fal
+        # lv_on' = a11 lv_on + a12 lv_off + b1 ; lv_off' = a21 lv_on + a22 lv_off + b2
+        a11 = idm + fal
+        a12 = riz * beta
+        b1 = xp.zeros_like(riz)
+        a21 = fal * alpha
+        a22 = idm + riz
+        b2 = fal * gamma
+
+        def combine(older, newer):
+            o11, o12, ob1, o21, o22, ob2 = older
+            n11, n12, nb1, n21, n22, nb2 = newer
+            return (n11 * o11 + n12 * o21,
+                    n11 * o12 + n12 * o22,
+                    n11 * ob1 + n12 * ob2 + nb1,
+                    n21 * o11 + n22 * o21,
+                    n21 * o12 + n22 * o22,
+                    n21 * ob1 + n22 * ob2 + nb2)
+
+        c11, c12, cb1, c21, c22, cb2 = jax.lax.associative_scan(
+            combine, (a11, a12, b1, a21, a22, b2), axis=0)
+        # applied to the boundary state (0, 0): levels = the b terms
+        lv_on = cb1[-1:]                               # (1, ch)
+        lv_off = cb2[-1:]
+
+        gate_now = on[-1:]
+        t_on = t_on_seq[-1:]
+        t_off = t_off_seq[-1:]
+        t = ctx.frame_range
+        return self._value(xp, t, gate_now, t_on, t_off, lv_on, lv_off,
+                           A, D, S, R)
