@@ -254,3 +254,24 @@ def test_traced_edit_without_recompile():
     assert compiled2.graph_hash == h1
     a2, _ = compiled2.render(n_blocks=1)
     assert not np.array_equal(a1, a2)       # new value took effect
+
+
+def test_adsr_compiled_is_seekable():
+    """The grid-stateless ADSR lowering makes envelope patches
+    position-addressable: rendering a window mid-timeline equals the same
+    window of a from-zero render (impossible with stepped carry)."""
+    gate = Square()
+    gate.hertz = fixed(3.0)
+    env = ADSR()
+    env.gate = gate
+    st = env.get_state()
+    st.attack, st.decay, st.sustain, st.release = 0.005, 0.03, 0.5, 0.05
+    carrier = Sine()
+    carrier.hertz = fixed(220.0)
+    voiced = RingMod()
+    voiced.left = carrier
+    voiced.right = env
+    compiled = compile_node(voiced, block_frames=F, rate=RATE, channels=1)
+    full, _ = compiled.render(position=0, n_blocks=60)
+    seeked, _ = compiled.render(position=40 * F, n_blocks=10)
+    np.testing.assert_array_equal(seeked, full[40 * F:50 * F])
