@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 import time
 
 # persistent XLA compilation cache: repeat bench runs (and the driver's

@@ -37,7 +37,7 @@ from signals_tpu.core import (
 )
 from signals_tpu.core.state import (
     BadStateSchema,
-    BadStateValue,
+    BadStateValue,   # noqa: F401  (re-exported via __all__)
     Param,
     State,
     instance_of,

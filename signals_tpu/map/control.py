@@ -30,7 +30,6 @@ import typing
 from signals_tpu import registry as _registry
 import signals_tpu.nodes.dev as dev
 from signals_tpu.map import (
-    BadName,
     ConnectionInfo,
     Coordinates,
     LinkedSigInfo,

@@ -24,8 +24,7 @@ import typing
 import numpy as np
 
 from signals_tpu import SignalFlags
-from signals_tpu.core import ChainLayerError, Request, Shape
-from signals_tpu.core.state import Param, ge
+from signals_tpu.core import ChainLayerError, Shape
 from signals_tpu.graph import (
     Emitter,
     ExplicitChannels,

@@ -11,7 +11,6 @@ written to disk after each device step).  WAV IO is self-contained
 from __future__ import annotations
 
 import abc
-import typing
 
 import numpy as np
 

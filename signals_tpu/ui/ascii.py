@@ -10,8 +10,6 @@ surface (and what the REPL's ``view`` command prints).
 
 from __future__ import annotations
 
-import typing
-
 from signals_tpu import SignalFlags
 from signals_tpu.layout import layout_patch
 

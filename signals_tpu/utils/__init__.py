@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import contextlib
 import time
-import typing
 
 import numpy as np
 
