@@ -275,3 +275,53 @@ def test_adsr_compiled_is_seekable():
     full, _ = compiled.render(position=0, n_blocks=60)
     seeked, _ = compiled.render(position=40 * F, n_blocks=10)
     np.testing.assert_array_equal(seeked, full[40 * F:50 * F])
+
+
+def test_triple_nested_filters():
+    saw = Sawtooth()
+    saw.hertz = fixed(110.0)
+    f1 = LowPass()
+    f1.input = saw
+    f1.cutoff = fixed(6000.0)
+    f2 = HighPass()
+    f2.input = f1
+    f2.cutoff = fixed(150.0)
+    f3 = BandPass()
+    f3.input = f2
+    f3.low = fixed(200.0)
+    f3.high = fixed(4000.0)
+    _parity(f3, n_blocks=8, start_block=2)
+
+
+def test_noise_through_filter():
+    w = White()
+    lp = LowPass()
+    lp.input = w
+    lp.cutoff = fixed(1500.0)
+    _parity(lp, n_blocks=10)
+
+
+def test_adsr_with_noisy_gate():
+    """Fast random gating: every block-grid edge path gets exercised."""
+    w = White()
+    env = ADSR()
+    env.gate = w
+    st = env.get_state()
+    st.attack, st.decay, st.sustain, st.release = 0.003, 0.01, 0.4, 0.02
+    _parity(env, n_blocks=60)
+
+
+def test_fanout_block_rate_and_full_rate():
+    """One oscillator consumed both as audio and as a block-rate control."""
+    lfo = Sine()
+    lfo.hertz = fixed(2.0)
+    carrier = Sine()
+    carrier.hertz = fixed(440.0)
+    vca = Gain()
+    vca.left = carrier
+    vca.right = lfo          # block-rate side
+    m = Mix()
+    m.left = vca
+    m.right = lfo            # full-rate side
+    m.mix = fixed(0.5)
+    _parity(m)
