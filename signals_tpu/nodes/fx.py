@@ -17,6 +17,7 @@ import numpy as np
 
 from signals_tpu import SignalFlags
 from signals_tpu.compiler import filters as _filters
+from signals_tpu.core.state import Param, ge
 from signals_tpu.graph import (
     BlockCachingEmitter,
     ImplicitChannels,
@@ -95,14 +96,25 @@ class CritFilter(Effect, abc.ABC):
     parallel.  Coefficients are recomputed per block from the traced cutoff
     inputs, reproducing the reference's time-varying-cutoff behavior
     (``fx.py:99-105``).
+
+    The context length defaults to 1024 frames, not the reference's 100
+    (``fx.py:82-84``): a low-cutoff filter's impulse response does not decay
+    within 100 frames, so the reference's output there depends on its block
+    cache's reuse pattern — an ill-defined corner.  1024 frames make the
+    window approximation ~1e-7 for cutoffs down to ~150 Hz.  Set
+    ``context=100`` for reference-exact windows.
     """
 
     input: Receiver.BoundPort = port('input')
 
     order = 2
 
+    class State(Effect.State):
+        #: structural: frames of input history recomputed each block
+        context: int = Param(1024, validate=ge(1))
+
     def context_frames(self) -> int:
-        return 100
+        return self._state.context
 
     @abc.abstractmethod
     def type_code(self) -> str:
