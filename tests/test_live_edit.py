@@ -58,7 +58,11 @@ def test_structural_edit_recompiles_during_playback():
     sink.input = g
     sink.capture(True)
     sink.start()
-    time.sleep(0.5)
+    # wait for real pre-edit output (first compile may be slow under load)
+    deadline = time.time() + 30
+    while time.time() < deadline and sink.captured().shape[0] < 4096:
+        time.sleep(0.1)
+    assert sink.captured().shape[0] >= 4096
     # structural edit: swap the oscillator feeding the gain
     sq = Square()
     sq.hertz = hz
