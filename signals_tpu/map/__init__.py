@@ -114,7 +114,7 @@ class SigStateItem(typing.NamedTuple):
     >>> s
     SigStateItem(k='bar', v=array([[1, 2, 3]]))
     >>> str(s)
-    'bar=[[1, 2, 3]]'
+    'bar=[[1,2,3]]'
     """
 
     k: str
@@ -146,7 +146,10 @@ class SigStateItem(typing.NamedTuple):
             v = v.tolist()
         elif isinstance(v, (np.floating, np.integer, np.bool_)):
             v = v.item()
-        return json.dumps(v)
+        # compact separators: the line parser is shlex-based, so values must
+        # not contain spaces (the reference emits ", " and cannot re-parse
+        # its own multi-element arrays — a latent bug there)
+        return json.dumps(v, separators=(',', ':'))
 
 
 class SigState(dict):

@@ -109,6 +109,7 @@ _NODE_MODULES = (
     'signals_tpu.nodes.dev',
     'signals_tpu.nodes.env',
     'signals_tpu.nodes.delay',
+    'signals_tpu.nodes.wavetable',
 )
 
 _loaded = False

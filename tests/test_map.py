@@ -52,7 +52,7 @@ def test_sig_state_item_values():
     assert SigStateItem.parse('x=hello').v == 'hello'
     arr = SigStateItem.parse('x=[[1.0, 2.0]]').v
     np.testing.assert_array_equal(arr, [[1.0, 2.0]])
-    assert str(SigStateItem(k='x', v=np.array([[1, 2]]))) == 'x=[[1, 2]]'
+    assert str(SigStateItem(k='x', v=np.array([[1, 2]]))) == 'x=[[1,2]]'
 
 
 def _at(s):

@@ -327,3 +327,34 @@ def test_fanout_block_rate_and_full_rate():
     m.right = lfo            # full-rate side
     m.mix = fixed(0.5)
     _parity(m)
+
+
+def test_wavetable_parity_and_matches_sine():
+    from signals_tpu.nodes.wavetable import Wavetable
+    wt = Wavetable()
+    wt.hertz = fixed(440.0)
+    audio = _parity(wt, n_blocks=8)
+    # default table is a sine cycle: interpolated read tracks the analytic
+    # oscillator to table-resolution accuracy
+    sine = Sine()
+    sine.hertz = fixed(440.0)
+    ref = pull_blocks(sine, 8, block_frames=F, rate=RATE, channels=1)
+    assert np.abs(audio - ref).max() < 2e-5
+
+
+def test_wavetable_is_trainable():
+    """The waveform itself is a differentiable parameter."""
+    import jax
+    from signals_tpu.learn import make_loss_fn
+    from signals_tpu.nodes.wavetable import Wavetable
+    wt = Wavetable()
+    wt.hertz = fixed(220.0)
+    compiled = compile_node(wt, block_frames=F, rate=RATE, channels=1)
+    saw = Sawtooth()
+    saw.hertz = fixed(220.0)
+    target = pull_blocks(saw, 4, block_frames=F, rate=RATE, channels=1)
+    loss_fn = make_loss_fn(compiled, target)
+    grads = jax.grad(loss_fn, allow_int=True)(compiled.params())
+    uid = compiled.index.info(wt).uid
+    g = np.asarray(grads[uid]['table'])
+    assert np.isfinite(g).all() and np.abs(g).max() > 0
