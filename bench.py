@@ -246,6 +246,36 @@ def bench_poly(root, hz_node, n_voices, *, seconds=1.0, label='',
             'samples_per_sec': samples / t, 'wall_per_call_s': t}
 
 
+def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0):
+    """Render rate when only a scalar reduction leaves the device."""
+    import jax
+    import jax.numpy as jnp
+    from signals_tpu.parallel import PolyPatch
+    freqs = (110.0 * 2 ** (np.arange(n_voices) % 12 / 12.0)
+             * (1 + 0.001 * np.arange(n_voices))).astype(np.float32)
+    poly = PolyPatch(root, n_voices=n_voices,
+                     overrides={(hz_node, 'value'): freqs},
+                     block_frames=BLOCK, rate=RATE, layout='channels')
+    n_blocks = int(round(seconds * RATE / BLOCK))
+    params, _ = poly.params()
+    carry0 = poly.init_carry()
+    fn = poly.render_fn(n_blocks)
+
+    @jax.jit
+    def reduced(params, carry, position):
+        mix, carry2 = fn(params, carry, position, {})
+        return jnp.mean(jnp.abs(mix))
+
+    def launch(i):
+        return reduced(params, jax.tree.map(lambda x: x, carry0), 0)
+
+    t = time_render_pipelined(launch)
+    samples = n_blocks * BLOCK
+    return {'label': 'poly-64-device', 'n_voices': n_voices,
+            'x_realtime': samples / RATE / t,
+            'samples_per_sec': samples / t, 'wall_per_call_s': t}
+
+
 def bench_block_latency(root, *, channels=1):
     """p50 latency of a single-block step call (the realtime-path metric)."""
     import jax
@@ -317,6 +347,14 @@ def main(argv=None):
     voice4, hz4 = build_subtractive_voice()
     extra['c4_poly64'] = bench_poly(voice4, hz4, 64, seconds=seconds,
                                     label='poly-64')
+
+    # config 4b: device-resident throughput — the audio stays on device
+    # (training / analysis pipelines fetch only reductions); this isolates
+    # render rate from the tunnel's ~30 MB/s host-transfer bandwidth,
+    # which dominates the numbers above
+    progress('bench: config 4b (poly-64 device-resident)...')
+    extra['c4_poly64_device_resident'] = bench_poly_device(voice4, hz4, 64,
+                                                           seconds=seconds)
 
     # config 5: FM + delay feedback + spectral tap
     progress('bench: config 5 (fm+delay)...')
