@@ -353,8 +353,9 @@ def main(argv=None):
     # render rate from the tunnel's ~30 MB/s host-transfer bandwidth,
     # which dominates the numbers above
     progress('bench: config 4b (poly-64 device-resident)...')
-    extra['c4_poly64_device_resident'] = bench_poly_device(voice4, hz4, 64,
-                                                           seconds=seconds)
+    voice4b, hz4b = build_subtractive_voice()
+    extra['c4_poly64_device_resident'] = bench_poly_device(
+        voice4b, hz4b, 64, seconds=seconds)
 
     # config 5: FM + delay feedback + spectral tap
     progress('bench: config 5 (fm+delay)...')
