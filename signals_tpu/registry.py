@@ -110,6 +110,7 @@ _NODE_MODULES = (
     'signals_tpu.nodes.env',
     'signals_tpu.nodes.delay',
     'signals_tpu.nodes.wavetable',
+    'signals_tpu.nodes.seq',
 )
 
 _loaded = False
