@@ -61,13 +61,20 @@ class CompileError(ChainLayerError):
 
 
 class Window(typing.NamedTuple):
-    """A static request window relative to the current block start."""
+    """A static request window relative to the current render position.
+
+    ``stride`` > 1 makes it a *grid window*: ``frames`` one-frame samples
+    spaced ``stride`` apart (frame k at ``offset + k*stride``) — how
+    block-rate control signals are lowered in the mega-window render mode
+    (one sample per block, for all blocks, in one trace).
+    """
     offset: int
     frames: int
+    stride: int = 1
 
     @property
     def end(self) -> int:
-        return self.offset + self.frames
+        return self.offset + (self.frames - 1) * self.stride + 1
 
 
 class _NodeInfo:
@@ -248,6 +255,18 @@ class LowerCtx(KernelCtx):
         self.nframes = window.frames
 
     @property
+    def block_grid(self):
+        """(block_frames, n_blocks) when this window spans multiple blocks
+        (the mega-window render mode), else None.  Kernels with block-rate
+        internals (filters) branch on it."""
+        w = self.window
+        F = self.compiler.block_frames
+        if (self.compiler.mega and w.stride == 1 and w.frames > F
+                and w.frames % F == 0 and w.offset % F == 0):
+            return F, w.frames // F
+        return None
+
+    @property
     def rate_f32(self):
         # barrier keeps XLA from algebraically rewriting rate arithmetic
         # (e.g. x/rate -> x * (1/rate)), which would break bit-parity with
@@ -273,7 +292,8 @@ class LowerCtx(KernelCtx):
         import jax.numpy as jnp
         w = self.window
         return (self.compiler.position + jnp.int32(w.offset)
-                + jnp.arange(w.frames, dtype=jnp.int32).reshape(-1, 1))
+                + jnp.int32(w.stride)
+                * jnp.arange(w.frames, dtype=jnp.int32).reshape(-1, 1))
 
     @property
     def frame_range(self):
@@ -298,25 +318,45 @@ class LowerCtx(KernelCtx):
         inp = self._input(name)
         if inp is None:
             return jnp.zeros((1, 1), dtype=F32)
+        grid = self.block_grid
+        if grid is not None:
+            # mega window: one sample per block, upsampled piecewise-
+            # constant — identical per-frame values to per-block rendering
+            F, n_blocks = grid
+            g = self.in_block_rate_grid(name)
+            return jnp.repeat(g, F, axis=0)
         return self.compiler.lower(inp, Window(self.window.offset, 1))
 
-    def in_grid_samples(self, name: PortName, stride: int, count: int):
+    def in_block_rate_grid(self, name: PortName):
+        """Raw per-block control samples ``(n_blocks, ch)`` of a mega
+        window (for kernels that consume block-rate values structurally,
+        e.g. filter coefficient design)."""
+        import jax.numpy as jnp
+        inp = self._input(name)
+        F, n_blocks = self.block_grid
+        if inp is None:
+            return jnp.zeros((n_blocks, 1), dtype=F32)
+        g = self.compiler.lower(
+            inp, Window(self.window.offset, n_blocks, stride=F))
+        return jnp.broadcast_to(g, (n_blocks, inp.channels))
+
+    def in_grid_samples(self, name: PortName, stride: int, count: int,
+                        ahead: int = 0):
         import jax.numpy as jnp
         inp = self._input(name)
         if inp is None:
             return jnp.zeros((count, 1), dtype=F32)
         ch = inp.channels
         # rendering positions are stride(=block)-aligned, so the absolute
-        # grid maps to static window offsets
+        # grid maps to static window offsets; one strided window covers all
+        # samples (oldest first)
         anchor_off = stride * (self.window.offset // stride)
-        samples = []
-        for j in range(count - 1, -1, -1):
-            off = anchor_off - j * stride
-            s = self.compiler.lower(inp, Window(off, 1))
-            s = jnp.broadcast_to(s, (1, ch))
-            valid = (self.compiler.position + jnp.int32(off)) >= 0
-            samples.append(jnp.where(valid, s, F32(0.0)))
-        return jnp.concatenate(samples, axis=0)
+        start = anchor_off - (count - 1 - ahead) * stride
+        g = self.compiler.lower(inp, Window(start, count, stride=stride))
+        g = jnp.broadcast_to(g, (count, ch))
+        idx = (self.compiler.position + jnp.int32(start) + jnp.int32(stride)
+               * jnp.arange(count, dtype=jnp.int32).reshape(-1, 1))
+        return jnp.where(idx >= 0, g, F32(0.0))
 
     def in_context(self, name: PortName, context_frames: int):
         import jax.numpy as jnp
@@ -366,6 +406,9 @@ class _Compiler:
         self._collected: set[tuple[int, Window]] = set()
         self._stateful_done: set[int] = set()
         self._delays_pending: set[int] = set()
+        #: (block_frames, n_blocks) when tracing one mega window over the
+        #: whole batch (LowerCtx.block_grid keys off it)
+        self.mega: typing.Optional[tuple] = None
 
     # -- window collection --------------------------------------------------
 
@@ -484,9 +527,11 @@ class _Compiler:
             result = jnp.asarray(node.kernel(ctx), dtype=F32)
             result = self._apply_enabled(node, window, result)
 
-        if _is_tap(node) and window == Window(0, self.block_frames):
+        main_frames = (self.mega[0] * self.mega[1] if self.mega
+                       else self.block_frames)
+        if _is_tap(node) and window == Window(0, main_frames):
             self.taps[uid] = jnp.broadcast_to(
-                result, (self.block_frames, node.channels))
+                result, (main_frames, node.channels))
         self._memo[key] = result
         return result
 
@@ -695,6 +740,19 @@ class CompiledPatch:
     #: no unrolling; kept as a knob for directly-attached TPU hosts.
     scan_unroll = 1
 
+    @property
+    def mega_compatible(self) -> bool:
+        """Whether the patch can render a whole batch as one mega window:
+        no delays (feedback is genuinely sequential), no host-fed sources,
+        and any stateful node must offer a carry-free grid lowering."""
+        for node in self.index.order:
+            if _is_delay(node) or _is_host_source(node):
+                return False
+            if (isinstance(node, StatefulEmitter)
+                    and not _is_grid_stateless(node)):
+                return False
+        return True
+
     def render_fn(self, n_blocks: int):
         """Jitted ``(params, carry, position0, host_staged) ->
         (blocks (n, F, ch), carry', taps_staged)``.
@@ -718,7 +776,27 @@ class CompiledPatch:
             return (jnp.int32(position0)
                     + jnp.int32(F) * jnp.arange(n_blocks, dtype=jnp.int32))
 
-        if stateless:
+        if self.mega_compatible and n_blocks > 1:
+            # mega window: the whole batch is ONE traced window — controls
+            # lower to per-block grid samples, filters batch their context
+            # slices internally, upstream audio is computed exactly once
+            index = self.index
+            root = self.root
+            channels = self.channels
+
+            def many(params, carry, position0, host_staged):
+                comp = _Compiler(index)
+                comp.mega = (F, n_blocks)
+                comp.params = params
+                comp.carry_in = {}
+                comp.position = jnp.int32(position0)
+                comp.host = {}
+                block = comp.lower(root, Window(0, n_blocks * F))
+                block = jnp.broadcast_to(block, (n_blocks * F, channels))
+                taps = {uid: t.reshape(n_blocks, F, -1)
+                        for uid, t in comp.taps.items()}
+                return block.reshape(n_blocks, F, channels), carry, taps
+        elif stateless:
             def many(params, carry, position0, host_staged):
                 def one(pos, host):
                     block, _, taps = step_core(params, {}, pos, host)

@@ -215,10 +215,12 @@ class KernelCtx(abc.ABC):
         sampled per block (reference ``forward_at_block_rate``,
         ``chain/__init__.py:305-306``).  Shape ``(1, ch)``."""
 
-    def in_grid_samples(self, name: PortName, stride: int, count: int):
+    def in_grid_samples(self, name: PortName, stride: int, count: int,
+                        ahead: int = 0):
         """``count`` one-frame input samples taken on the absolute
-        ``stride``-aligned grid, at the grid points at-or-before this
-        window's start, oldest first — shape ``(count, ch)``.
+        ``stride``-aligned grid, oldest first — shape ``(count, ch)``.
+        The newest sample sits ``ahead`` grid steps after the grid point
+        at-or-before this window's start (``ahead=0``: pure history).
 
         This is the bounded-memory control-history primitive: a stateless
         node can reconstruct "what happened recently" (gate edges, held
@@ -619,12 +621,12 @@ class PullCtx(KernelCtx):
         return self._port(name).forward_at_block_rate(self.request)
 
     def in_grid_samples(self, name: PortName, stride: int,
-                        count: int) -> np.ndarray:
+                        count: int, ahead: int = 0) -> np.ndarray:
         port_ = self._port(name)
         anchor = (self.request.loc.position // stride) * stride
         samples = []
         for j in range(count - 1, -1, -1):
-            pos = anchor - j * stride
+            pos = anchor - (j - ahead) * stride
             if pos < 0 or not port_:
                 samples.append(Emitter.empty_result())
                 continue

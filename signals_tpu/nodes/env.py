@@ -155,7 +155,18 @@ class ADSR(StatefulEmitter, ImplicitChannels):
         K = self._grid_count(stride, ctx.rate)
         horizon_frames = F32(K * stride)
 
-        g = ctx.in_grid_samples('gate', stride, K)     # (K, ch) oldest first
+        # windows may span several grid cells (mega-window rendering, or
+        # strided control windows): sample the gate across all of them and
+        # evaluate each frame against the state of *its* cell
+        w = getattr(ctx, 'window', None)
+        if w is not None:
+            anchor_off = stride * (w.offset // stride)
+            nb = 1 + (w.end - 1 - anchor_off) // stride
+        else:
+            nb = 1
+        total = K + nb - 1
+
+        g = ctx.in_grid_samples('gate', stride, total, ahead=nb - 1)
         ch = g.shape[1]
         on = g > F32(0.5)
         prev_on = xp.concatenate([on[:1], on[:-1]], axis=0)
@@ -167,8 +178,8 @@ class ADSR(StatefulEmitter, ImplicitChannels):
         fri0 = ctx.frame_range_int[0:1]
         anchor = (fri0 - xp.mod(fri0, stride)).astype(F32)
         pos = anchor + F32(stride) * (
-            xp.arange(K, dtype=np.int32).astype(F32).reshape(-1, 1)
-            - F32(K - 1))                               # (K, 1)
+            xp.arange(total, dtype=np.int32).astype(F32).reshape(-1, 1)
+            - F32(K - 1))                               # (total, 1)
         sentinel = anchor - horizon_frames              # "long ago"
 
         # latest edge positions at-or-before each sample: running maximum
@@ -215,12 +226,14 @@ class ADSR(StatefulEmitter, ImplicitChannels):
         c11, c12, cb1, c21, c22, cb2 = jax.lax.associative_scan(
             combine, (a11, a12, b1, a21, a22, b2), axis=0)
         # applied to the boundary state (0, 0): levels = the b terms
-        lv_on = cb1[-1:]                               # (1, ch)
-        lv_off = cb2[-1:]
+        lv_on_seq = cb1                                 # (total, ch)
+        lv_off_seq = cb2
 
-        gate_now = on[-1:]
-        t_on = t_on_seq[-1:]
-        t_off = t_off_seq[-1:]
+        # evaluate every frame against the state of its own grid cell
+        fri = ctx.frame_range_int                       # (nframes, 1)
+        anchor_int = fri[0:1] - xp.mod(fri[0:1], stride)
+        cell = ((fri - anchor_int) // stride)[:, 0] + (K - 1)   # (nframes,)
         t = ctx.frame_range
-        return self._value(xp, t, gate_now, t_on, t_off, lv_on, lv_off,
+        return self._value(xp, t, on[cell], t_on_seq[cell], t_off_seq[cell],
+                           lv_on_seq[cell], lv_off_seq[cell],
                            A, D, S, R)

@@ -127,11 +127,45 @@ class CritFilter(Effect, abc.ABC):
 
     def kernel(self, ctx: KernelCtx):
         nyquist = ctx.rate_f32 * F32(0.5)
+        grid = getattr(ctx, 'block_grid', None)
+        if grid is not None:
+            return self._mega_kernel(ctx, grid, nyquist)
         coeffs = _filters.design_coupled(ctx.xp, self.type_code(),
                                          self._crits(ctx), nyquist)
         x = ctx.in_context('input', self.context_frames())
         y = ctx.sosfilt(coeffs, x)
         return y[-ctx.nframes:]
+
+    def _mega_kernel(self, ctx, grid, nyquist):
+        """Mega-window lowering: the window spans many blocks.  The input is
+        evaluated ONCE over the whole window (+one leading context), then
+        each block's context slice is gathered and filtered zero-state with
+        that block's coefficients — exactly the per-block semantics, with no
+        duplicated upstream computation and no block loop."""
+        import jax
+        import jax.numpy as jnp
+        F_, nb = grid
+        C = self.context_frames()
+        # per-block coefficients from per-block control samples (aligned to
+        # a common channel count before flattening)
+        grids = self._crits_grid(ctx)                      # each (nb, ch_i)
+        chs = max(g.shape[1] for g in grids)
+        crits = tuple(jnp.broadcast_to(g, (nb, chs)).reshape(1, -1)
+                      for g in grids)                      # (1, nb*chs)
+        coeffs = _filters.design_coupled(jnp, self.type_code(), crits,
+                                         nyquist)          # (nsec, nb*chs, 11)
+        nsec = coeffs.shape[0]
+        coeffs = coeffs.reshape(nsec, nb, chs, 11).transpose(1, 0, 2, 3)
+        # input over [-C, N) — context shared with the window itself
+        x = ctx.in_context('input', C)                     # (C+N, ch)
+        idx = (jnp.arange(nb)[:, None] * F_
+               + jnp.arange(C + F_)[None, :])              # (nb, C+F)
+        xb = x[idx]                                        # (nb, C+F, ch)
+        yb = jax.vmap(ctx.sosfilt)(coeffs, xb)             # (nb, C+F, ch')
+        return yb[:, -F_:, :].reshape(nb * F_, yb.shape[-1])
+
+    def _crits_grid(self, ctx) -> tuple:
+        raise NotImplementedError
 
 
 class SingleCritFilter(CritFilter, abc.ABC):
@@ -140,6 +174,9 @@ class SingleCritFilter(CritFilter, abc.ABC):
     def _crits(self, ctx: KernelCtx) -> tuple:
         return (ctx.in_block_rate('cutoff'),)
 
+    def _crits_grid(self, ctx) -> tuple:
+        return (ctx.in_block_rate_grid('cutoff'),)
+
 
 class DoubleCritFilter(CritFilter, abc.ABC):
     low: Receiver.BoundPort = port('low')
@@ -147,6 +184,10 @@ class DoubleCritFilter(CritFilter, abc.ABC):
 
     def _crits(self, ctx: KernelCtx) -> tuple:
         return (ctx.in_block_rate('low'), ctx.in_block_rate('high'))
+
+    def _crits_grid(self, ctx) -> tuple:
+        return (ctx.in_block_rate_grid('low'),
+                ctx.in_block_rate_grid('high'))
 
 
 @register('signals.chain.fx.LowPass')
