@@ -740,6 +740,12 @@ class CompiledPatch:
     #: no unrolling; kept as a knob for directly-attached TPU hosts.
     scan_unroll = 1
 
+    #: opt-in: mega-window rendering is semantically exact (parity-tested)
+    #: but measured slower than the vmapped per-block path on v5e for the
+    #: benchmark patches (the window-wide filter batching pressures HBM);
+    #: kept as a knob — it wins when control subgraphs dominate.
+    enable_mega = False
+
     @property
     def mega_compatible(self) -> bool:
         """Whether the patch can render a whole batch as one mega window:
@@ -776,7 +782,7 @@ class CompiledPatch:
             return (jnp.int32(position0)
                     + jnp.int32(F) * jnp.arange(n_blocks, dtype=jnp.int32))
 
-        if self.mega_compatible and n_blocks > 1:
+        if self.enable_mega and self.mega_compatible and n_blocks > 1:
             # mega window: the whole batch is ONE traced window — controls
             # lower to per-block grid samples, filters batch their context
             # slices internally, upstream audio is computed exactly once

@@ -358,3 +358,49 @@ def test_wavetable_is_trainable():
     uid = compiled.index.info(wt).uid
     g = np.asarray(grads[uid]['table'])
     assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+
+def test_mega_window_render_matches_block_render():
+    """Mega-window mode (whole batch as one traced window) is semantically
+    identical to per-block rendering, including swept filters and ADSR."""
+    import signals_tpu.compiler as C
+
+    def build():
+        saw = Sawtooth()
+        saw.hertz = fixed(110.0)
+        lfo = Sine()
+        lfo.hertz = fixed(1.5)
+        depth = Gain()
+        depth.left = lfo
+        depth.right = fixed(900.0)
+        cut = Mix()
+        cut.left = depth
+        cut.right = fixed(2000.0)
+        cut.mix = fixed(0.5)
+        lp = LowPass()
+        lp.input = saw
+        lp.cutoff = cut
+        gate = Square()
+        gate.hertz = fixed(2.0)
+        env = ADSR()
+        env.gate = gate
+        voiced = RingMod()
+        voiced.left = lp
+        voiced.right = env
+        return voiced
+
+    block_c = compile_node(build(), block_frames=F, rate=RATE, channels=1)
+    assert not block_c.enable_mega
+    ref, _ = block_c.render(n_blocks=20)
+
+    mega_root = build()
+    C._compile_cache.clear()
+    mega_c = compile_node(mega_root, block_frames=F, rate=RATE, channels=1)
+    mega_c.enable_mega = True
+    assert mega_c.mega_compatible
+    out, _ = mega_c.render(n_blocks=20)
+    C._compile_cache.clear()
+    assert np.abs(out - ref).max() <= 1e-5
+    # seek equivalence in mega mode too
+    out2, _ = mega_c.render(position=8 * F, n_blocks=4)
+    assert np.abs(out2 - ref[8 * F:12 * F]).max() <= 1e-5
