@@ -86,6 +86,48 @@ class Amp(BinaryEffect):
         return xp.sign(x) * xp.abs(x) ** exp
 
 
+@register()
+class Drive(Effect):
+    """Soft saturation: ``tanh(input * drive) / tanh(drive)`` with the
+    drive amount at block rate (normalized so unity passes through at low
+    drive).  The classic waveshaper distortion stage the reference lacks."""
+
+    input: Receiver.BoundPort = port('input')
+    drive: Receiver.BoundPort = port('drive')
+
+    def kernel(self, ctx: KernelCtx):
+        xp = ctx.xp
+        x = ctx.in_('input')
+        d = xp.maximum(ctx.in_block_rate('drive'), F32(1e-3))
+        return xp.tanh(x * d) / xp.tanh(d)
+
+
+@register()
+class Pan(Effect):
+    """Equal-power stereo panner: mono in, two channels out.  ``position``
+    (block rate) in [-1, 1], left to right."""
+
+    input: Receiver.BoundPort = port('input')
+    position: Receiver.BoundPort = port('position')
+
+    @property
+    def channels(self) -> int:
+        return 2
+
+    def kernel(self, ctx: KernelCtx):
+        xp = ctx.xp
+        x = ctx.in_full('input')
+        mono = (x if x.shape[1] == 1
+                else xp.mean(x, axis=1, keepdims=True))
+        p = xp.clip(ctx.in_block_rate('position'), F32(-1.0), F32(1.0))
+        theta = (p[:, :1] + F32(1.0)) * F32(np.pi / 4)
+        left = mono * xp.cos(theta)
+        right = mono * xp.sin(theta)
+        return xp.concatenate(
+            [xp.broadcast_to(left, (ctx.nframes, 1)),
+             xp.broadcast_to(right, (ctx.nframes, 1))], axis=1)
+
+
 class CritFilter(Effect, abc.ABC):
     """Critically-tuned order-2 Butterworth filtering
     (reference ``fx.py:63-121``).

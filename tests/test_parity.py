@@ -404,3 +404,29 @@ def test_mega_window_render_matches_block_render():
     # seek equivalence in mega mode too
     out2, _ = mega_c.render(position=8 * F, n_blocks=4)
     assert np.abs(out2 - ref[8 * F:12 * F]).max() <= 1e-5
+
+
+def test_drive_and_pan():
+    from signals_tpu.nodes.fx import Drive, Pan
+    saw = Sawtooth()
+    saw.hertz = fixed(220.0)
+    d = Drive()
+    d.input = saw
+    d.drive = fixed(4.0)
+    _parity(d)
+    p = Pan()
+    p.input = saw
+    lfo = Sine()
+    lfo.hertz = fixed(0.5)
+    p.position = lfo
+    audio = _parity(p, channels=2)
+    # equal-power: total power constant regardless of pan position
+    power = (audio ** 2).sum(axis=1)
+    saw_ref = pull_blocks_sawref() ** 2
+    np.testing.assert_allclose(power, saw_ref[:, 0], rtol=1e-4, atol=1e-5)
+
+
+def pull_blocks_sawref():
+    saw = Sawtooth()
+    saw.hertz = fixed(220.0)
+    return pull_blocks(saw, 16, block_frames=F, rate=RATE, channels=1)
