@@ -141,7 +141,8 @@ class _GraphIndex:
         from signals_tpu.compiler import filters as _filters
         h = hashlib.sha3_256()
         h.update(f'F={self.block_frames};R={self.rate};C={self.channels};'
-                 f'I={_filters.FILTER_IMPL}'.encode())
+                 f'I={_filters.FILTER_IMPL};M={_filters.MEGA_FILTER_IMPL}'
+                 .encode())
         for node in self.order:
             info = self.info(node)
             h.update(f'|{info.uid}:{node.cls_name()}'.encode())

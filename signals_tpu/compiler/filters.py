@@ -48,6 +48,11 @@ _WN_MAX = 1.0 - 1e-5
 FILTER_IMPL = 'assoc'
 CHUNK_FRAMES = 16
 
+#: how mega-window filter batches execute: 'vmap' (associative scan per
+#: block) or 'pallas' (the batched VMEM-resident kernel,
+#: :func:`signals_tpu.compiler.pallas_kernels.sosfilt_batch`)
+MEGA_FILTER_IMPL = 'vmap'
+
 
 def sosfilt(coeffs, x):
     """Dispatch to the configured IIR execution strategy."""

@@ -106,6 +106,124 @@ def _build_section_call(n_padded: int, c_padded: int, interpret: bool):
     return jax.jit(call)
 
 
+LANE_GROUP = 1024          # lanes per kernel instance, viewed as (8, 128)
+ROW_CHUNK = 256            # frames streamed per grid step
+
+
+def _batch_kernel(coef_ref, x_ref, out_ref, state_ref, *, nsec: int,
+                  rows: int):
+    """One (lane_group, row_chunk) grid step of the batched cascade.
+
+    ``x_ref``/``out_ref``: (ROW_CHUNK, LANE_GROUP) — frames × flattened
+    (block, channel) lanes; ``coef_ref``: (nsec, 8, LANE_GROUP) packed
+    [rc rs d0 d1 d2 0 0 0]; ``state_ref``: persistent (nsec*2, 8, 128)
+    VMEM scratch carrying the recurrence across row chunks of the same
+    lane group (grid iterates row chunks innermost).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    rc_idx = pl.program_id(1)
+
+    @pl.when(rc_idx == 0)
+    def _():
+        state_ref[...] = jnp.zeros_like(state_ref)
+
+    params = []
+    for s in range(nsec):
+        row = coef_ref[s]                  # (8, LANE_GROUP)
+        params.append(tuple(row[k].reshape(8, 128) for k in range(5)))
+
+    def body(r, _):
+        v = x_ref[r, :].reshape(8, 128)
+        for s in range(nsec):
+            prc, prs, d0, d1, d2 = params[s]
+            s1 = state_ref[2 * s]
+            s2 = state_ref[2 * s + 1]
+            y = d0 * v + d1 * s1 + d2 * s2
+            state_ref[2 * s] = prc * s1 - prs * s2 + v
+            state_ref[2 * s + 1] = prs * s1 + prc * s2
+            v = y
+        out_ref[r, :] = v.reshape(LANE_GROUP)
+        return 0
+
+    jax.lax.fori_loop(0, rows, body, 0)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_batch_call(n_rows: int, n_lanes: int, nsec: int,
+                      interpret: bool):
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lane_groups = n_lanes // LANE_GROUP
+    row_chunks = n_rows // ROW_CHUNK
+    kernel = functools.partial(_batch_kernel, nsec=nsec, rows=ROW_CHUNK)
+
+    def call(coeffs, x):
+        return pl.pallas_call(
+            kernel,
+            grid=(lane_groups, row_chunks),
+            in_specs=[
+                pl.BlockSpec((nsec, 8, LANE_GROUP),
+                             lambda lg, rc: (0, 0, lg),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_CHUNK, LANE_GROUP),
+                             lambda lg, rc: (rc, lg),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((ROW_CHUNK, LANE_GROUP),
+                                   lambda lg, rc: (rc, lg),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_rows, n_lanes), np.float32),
+            scratch_shapes=[pltpu.VMEM((nsec * 2, 8, 128), np.float32)],
+            interpret=interpret,
+        )(coeffs, x)
+
+    return jax.jit(call)
+
+
+def sosfilt_batch(coeffs, x_t, *, interpret: bool = False):
+    """Batched zero-state cascade: frames sequential, everything else in
+    lanes at full VPU width.
+
+    ``x_t``: ``(L, B, ch)`` — L frames of B independent segments (e.g. the
+    per-block context slices of a mega window) × ch channels/voices.
+    ``coeffs``: ``(B, nsec, ch, 11)`` per-segment ``design_coupled`` output.
+    Returns ``(L, B, ch)``.  One HBM read of x and one write of y; the
+    recurrence state lives in VMEM across the row stream.
+    """
+    import jax.numpy as jnp
+
+    x_t = jnp.asarray(x_t, dtype=jnp.float32)
+    coeffs = jnp.asarray(coeffs, dtype=jnp.float32)
+    L, B, ch = x_t.shape
+    nsec = coeffs.shape[1]
+    # broadcast channel axes to a common width
+    chc = coeffs.shape[2]
+    chx = max(ch, chc)
+    x_t = jnp.broadcast_to(x_t, (L, B, chx))
+    coeffs = jnp.broadcast_to(coeffs, (B, nsec, chx, 11))
+
+    lanes = B * chx
+    lanes_pad = _round_up(lanes, LANE_GROUP)
+    rows_pad = _round_up(L, ROW_CHUNK)
+    x2 = x_t.reshape(L, lanes)
+    x2 = jnp.pad(x2, ((0, rows_pad - L), (0, lanes_pad - lanes)))
+
+    # pack per-lane parameters [rc rs d0 d1 d2 pad...] as (nsec, 8, lanes)
+    sel = jnp.stack([coeffs[..., 6], coeffs[..., 7], coeffs[..., 8],
+                     coeffs[..., 9], coeffs[..., 10]], axis=0)  # (5,B,nsec,ch)
+    sel = sel.transpose(2, 0, 1, 3).reshape(nsec, 5, lanes)
+    sel = jnp.pad(sel, ((0, 0), (0, 3), (0, lanes_pad - lanes)))
+
+    call = _build_batch_call(rows_pad, lanes_pad, nsec, interpret)
+    y = call(sel, x2)
+    return y[:L, :lanes].reshape(L, B, chx)
+
+
 def sosfilt_pallas(coeffs, x, *, interpret: bool = False):
     """Drop-in equivalent of
     :func:`signals_tpu.compiler.filters.sosfilt_scan` running as a Pallas

@@ -203,7 +203,12 @@ class CritFilter(Effect, abc.ABC):
         idx = (jnp.arange(nb)[:, None] * F_
                + jnp.arange(C + F_)[None, :])              # (nb, C+F)
         xb = x[idx]                                        # (nb, C+F, ch)
-        yb = jax.vmap(ctx.sosfilt)(coeffs, xb)             # (nb, C+F, ch')
+        if _filters.MEGA_FILTER_IMPL == 'pallas':
+            from signals_tpu.compiler.pallas_kernels import sosfilt_batch
+            yt = sosfilt_batch(coeffs, xb.transpose(1, 0, 2))
+            yb = yt.transpose(1, 0, 2)                     # (nb, C+F, ch')
+        else:
+            yb = jax.vmap(ctx.sosfilt)(coeffs, xb)         # (nb, C+F, ch')
         return yb[:, -F_:, :].reshape(nb * F_, yb.shape[-1])
 
     def _crits_grid(self, ctx) -> tuple:
