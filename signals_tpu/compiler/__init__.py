@@ -102,6 +102,10 @@ def _is_grid_stateless(node) -> bool:
     return getattr(node, 'is_grid_stateless', False)
 
 
+def _is_stateful(node) -> bool:
+    return isinstance(node, StatefulEmitter) and node.is_stateful()
+
+
 def _is_tap(node) -> bool:
     return bool(node.flags() & (SignalFlags.VIS | SignalFlags.RECORDER))
 
@@ -238,6 +242,12 @@ class _CollectCtx(KernelCtx):
         coeffs = np.asarray(coeffs)
         ch = max(coeffs.shape[1], x.shape[1])
         return np.zeros((x.shape[0], ch), dtype=F32)
+
+    def sosfilt_stream(self, coeffs, x, zi):
+        coeffs = np.asarray(coeffs)
+        ch = max(coeffs.shape[1], x.shape[1], np.asarray(zi).shape[-1])
+        return (np.zeros((x.shape[0], ch), dtype=F32),
+                np.zeros_like(np.asarray(zi)))
 
 
 # --- lowering pass -----------------------------------------------------------
@@ -388,6 +398,10 @@ class LowerCtx(KernelCtx):
         from signals_tpu.compiler import filters as _filters
         return _filters.sosfilt(coeffs, x)
 
+    def sosfilt_stream(self, coeffs, x, zi):
+        from signals_tpu.compiler import filters as _filters
+        return _filters.sosfilt_stream(coeffs, x, zi)
+
 
 class _Compiler:
     """One trace of one patch at one (block_frames, rate, channels)."""
@@ -443,7 +457,7 @@ class _Compiler:
                 for j in range(count):
                     self.collect(inp, Window(anchor_off - j * stride, 1))
             return
-        if isinstance(node, StatefulEmitter):
+        if _is_stateful(node):
             # stateful nodes step once per block at the main window
             ctx = _CollectCtx(self, node, Window(0, self.block_frames))
             carry = node.init_carry(channels=node.channels, rate=self.rate,
@@ -493,7 +507,7 @@ class _Compiler:
                 carry[info.uid] = node.init_carry(
                     channels=node.channels, rate=self.rate,
                     block_frames=self.block_frames, history=hist)
-            elif isinstance(node, StatefulEmitter):
+            elif _is_stateful(node):
                 c = node.init_carry(channels=node.channels, rate=self.rate,
                                     block_frames=self.block_frames)
                 if hist > 0:
@@ -521,7 +535,7 @@ class _Compiler:
                 node.grid_kernel(ctx, self.block_frames), dtype=F32)
             enabled = self.node_param(node, 'enabled')
             result = jnp.where(enabled, result, F32(0.0))
-        elif isinstance(node, StatefulEmitter):
+        elif _is_stateful(node):
             result = self._lower_stateful(node, window)
         else:
             ctx = LowerCtx(self, node, window)
@@ -755,8 +769,7 @@ class CompiledPatch:
         for node in self.index.order:
             if _is_delay(node) or _is_host_source(node):
                 return False
-            if (isinstance(node, StatefulEmitter)
-                    and not _is_grid_stateless(node)):
+            if _is_stateful(node) and not _is_grid_stateless(node):
                 return False
         return True
 

@@ -63,6 +63,54 @@ def sosfilt(coeffs, x):
         return sosfilt_pallas(coeffs, x)
     return sosfilt_scan(coeffs, x)
 
+
+def sosfilt_stream(coeffs, x, zi):
+    """Stateful cascade: continue from (and return) the coupled-form state
+    ``zi`` of shape ``(nsec, 2, ch)`` — the streaming-filter primitive.
+    Same associative-scan execution as :func:`sosfilt_scan`, plus the
+    initial-state contribution through the cumulative transition products.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    coeffs = jnp.asarray(coeffs, dtype=jnp.float32)
+    x = jnp.asarray(x, dtype=jnp.float32)
+    zi = jnp.asarray(zi, dtype=jnp.float32)
+    nsec = coeffs.shape[0]
+    n, ch_x = x.shape
+    ch = max(coeffs.shape[1], ch_x, zi.shape[-1])
+    x = jnp.broadcast_to(x, (n, ch))
+    zf = []
+
+    for s in range(nsec):
+        rc, rs, d0, d1, d2 = (p[None] for p in
+                              _coupled_params(jnp, coeffs, s))
+        s1_0 = jnp.broadcast_to(zi[s, 0], (ch,))
+        s2_0 = jnp.broadcast_to(zi[s, 1], (ch,))
+        ac = jnp.broadcast_to(rc, (n, ch))
+        as_ = jnp.broadcast_to(rs, (n, ch))
+        c1 = x
+        c2 = jnp.zeros_like(x)
+
+        def combine(left, right):
+            lac, las, lc1, lc2 = left
+            rac, ras, rc1, rc2 = right
+            return (rac * lac - ras * las,
+                    ras * lac + rac * las,
+                    rac * lc1 - ras * lc2 + rc1,
+                    ras * lc1 + rac * lc2 + rc2)
+
+        pc, ps, z1, z2 = jax.lax.associative_scan(
+            combine, (ac, as_, c1, c2), axis=0)
+        # add the initial state propagated by the cumulative rotations
+        s1 = z1 + pc * s1_0 - ps * s2_0
+        s2 = z2 + ps * s1_0 + pc * s2_0
+        s1_prev = jnp.concatenate([s1_0[None], s1[:-1]], axis=0)
+        s2_prev = jnp.concatenate([s2_0[None], s2[:-1]], axis=0)
+        x = d0 * x + d1 * s1_prev + d2 * s2_prev
+        zf.append(jnp.stack([s1[-1], s2[-1]]))
+    return x, jnp.stack(zf)
+
 _SQRT2 = math.sqrt(2.0)
 
 

@@ -249,6 +249,13 @@ class KernelCtx(abc.ABC):
     def param(self, name: str):
         """Value of a traced state param."""
 
+    def sosfilt_stream(self, coeffs, x, zi):
+        """Stateful SOS cascade: continue from state ``zi`` (nsec, 2, ch),
+        returning ``(y, zi')``.  Each engine keeps its own state
+        convention (scipy TDF2 in the pull engine, coupled form in the
+        compiled engine); trajectories from zero state are equivalent."""
+        raise NotImplementedError
+
     @abc.abstractmethod
     def sosfilt(self, coeffs, x):
         """Causal second-order-section cascade from zero initial state.
@@ -540,6 +547,12 @@ class StatefulEmitter(BlockCachingEmitter, abc.ABC):
     engine threads carry through ``lax.scan``.
     """
 
+    def is_stateful(self) -> bool:
+        """Nodes may be conditionally stateful (e.g. filters only in
+        streaming mode); when False, both engines use the plain stateless
+        kernel path."""
+        return True
+
     @abc.abstractmethod
     def init_carry(self, *, channels: int, rate: int,
                    block_frames: int) -> dict[str, np.ndarray]:
@@ -565,6 +578,9 @@ class StatefulEmitter(BlockCachingEmitter, abc.ABC):
         self._block_cache.clear()
 
     def _eval(self, request: Request) -> np.ndarray:
+        if not self.is_stateful():
+            return np.asarray(self.kernel(PullCtx(self, request)),
+                              dtype=FLOAT)
         loc = request.loc
         if self._carry is None or loc.position < (self._carry_position or 0):
             self._carry = self.init_carry(channels=self.channels,
@@ -680,3 +696,22 @@ class PullCtx(KernelCtx):
             sos = np.ascontiguousarray(coeffs[:, min(c, coeffs.shape[1] - 1), :])
             out[:, c] = scipy.signal.sosfilt(sos, x64[:, c], axis=0)
         return out.astype(FLOAT)
+
+    def sosfilt_stream(self, coeffs, x, zi):
+        import scipy.signal
+        coeffs = np.asarray(coeffs, dtype=np.float64)[:, :, :6]
+        x64 = np.asarray(x, dtype=np.float64)
+        nsec, chc, _ = coeffs.shape
+        ch = max(chc, x64.shape[1], zi.shape[-1])
+        x64 = np.broadcast_to(x64, (x64.shape[0], ch))
+        zi = np.broadcast_to(np.asarray(zi, dtype=np.float64),
+                             (nsec, 2, ch))
+        out = np.empty_like(x64)
+        zf = np.empty((nsec, 2, ch))
+        for c in range(ch):
+            sos = np.ascontiguousarray(coeffs[:, min(c, chc - 1), :])
+            out[:, c], zfc = scipy.signal.sosfilt(
+                sos, x64[:, c], axis=0,
+                zi=np.ascontiguousarray(zi[:, :, c]))
+            zf[:, :, c] = zfc
+        return out.astype(FLOAT), zf.astype(FLOAT)

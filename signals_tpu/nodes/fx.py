@@ -23,6 +23,7 @@ from signals_tpu.graph import (
     ImplicitChannels,
     KernelCtx,
     Receiver,
+    StatefulEmitter,
     port,
 )
 from signals_tpu.registry import register
@@ -128,7 +129,7 @@ class Pan(Effect):
              xp.broadcast_to(right, (ctx.nframes, 1))], axis=1)
 
 
-class CritFilter(Effect, abc.ABC):
+class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
     """Critically-tuned order-2 Butterworth filtering
     (reference ``fx.py:63-121``).
 
@@ -145,18 +146,51 @@ class CritFilter(Effect, abc.ABC):
     cache's reuse pattern — an ill-defined corner.  1024 frames make the
     window approximation ~1e-7 for cutoffs down to ~150 Hz.  Set
     ``context=100`` for reference-exact windows.
+
+    ``streaming=True`` switches to **exact IIR**: filter state is carried
+    across blocks instead of recomputed from context — no window
+    approximation at all, at the cost of sequential block rendering and
+    position-dependent state (seeking resets it).
     """
 
     input: Receiver.BoundPort = port('input')
 
     order = 2
 
-    class State(Effect.State):
+    class State(StatefulEmitter.State):
         #: structural: frames of input history recomputed each block
         context: int = Param(1024, validate=ge(1))
+        #: structural: exact carried-state IIR instead of context windows
+        streaming: bool = Param(False)
+
+    @classmethod
+    def flags(cls) -> SignalFlags:
+        return super().flags() | SignalFlags.EFFECT
+
+    def is_stateful(self) -> bool:
+        return self._state.streaming
+
+    @property
+    def n_sections(self) -> int:
+        return 2 if self.type_code() in (_filters.BANDPASS,
+                                         _filters.BANDSTOP) else 1
+
+    def init_carry(self, *, channels: int, rate: int,
+                   block_frames: int) -> dict:
+        return {'zi': np.zeros((self.n_sections, 2, channels),
+                               dtype=F32)}
+
+    def step(self, ctx: KernelCtx, carry: dict):
+        nyquist = ctx.rate_f32 * F32(0.5)
+        coeffs = _filters.design_coupled(ctx.xp, self.type_code(),
+                                         self._crits(ctx), nyquist)
+        x = ctx.xp.broadcast_to(ctx.in_('input'),
+                                (ctx.nframes, self.channels))
+        y, zf = ctx.sosfilt_stream(coeffs, x, carry['zi'])
+        return y, {'zi': zf}
 
     def context_frames(self) -> int:
-        return self._state.context
+        return 0 if self._state.streaming else self._state.context
 
     @abc.abstractmethod
     def type_code(self) -> str:

@@ -430,3 +430,49 @@ def pull_blocks_sawref():
     saw = Sawtooth()
     saw.hertz = fixed(220.0)
     return pull_blocks(saw, 16, block_frames=F, rate=RATE, channels=1)
+
+
+def test_streaming_filter_is_exact_iir():
+    """streaming=True carries filter state: output equals scipy filtering
+    of the ENTIRE signal (no context-window approximation), and the two
+    engines agree."""
+    import scipy.signal
+    from signals_tpu.compiler.filters import design_coupled
+
+    def build():
+        saw = Sawtooth()
+        saw.hertz = fixed(110.0)
+        lp = LowPass()
+        lp.get_state().streaming = True
+        lp.input = saw
+        lp.cutoff = fixed(300.0)   # slow filter: context mode approximates
+        return lp, saw
+
+    lp, _ = build()
+    compiled = compile_node(lp, block_frames=F, rate=RATE, channels=1)
+    assert compiled.carry0                       # carried state present
+    audio, _ = compiled.render(n_blocks=16)
+
+    # ground truth: whole-signal scipy filtering from zero state
+    src = Sawtooth()
+    src.hertz = fixed(110.0)
+    x = pull_blocks(src, 16, block_frames=F, rate=RATE, channels=1)
+    co = design_coupled(np, 'lp', [np.array([[300.0]], dtype=np.float32)],
+                        RATE / 2)
+    truth = scipy.signal.sosfilt(co[:, 0, :6].astype(np.float64),
+                                 x[:, 0].astype(np.float64))
+    assert np.abs(audio[:, 0] - truth).max() <= 2e-5
+
+    # engines agree
+    lp2, _ = build()
+    oracle = pull_blocks(lp2, 16, block_frames=F, rate=RATE, channels=1)
+    assert np.abs(audio - oracle).max() <= 2e-5
+
+    # and streaming is resumable through the carry
+    lp3, _ = build()
+    from signals_tpu.compiler import _compile_cache
+    _compile_cache.clear()
+    c3 = compile_node(lp3, block_frames=F, rate=RATE, channels=1)
+    a, carry = c3.render(n_blocks=8)
+    b, _ = c3.render(position=8 * F, n_blocks=8, carry=carry)
+    np.testing.assert_array_equal(np.concatenate([a, b]), audio)
