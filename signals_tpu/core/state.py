@@ -56,7 +56,11 @@ def instance_of(*types: type) -> Validator:
 
 def ge(bound) -> Validator:
     def check(v):
-        if not v >= bound:
+        try:
+            ok = v >= bound
+        except TypeError:
+            return f'must be a number >= {bound}'
+        if not ok:
             return f'must be >= {bound}'
     return check
 
@@ -64,7 +68,11 @@ def ge(bound) -> Validator:
 def in_range(lo, hi) -> Validator:
     """Inclusive range check (used by device channel validators)."""
     def check(v):
-        if not (lo <= v <= hi):
+        try:
+            ok = lo <= v <= hi
+        except TypeError:
+            return f'must be a number in [{lo}, {hi}]'
+        if not ok:
             return f'must be in [{lo}, {hi}]'
     return check
 

@@ -41,6 +41,7 @@ from signals_tpu.core.state import (
     Param,
     State,
     instance_of,
+    all_of,
     ge,
 )
 from signals_tpu import registry as _registry
@@ -442,7 +443,7 @@ class Receiver(Signal, abc.ABC):
 class ExplicitChannels(Signal, abc.ABC):
 
     class State(Signal.State):
-        channels: int = Param(1, validate=ge(1))
+        channels: int = Param(1, validate=all_of(instance_of(int), ge(1)))
 
 
 class ExplicitChannelsEmitter(ExplicitChannels, Emitter, abc.ABC):

@@ -234,6 +234,14 @@ class BadProperty(BadName):
                          options=signal.state_attrs())
 
 
+class BadPropertyValue(MapError):
+    """A state value rejected by the param's validator, surfaced as a map
+    layer error so the REPL prints it cleanly."""
+
+    def __init__(self, at: Coordinates, cause: BadStateValue):
+        super().__init__(at, str(cause))
+
+
 class BadSignalClass(MapError):
 
     def __init__(self, at: Coordinates, signal: Signal, expected: type):
@@ -612,6 +620,6 @@ class Map:
                 raise BadProperty(at, signal, k)
             try:
                 setattr(new_state, k, v)
-            except BadStateValue:
-                raise
+            except BadStateValue as e:
+                raise BadPropertyValue(at, e) from e
         signal.set_state(new_state)

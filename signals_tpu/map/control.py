@@ -860,6 +860,13 @@ class Controller(cmd.Cmd):
                     print(str(e), file=self.stdout)
                 else:
                     raise
+            except OSError as e:
+                # e.g. bounce/save/export to an unwritable path — a clean
+                # one-liner, not an internal error
+                if self.interactive:
+                    print(f'IO error: {e}', file=self.stdout)
+                else:
+                    raise
             except Exception:
                 print('Unexpected error:', file=self.stdout)
                 print(traceback.format_exc(), file=self.stdout)

@@ -14,7 +14,7 @@ import numpy as np
 
 from signals_tpu import SignalFlags
 from signals_tpu.core import ChainLayerError, Request
-from signals_tpu.core.state import Param, ge
+from signals_tpu.core.state import Param, all_of, ge, instance_of
 from signals_tpu.graph import (
     ExplicitChannels,
     KernelCtx,
@@ -36,7 +36,7 @@ class Delay(StatefulEmitter, ExplicitChannels, Receiver):
 
     class State(ExplicitChannels.State, StatefulEmitter.State):
         #: delay length in frames (structural: sizes the carry buffer)
-        frames: int = Param(4410, validate=ge(1))
+        frames: int = Param(4410, validate=all_of(instance_of(int), ge(1)))
 
     @classmethod
     def flags(cls) -> SignalFlags:

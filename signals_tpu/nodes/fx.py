@@ -17,7 +17,7 @@ import numpy as np
 
 from signals_tpu import SignalFlags
 from signals_tpu.compiler import filters as _filters
-from signals_tpu.core.state import Param, ge
+from signals_tpu.core.state import Param, all_of, ge, instance_of
 from signals_tpu.graph import (
     BlockCachingEmitter,
     ImplicitChannels,
@@ -159,9 +159,9 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
 
     class State(StatefulEmitter.State):
         #: structural: frames of input history recomputed each block
-        context: int = Param(1024, validate=ge(1))
+        context: int = Param(1024, validate=all_of(instance_of(int), ge(1)))
         #: structural: exact carried-state IIR instead of context windows
-        streaming: bool = Param(False)
+        streaming: bool = Param(False, validate=instance_of(bool))
 
     @classmethod
     def flags(cls) -> SignalFlags:

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 from signals_tpu import SignalFlags
-from signals_tpu.core.state import Param, array_2d, ge
+from signals_tpu.core.state import Param, all_of, array_2d, ge, instance_of
 from signals_tpu.graph import BlockCachingEmitter, Emitter, KernelCtx
 from signals_tpu.registry import register
 
@@ -47,7 +47,7 @@ class _SeqBase(BlockCachingEmitter):
                                    convert=_track, traced=True)
         ends: np.ndarray = Param(_empty_track, validate=array_2d,
                                  convert=_track, traced=True)
-        loop: int = Param(0, validate=ge(0))
+        loop: int = Param(0, validate=all_of(instance_of(int), ge(0)))
 
     @classmethod
     def flags(cls) -> SignalFlags:

@@ -14,7 +14,7 @@ import abc
 import numpy as np
 
 from signals_tpu import SignalFlags
-from signals_tpu.core.state import Param, ge
+from signals_tpu.core.state import Param, all_of, ge, instance_of
 from signals_tpu.graph import (
     BlockCachingEmitter,
     KernelCtx,
@@ -63,7 +63,7 @@ class Select(Scalar):
     range (reference ``shape.py:44-57``, kept 2-D)."""
 
     class State(Scalar.State):
-        index: int = Param(0, validate=ge(0))
+        index: int = Param(0, validate=all_of(instance_of(int), ge(0)))
 
     def kernel(self, ctx: KernelCtx):
         ch = ctx.in_channels('input')

@@ -288,3 +288,34 @@ def test_plot_and_export_commands(tmp_path):
     svg = tmp_path / 'patch.svg'
     run(ctl, f'export {svg}')
     assert b'<svg' in svg.read_bytes()
+
+
+def test_bad_state_values_rejected_at_add():
+    """Structural params validate types at the command surface: a stray
+    string into a bool or a float into an int must not slip through to
+    compile time (where it would surface as an opaque trace error)."""
+    ctl = make_controller()
+    for bad in (
+        '+ 1a signals_tpu.nodes.fx.LowPass streaming=banana',
+        '+ 1b signals_tpu.nodes.fx.LowPass context=7.5',
+        '+ 1c signals_tpu.nodes.delay.Delay frames=0.5',
+        '+ 1d signals_tpu.nodes.env.ADSR attack=fast',
+    ):
+        with pytest.raises(MapLayerError):
+            ctl.default(bad)
+    # the valid forms still work
+    run(ctl,
+        '+ 2a signals_tpu.nodes.fx.LowPass streaming=true context=128',
+        '+ 2b signals_tpu.nodes.delay.Delay frames=100')
+
+
+def test_io_error_is_clean_in_interactive_mode():
+    ctl = make_controller(interactive=True)
+    run(ctl,
+        'sink 7a null',
+        '+ 1a signals_tpu.nodes.osc.Sine',
+        '> 1a 7a.input',
+        'bounce 7a /nonexistent_dir_xyz/out.wav 0.01')
+    out = ctl.stdout.getvalue()
+    assert 'IO error:' in out
+    assert 'Traceback' not in out
