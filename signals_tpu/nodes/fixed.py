@@ -30,7 +30,7 @@ class Fixed(Emitter):
             _empty_value,
             validate=array_2d,
             convert=lambda v: np.asarray(v, dtype=np.float32)
-            if isinstance(v, np.ndarray) else v,
+            if isinstance(v, (np.ndarray, list, tuple)) else v,
             traced=True)
 
     @classmethod

@@ -34,7 +34,7 @@ def _empty_track() -> np.ndarray:
 
 def _track(v):
     return (np.asarray(v, dtype=np.float32)
-            if isinstance(v, np.ndarray) else v)
+            if isinstance(v, (np.ndarray, list, tuple)) else v)
 
 
 class _SeqBase(BlockCachingEmitter):

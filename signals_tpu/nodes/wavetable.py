@@ -55,7 +55,7 @@ class Wavetable(BlockCachingEmitter, ImplicitChannels):
             _default_table,
             validate=array_2d,
             convert=lambda v: np.asarray(v, dtype=np.float32)
-            if isinstance(v, np.ndarray) else v,
+            if isinstance(v, (np.ndarray, list, tuple)) else v,
             traced=True)
 
     @classmethod
