@@ -81,7 +81,7 @@ def main(midi_path='/tmp/demo.mid', out_path='/tmp/midi_poly.wav'):
     root, gate, pitch, vel = build_voice()
     poly = sequenced_poly(root, gate=gate, pitch=pitch, velocity=vel,
                           notes=notes, n_voices=8, release=0.25,
-                          rate=RATE, channels=1)
+                          rate=RATE, channels=1, layout='channels')
     seconds = max(n.end for n in notes) + 0.3
     n_blocks = int(seconds * RATE) // poly.compiled.block_frames + 1
     audio, _ = poly.render(n_blocks=n_blocks)

@@ -38,9 +38,10 @@ def _track(v):
 
 
 class _SeqBase(BlockCachingEmitter):
-    """Shared event-track machinery.  ``starts``/``ends`` are ``(1, E)``
-    frame positions; ``loop`` > 0 wraps the timeline every ``loop``
-    frames."""
+    """Shared event-track machinery.  ``starts``/``ends`` are ``(C, E)``
+    frame positions — one event row per output channel (``C = 1`` for the
+    usual mono track; per-voice rows under the channel-voices polyphony
+    layout); ``loop`` > 0 wraps the timeline every ``loop`` frames."""
 
     class State(Emitter.State):
         starts: np.ndarray = Param(_empty_track, validate=array_2d,
@@ -55,7 +56,7 @@ class _SeqBase(BlockCachingEmitter):
 
     @property
     def channels(self) -> int:
-        return 1
+        return self._state.starts.shape[0]
 
     def _timeline(self, ctx: KernelCtx):
         n = ctx.frame_range_int
@@ -88,13 +89,13 @@ class GateSeq(_SeqBase):
 
     def kernel(self, ctx: KernelCtx):
         xp = ctx.xp
-        starts = ctx.param('starts')          # (1, E)
+        starts = ctx.param('starts')          # (C, E)
         ends = ctx.param('ends')
         if starts.shape[1] == 0:
             return np.zeros((1, 1), dtype=F32)
-        n = self._timeline(ctx)               # (F, 1)
-        active = (n >= starts) & (n < ends)   # (F, E)
-        return xp.max(active.astype(F32), axis=1, keepdims=True)
+        n = self._timeline(ctx)[:, :, None]   # (F, 1, 1)
+        active = (n >= starts) & (n < ends)   # (F, C, E)
+        return xp.max(active.astype(F32), axis=2)
 
 
 @register()
@@ -109,12 +110,14 @@ class PitchSeq(_SeqBase):
 
     def kernel(self, ctx: KernelCtx):
         xp = ctx.xp
-        starts = ctx.param('starts')
+        starts = ctx.param('starts')          # (C, E)
         values = ctx.param('values')
         if starts.shape[1] == 0:
             return np.zeros((1, 1), dtype=F32)
-        n = self._timeline(ctx)               # (F, 1)
-        started = n >= starts                 # (F, E)
+        n = self._timeline(ctx)[:, :, None]   # (F, 1, 1)
+        started = n >= starts                 # (F, C, E)
         key = xp.where(started, starts, F32(-np.inf))
-        idx = xp.argmax(key, axis=1)          # (F,) latest-started event
-        return values[0][idx].reshape(-1, 1)
+        idx = xp.argmax(key, axis=2)          # (F, C) latest-started event
+        nframes = idx.shape[0]
+        vals = xp.broadcast_to(values, (nframes, *values.shape))
+        return xp.take_along_axis(vals, idx[:, :, None], axis=2)[:, :, 0]

@@ -76,21 +76,29 @@ class PolyPatch:
         self._render_cache: dict[int, typing.Any] = {}
 
         if layout == 'channels':
-            # note: installs the stacked (1, V) values into the live nodes'
-            # states (the patch *becomes* V-channel)
+            # note: installs the stacked values into the live nodes' states
+            # (the patch *becomes* V-channel)
             for (node, pname), values in overrides.items():
-                arr = np.asarray(values, dtype=F32).reshape(-1)
+                arr = np.asarray(values, dtype=F32)
                 if arr.shape[0] != n_voices:
                     raise ValueError(
                         f'override for {pname!r} has leading dim '
                         f'{arr.shape[0]}, expected n_voices={n_voices}')
                 state = node.get_state()
                 old = getattr(state, pname)
-                if not (isinstance(old, np.ndarray) and old.shape == (1, 1)):
+                if not (isinstance(old, np.ndarray) and old.shape[0] == 1):
                     raise ValueError(
-                        f'channel layout requires scalar-shaped (1,1) array '
-                        f'params; {pname!r} is {old!r} — use layout="vmap"')
-                setattr(state, pname, arr.reshape(1, n_voices))
+                        f'channel layout requires single-row array params; '
+                        f'{pname!r} is {old!r} — use layout="vmap"')
+                if old.shape == (1, 1):
+                    # scalar param: voices become columns of a (1, V) row
+                    setattr(state, pname, arr.reshape(1, n_voices))
+                else:
+                    # row param (e.g. a (1, E) event track): voices become
+                    # rows of a (V, E) array — per-channel tracks
+                    row = np.broadcast_to(
+                        arr.reshape(n_voices, -1), (n_voices, old.shape[1]))
+                    setattr(state, pname, np.ascontiguousarray(row))
             if root.channels != n_voices:
                 raise ValueError(
                     f'patch does not propagate the voice channel axis: root '

@@ -142,6 +142,7 @@ def sequenced_poly(root,
                    rate: int = 44100,
                    block_frames: int = 1024,
                    overrides: typing.Optional[dict] = None,
+                   layout: str = 'vmap',
                    **poly_kwargs) -> PolyPatch:
     """Build a polyphonic, note-scheduled patch in one call.
 
@@ -151,6 +152,12 @@ def sequenced_poly(root,
     second ``PitchSeq`` carrying note velocities).  Notes are allocated
     onto ``n_voices`` voices and installed as per-voice traced overrides;
     extra per-voice ``overrides`` (detune tables etc.) pass through.
+
+    ``layout='channels'`` uses the lane-axis fast path (voices become the
+    sequencer nodes' track *rows*, so the whole score renders as one
+    V-channel patch — ~2x the vmapped layout on TPU); requires a mono
+    voice chain.  The default ``'vmap'`` is fully general and
+    mesh-shardable.
     """
     voices = allocate_voices(notes, n_voices, release=release)
     tracks = score_tracks(voices, rate=rate)
@@ -178,5 +185,5 @@ def sequenced_poly(root,
         all_overrides[(velocity, 'values')] = tracks['velocities']
 
     return PolyPatch(root, n_voices=n_voices, overrides=all_overrides,
-                     rate=rate, block_frames=block_frames, layout='vmap',
+                     rate=rate, block_frames=block_frames, layout=layout,
                      **poly_kwargs)

@@ -255,3 +255,46 @@ def test_midi_to_sequenced_poly_roundtrip(tmp_path):
     freqs = np.fft.rfftfreq(len(seg), 1 / RATE)
     for hz in (440.0, midi_to_hz(0x4c)):
         assert spec[np.abs(freqs - hz) < 20].max() > 10 * spec.mean()
+
+
+def test_multichannel_seq_tracks_pull_vs_compiled():
+    from signals_tpu.compiler import compile_node
+    from conftest import pull_blocks
+
+    g = GateSeq()
+    st = g.get_state()
+    st.starts = np.array([[0.0, 2000.0], [500.0, -1e9]], dtype=np.float32)
+    st.ends = np.array([[400.0, 2400.0], [900.0, -1e9]], dtype=np.float32)
+    assert g.channels == 2
+    ref = pull_blocks(g, 12, block_frames=F, rate=RATE, channels=2)
+    compiled = compile_node(g, block_frames=F, rate=RATE, channels=2)
+    got, _ = compiled.render(n_blocks=12)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+    assert ref[100, 0] == 1.0 and ref[100, 1] == 0.0
+    assert ref[600, 0] == 0.0 and ref[600, 1] == 1.0
+
+    p = PitchSeq()
+    st = p.get_state()
+    st.starts = np.array([[0.0, 1000.0], [-1e9, 500.0]], dtype=np.float32)
+    st.ends = np.array([[400.0, 1400.0], [-1e9, 900.0]], dtype=np.float32)
+    st.values = np.array([[220.0, 330.0], [110.0, 440.0]], dtype=np.float32)
+    ref = pull_blocks(p, 12, block_frames=F, rate=RATE, channels=2)
+    compiled = compile_node(p, block_frames=F, rate=RATE, channels=2)
+    got, _ = compiled.render(n_blocks=12)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+    assert ref[100, 0] == 220.0 and ref[100, 1] == 110.0   # ch1 pre-start hold
+    assert ref[1200, 0] == 330.0 and ref[700, 1] == 440.0
+
+
+def test_sequenced_poly_channels_layout_matches_vmap():
+    notes = [Note(0.00, 0.28, 220.0),
+             Note(0.00, 0.08, 660.0),
+             Note(0.12, 0.08, 880.0)]
+    audio = {}
+    for layout in ('vmap', 'channels'):
+        root, gate, pitch = _mono_synth()
+        poly = sequenced_poly(root, gate=gate, pitch=pitch, notes=notes,
+                              n_voices=3, rate=RATE, block_frames=F,
+                              channels=1, layout=layout)
+        audio[layout], _ = poly.render(n_blocks=int(0.3 * RATE) // F)
+    assert np.abs(audio['vmap'] - audio['channels']).max() <= 1e-5
