@@ -476,3 +476,34 @@ def test_streaming_filter_is_exact_iir():
     a, carry = c3.render(n_blocks=8)
     b, _ = c3.render(position=8 * F, n_blocks=8, carry=carry)
     np.testing.assert_array_equal(np.concatenate([a, b]), audio)
+
+
+def test_streaming_filter_accurate_at_extreme_cutoffs():
+    """Sub-100 Hz cutoffs: a 2nd-order lowpass impulse response does not
+    decay within any reasonable context window (1.5e-2 error at 40 Hz
+    with the 1024-frame default) — streaming mode has no window and stays
+    within ~5e-6 of whole-signal f64 filtering.
+
+    Truth uses scipy's own f64 design: direct-form coefficients rounded
+    to f32 shift a 40 Hz pole by ~1e-4 (the coefficient-sensitivity
+    hazard the coupled-form f64 pipeline exists to avoid), so filtering
+    with them is NOT a valid reference here."""
+    import scipy.signal
+
+    for cut in (40.0, 90.0):
+        saw = Sawtooth()
+        saw.hertz = fixed(55.0)
+        lp = LowPass()
+        lp.get_state().streaming = True
+        lp.input = saw
+        lp.cutoff = fixed(cut)
+        compiled = compile_node(lp, block_frames=1024, rate=RATE,
+                                channels=1)
+        audio, _ = compiled.render(n_blocks=86)           # ~2 s
+
+        src = Sawtooth()
+        src.hertz = fixed(55.0)
+        x = pull_blocks(src, 86, block_frames=1024, rate=RATE, channels=1)
+        sos = scipy.signal.butter(2, cut / (RATE / 2), 'low', output='sos')
+        truth = scipy.signal.sosfilt(sos, x[:, 0].astype(np.float64))
+        assert np.abs(np.asarray(audio)[:, 0] - truth).max() <= 1e-5, cut
