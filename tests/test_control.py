@@ -209,6 +209,16 @@ def test_reference_fixture_loads():
     assert ctl.hash() == h1
 
 
+def test_reference_vis_fixture_loads():
+    """Vis-tap patch in the reference format (mirrors
+    ``src/signals/vis_test.sigs``)."""
+    ctl = make_controller()
+    ctl.default(f'load {FIXTURES / "vis_test.sigs"}')
+    dump = list(ctl.dump())
+    assert any('Spec' in line for line in dump)
+    assert any(line.startswith('> 2a 6a.input') for line in dump)
+
+
 def test_batch_rollback_is_atomic(tmp_path):
     """A load that fails mid-batch must restore the prior patch."""
     ctl = make_controller()
