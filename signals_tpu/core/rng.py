@@ -24,18 +24,22 @@ _C1 = 0x85EBCA6B
 _C2 = 0xC2B2AE35
 
 
-def uniform01(xp, seed, frame_idx, n_channels: int):
+def uniform01(xp, seed, frame_idx, n_channels: int, *, salt: int = 0):
     """Uniform [0, 1) floats of shape ``(frames, n_channels)``.
 
     ``frame_idx``: integer column ``(frames, 1)`` of absolute frame indices
     (negative context indices wrap through uint32 — still deterministic).
-    ``seed`` may be a traced scalar.
+    ``seed`` may be a traced scalar.  ``salt`` (host int) selects an
+    independent stream for the same seed (octave rows of pink noise etc.);
+    ``salt=0`` is the unsalted stream.
     """
     u32 = xp.uint32
     f = frame_idx.astype(u32)
     c = xp.arange(n_channels, dtype=u32).reshape(1, -1)
     s = xp.asarray(seed).astype(u32)
     x = (f * u32(_GOLDEN)) ^ (c * u32(_C1)) ^ (s * u32(_C2))
+    if salt:
+        x = x ^ u32((salt * _MIX1) & 0xFFFFFFFF)
     x = x ^ (x >> u32(16))
     x = x * u32(_MIX1)
     x = x ^ (x >> u32(15))

@@ -507,3 +507,39 @@ def test_streaming_filter_accurate_at_extreme_cutoffs():
         sos = scipy.signal.butter(2, cut / (RATE / 2), 'low', output='sos')
         truth = scipy.signal.sosfilt(sos, x[:, 0].astype(np.float64))
         assert np.abs(np.asarray(audio)[:, 0] - truth).max() <= 1e-5, cut
+
+
+def test_pink_and_samplehold_parity_exact():
+    from signals_tpu.nodes.noise import Pink, SampleHold
+
+    p = Pink()
+    p.get_state().channels = 2
+    _parity(p, channels=2, tol=0.0)
+
+    sh = SampleHold()
+    sh.rate = fixed(50.0)
+    audio = _parity(sh, tol=0.0)       # 16 blocks = 8192 frames ~ 9 holds
+    # holds: value constant within a hold period, changes across them
+    hold = int(RATE / 50.0)
+    assert np.ptp(audio[:hold - 1, 0]) == 0.0
+    assert len(np.unique(audio[: 8 * hold, 0])) >= 5
+
+
+def test_pink_noise_spectrum_is_one_over_f():
+    """Octave-band energy of 1/f noise is flat; white noise doubles per
+    octave.  Check the Voss-McCartney sum is much closer to flat."""
+    from signals_tpu.nodes.noise import Pink
+
+    p = Pink()
+    audio = pull_blocks(p, 128, block_frames=1024, rate=RATE, channels=1)
+    x = audio[:, 0] - audio[:, 0].mean()
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(len(x), 1 / RATE)
+    bands = []
+    for lo in (50, 100, 200, 400, 800, 1600, 3200, 6400):
+        sel = (freqs >= lo) & (freqs < 2 * lo)
+        bands.append(spec[sel].sum())
+    ratios = [bands[i + 1] / bands[i] for i in range(len(bands) - 1)]
+    # white would be ~2.0 per octave; allow generous slack around 1.0
+    assert max(ratios) < 1.45, ratios
+    assert min(ratios) > 0.55, ratios
