@@ -297,3 +297,54 @@ class BandStop(DoubleCritFilter):
 
     def type_code(self) -> str:
         return _filters.BANDSTOP
+
+
+@register()
+class Quantize(Effect):
+    """Pitch quantizer: snap a control signal in Hz to the nearest tone of
+    an equal-temperament scale (semitone pitch classes in ``scale``,
+    relative to ``root`` Hz).  Feed a :class:`~signals_tpu.nodes.noise.
+    SampleHold` through it into an oscillator for the classic generative
+    random-melody patch.  Stateless and elementwise (no reference
+    counterpart).
+
+    Parity caveat: the output is Hz-valued through log/pow
+    transcendentals, so engines agree to ~2e-5 *relative* (frequency
+    ulps), not the absolute audio tolerance; and inputs astronomically
+    close to a tone boundary may snap differently across engines — by
+    construction the output is then a legitimate scale tone either way.
+    """
+
+    input: Receiver.BoundPort = port('input')
+
+    class State(Effect.State):
+        #: semitone pitch classes of the scale (e.g. major =
+        #: [[0,2,4,5,7,9,11]]); traced: re-scale without recompiling
+        scale: np.ndarray = Param(
+            lambda: np.arange(12, dtype=np.float32).reshape(1, -1),
+            validate=lambda v: None if (isinstance(v, np.ndarray)
+                                        and v.ndim == 2 and v.size > 0)
+            else 'must be a non-empty 2D array',
+            convert=lambda v: np.asarray(v, dtype=np.float32)
+            if isinstance(v, (np.ndarray, list, tuple)) else v,
+            traced=True)
+        #: reference frequency of pitch class 0
+        root: float = Param(261.6256, validate=ge(1.0), traced=True)
+
+    def kernel(self, ctx: KernelCtx):
+        xp = ctx.xp
+        hz = xp.maximum(ctx.in_('input'), F32(1e-3))    # (F, C)
+        root = ctx.xp.asarray(ctx.param('root'),
+                               dtype=np.float32).reshape(())
+        scale = ctx.param('scale').reshape(-1)           # (K,)
+        semis = F32(12.0) * (xp.log(hz / root)
+                             * F32(1.0 / np.log(2.0)))   # (F, C)
+        octave = xp.floor(semis * F32(1.0 / 12.0)) * F32(12.0)
+        pc = semis - octave                              # [0, 12)
+        # candidate tones: scale degrees in this octave and both neighbors
+        cands = xp.concatenate([scale - F32(12.0), scale,
+                                scale + F32(12.0)])      # (3K,)
+        dist = xp.abs(pc[:, :, None] - cands)            # (F, C, 3K)
+        best = xp.argmin(dist, axis=2)
+        tone = cands[best]                               # (F, C)
+        return root * F32(2.0) ** ((octave + tone) * F32(1.0 / 12.0))

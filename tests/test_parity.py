@@ -543,3 +543,46 @@ def test_pink_noise_spectrum_is_one_over_f():
     # white would be ~2.0 per octave; allow generous slack around 1.0
     assert max(ratios) < 1.45, ratios
     assert min(ratios) > 0.55, ratios
+
+
+def test_quantize_snaps_to_scale():
+    from signals_tpu.nodes.fx import Quantize
+    from signals_tpu.nodes.noise import SampleHold
+
+    # Hz-valued output: engines may differ by pow() ulps (~2e-5 relative),
+    # so tolerances here are scaled to the frequency magnitude.
+    HZ_TOL = 0.05
+
+    q = Quantize()
+    q.get_state().root = 440.0
+    q.input = fixed(452.0)                 # ~0.47 semis above A
+    audio = _parity(q, n_blocks=2, tol=HZ_TOL)
+    assert audio[0, 0] == pytest.approx(440.0, rel=1e-5)
+
+    # C major scale: 430 Hz (~A) must snap to A=440 (pc 9 allowed)
+    q2 = Quantize()
+    q2.get_state().scale = np.array([[0, 2, 4, 5, 7, 9, 11]],
+                                    dtype=np.float32)
+    q2.input = fixed(430.0)
+    audio = _parity(q2, n_blocks=2, tol=HZ_TOL)
+    assert audio[0, 0] == pytest.approx(440.0, rel=1e-4)
+
+    # generative chain: S&H -> Quantize -> Sine, engines agree (the Hz
+    # ulps integrate into phase, hence the audio-level slack)
+    sh = SampleHold()
+    sh.rate = fixed(30.0)
+    hz = Gain()
+    hz.left = sh
+    hz.right = fixed(400.0)                # [0, 400) Hz
+    off = Mix()
+    off.left = hz
+    off.right = fixed(220.0)
+    off.mix = fixed(0.5)                   # 110..310 Hz
+    qz = Quantize()
+    qz.input = off
+    osc = Sine()
+    osc.hertz = qz
+    _parity(osc, n_blocks=16, tol=1e-4)
+    # quantizer output is locked to scale tones (few unique values)
+    tones = _parity(qz, n_blocks=16, tol=HZ_TOL)
+    assert len(np.unique(tones.round(2))) <= 14
