@@ -439,6 +439,9 @@ class Bijection:
     def __contains__(self, key) -> bool:
         return key in self._fwd
 
+    def get(self, key, default=None):
+        return self._fwd.get(key, default)
+
     def pop(self, key, *default):
         try:
             value = self._fwd.pop(key)
@@ -599,6 +602,10 @@ class Map:
 
     def find(self, at: Coordinates) -> Signal:
         return self._find(at)
+
+    def get(self, at: Coordinates) -> typing.Optional[Signal]:
+        """The signal at ``at``, or None (non-raising lookup for UIs)."""
+        return self._map.get(at)
 
     def _find(self, at: Coordinates) -> Signal:
         try:

@@ -1,0 +1,115 @@
+"""Terminal patcher: grid-mode gestures (headless, via handle_key)."""
+
+import io
+
+from signals_tpu.map import Coordinates
+from signals_tpu.map.control import Controller
+from signals_tpu.ui.ascii import cell_span, render_map
+from signals_tpu.ui.tui import ESC, PatcherTUI
+
+
+def make_tui():
+    return PatcherTUI(Controller(interactive=True, stdout=io.StringIO()))
+
+
+def type_line(tui, line):
+    for ch in line:
+        tui.handle_key(ch)
+    tui.handle_key('\n')
+
+
+def test_command_mode_typing():
+    tui = make_tui()
+    type_line(tui, '+ 1a signals_tpu.nodes.osc.Sine')
+    assert tui.controller.map.get(Coordinates.parse('1a')) is not None
+    assert tui.mode == 'cmd'
+
+
+def test_grid_cursor_moves_and_clamps():
+    tui = make_tui()
+    tui.handle_key(ESC)
+    assert tui.mode == 'grid'
+    tui.handle_key('l')
+    tui.handle_key('j')
+    assert str(tui.cursor) == '2b'
+    for _ in range(5):
+        tui.handle_key('h')
+        tui.handle_key('k')
+    assert str(tui.cursor) == '1a'         # clamped at the origin
+
+
+def test_cable_gesture_with_port_menu():
+    tui = make_tui()
+    type_line(tui, '+ 1a signals_tpu.nodes.fixed.Fixed value=[[440]]')
+    type_line(tui, '+ 2a signals_tpu.nodes.osc.Sine')
+    tui.handle_key(ESC)
+    tui.handle_key('\n')                   # start cable at 1a
+    assert tui.pending == ('cable', Coordinates.parse('1a'))
+    tui.handle_key('j')                    # down to 2a
+    tui.handle_key('\n')                   # complete -> port menu
+    assert tui.port_menu is not None
+    ports = tui.port_menu[2]
+    tui.handle_key(str(ports.index('hertz') + 1))
+    sine = tui.controller.map.get(Coordinates.parse('2a'))
+    assert 'hertz' in sine.inputs_by_port
+    # gesture went through the command stack: undo removes it
+    tui.handle_key('u')
+    assert 'hertz' not in sine.inputs_by_port
+
+
+def test_single_port_connects_without_menu():
+    tui = make_tui()
+    type_line(tui, '+ 1a signals_tpu.nodes.osc.Sine')
+    type_line(tui, '+ 2a signals_tpu.nodes.vis.Wave')
+    tui.handle_key(ESC)
+    tui.handle_key('\n')
+    tui.handle_key('j')
+    tui.handle_key('\n')
+    wave = tui.controller.map.get(Coordinates.parse('2a'))
+    assert 'input' in wave.inputs_by_port
+    # x on the target disconnects the only connected port
+    tui.handle_key('x')
+    assert 'input' not in wave.inputs_by_port
+
+
+def test_delete_move_and_cancel():
+    tui = make_tui()
+    type_line(tui, '+ 1a signals_tpu.nodes.osc.Sine')
+    tui.handle_key(ESC)
+    tui.handle_key('m')                    # move 1a ...
+    tui.handle_key('l')
+    tui.handle_key('\n')                   # ... to 1b
+    assert tui.controller.map.get(Coordinates.parse('1b')) is not None
+    assert tui.controller.map.get(Coordinates.parse('1a')) is None
+    tui.handle_key('d')                    # delete at cursor (1b)
+    assert tui.controller.map.get(Coordinates.parse('1b')) is None
+    # Esc cancels a pending gesture before leaving grid mode
+    type_line_in_grid = '+ 1a back'        # (not used; keep grid mode)
+    tui.handle_key('u')                    # undo delete
+    assert tui.controller.map.get(Coordinates.parse('1b')) is not None
+    tui.handle_key('\n')                   # start a cable...
+    tui.handle_key(ESC)                    # ...cancel it
+    assert tui.pending is None
+    assert tui.mode == 'grid'
+    tui.handle_key(ESC)                    # now leave grid mode
+    assert tui.mode == 'cmd'
+
+
+def test_add_gesture_prefills_command():
+    tui = make_tui()
+    tui.handle_key(ESC)
+    tui.handle_key('l')
+    tui.handle_key('a')
+    assert tui.mode == 'cmd'
+    assert tui.line == '+ 1b '
+
+
+def test_cell_span_matches_padded_render():
+    tui = make_tui()
+    type_line(tui, '+ 2b signals_tpu.nodes.osc.Sine')
+    at = Coordinates.parse('2b')
+    text = render_map(tui.controller.map, pad_to=Coordinates.parse('4d'))
+    lines = text.splitlines()
+    y, x0, x1 = cell_span(at)
+    assert '2b:Sine' in lines[y][x0:x1]
+    assert len(lines) >= 4                 # padded to the cursor row
