@@ -303,10 +303,10 @@ class BandStop(DoubleCritFilter):
 class Quantize(Effect):
     """Pitch quantizer: snap a control signal in Hz to the nearest tone of
     an equal-temperament scale (semitone pitch classes in ``scale``,
-    relative to ``root`` Hz).  Feed a :class:`~signals_tpu.nodes.noise.
-    SampleHold` through it into an oscillator for the classic generative
-    random-melody patch.  Stateless and elementwise (no reference
-    counterpart).
+    relative to ``root`` Hz).  Feed a
+    :class:`~signals_tpu.nodes.noise.SampleHold` through it into an
+    oscillator for the classic generative random-melody patch.  Stateless
+    and elementwise (no reference counterpart).
 
     Parity caveat: the output is Hz-valued through log/pow
     transcendentals, so engines agree to ~2e-5 *relative* (frequency
