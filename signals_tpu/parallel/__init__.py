@@ -281,11 +281,23 @@ class PolyPatch:
 
 
 def voice_mesh(n_devices: typing.Optional[int] = None,
-               axis_name: str = 'voices'):
-    """A 1-D device mesh over the voice axis (all devices by default)."""
+               axis_name: str = 'voices',
+               platform: typing.Optional[str] = None):
+    """A 1-D device mesh over the voice axis (all devices by default).
+
+    ``platform='cpu'`` selects the virtual host devices explicitly — the
+    path used when validating sharding without multi-chip hardware (the
+    default backend may be a single tunneled TPU chip).
+    """
     import jax
     from jax.sharding import Mesh
-    devices = jax.devices()
+    devices = jax.devices(platform) if platform else jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f'need {n_devices} {platform or "default"} devices, have '
+                f'{len(devices)}; set XLA_FLAGS='
+                f'--xla_force_host_platform_device_count={n_devices} before '
+                f'JAX initializes')
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
