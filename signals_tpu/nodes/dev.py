@@ -53,6 +53,10 @@ class DeviceInfo(typing.NamedTuple):
     default_high_input_latency: float = 0.1
     default_high_output_latency: float = 0.1
     default_samplerate: float = 44100.0
+    #: 'virtual' (always available, no hardware) or 'portaudio'
+    backend: str = 'virtual'
+    #: the sounddevice device index for backend='portaudio'
+    sd_index: int = -1
 
     @property
     def is_source(self) -> bool:
@@ -201,10 +205,21 @@ class SinkDevice(Device, Receiver, ExplicitChannels):
             self.open()
         self._transport.start()
         if self._ring is not None and self._consumer is None:
-            from signals_tpu.runtime.ring import PacedConsumer
-            self._consumer = PacedConsumer(self._ring, rate=self.rate,
-                                           block_frames=self.block_frames,
-                                           fd=self.output_fd)
+            self._consumer = self._make_consumer()
+
+    def _make_consumer(self):
+        """The ring drain: a real PortAudio output callback for hardware
+        sinks (reference contract ``dev.py:139-179``), the paced virtual
+        device otherwise."""
+        from signals_tpu.runtime import portaudio
+        if self.info.backend == 'portaudio' and portaudio.available():
+            return portaudio.HardwareOutput(
+                self._ring, rate=self.rate, channels=self._state.channels,
+                block_frames=self.block_frames, device=self.info.sd_index)
+        from signals_tpu.runtime.ring import PacedConsumer
+        return PacedConsumer(self._ring, rate=self.rate,
+                             block_frames=self.block_frames,
+                             fd=self.output_fd)
 
     def stop(self) -> None:
         if not self.is_active:
@@ -290,15 +305,23 @@ class SinkDevice(Device, Receiver, ExplicitChannels):
 
 
 class SourceDevice(Device, Emitter):
-    """Capture endpoint.  A host source for the compiler; the virtual
-    device is deterministic silence (reference ``dev.py:182-244`` blocks on
-    a live capture queue — untestable without hardware)."""
+    """Capture endpoint.  A host source for the compiler: captured blocks
+    enter the compiled program as staged inputs (reference ``dev.py:182-244``
+    instead blocks on a live queue inside the graph walk).
+
+    The virtual device is deterministic silence, so patches with sources
+    compile and run without hardware; ``start_capture()`` attaches a live
+    PortAudio input stream (when the device is a ``'portaudio'``-backend
+    rack entry and ``sounddevice`` imports), after which ``host_read``
+    serves real captured audio, position-addressed.
+    """
 
     is_host_source = True
 
     def __init__(self, info: DeviceInfo):
         super().__init__(info)
         self.position = 0
+        self._capture = None
 
     @classmethod
     def flags(cls) -> SignalFlags:
@@ -308,7 +331,34 @@ class SourceDevice(Device, Emitter):
     def channels(self) -> int:
         return max(self.info.max_input_channels, 1)
 
+    @property
+    def is_capturing(self) -> bool:
+        return self._capture is not None
+
+    def start_capture(self, *, block_frames: int = 1024,
+                      sd_module=None) -> None:
+        """Open the live input stream (reference ``dev.py:198-217``)."""
+        if self._capture is not None:
+            raise BadPlaybackState('The input stream is already open')
+        from signals_tpu.runtime import portaudio
+        device = self.info.sd_index if self.info.backend == 'portaudio' \
+            else None
+        self._capture = portaudio.HardwareCapture(
+            rate=self.info.default_samplerate, channels=self.channels,
+            block_frames=block_frames, device=device, sd_module=sd_module)
+
+    def stop_capture(self) -> None:
+        if self._capture is not None:
+            self._capture.stop()
+            self._capture = None
+
+    def destroy(self) -> None:
+        self.stop_capture()
+        super().destroy()
+
     def host_read(self, position: int, frames: int, rate: int) -> np.ndarray:
+        if self._capture is not None:
+            return self._capture.read(position, frames)
         return np.zeros((frames, self.channels), dtype=F32)
 
     def kernel(self, ctx: KernelCtx):
@@ -371,7 +421,8 @@ class Rack:
                     hostapi=info.get('hostapi', 0),
                     max_input_channels=info['max_input_channels'],
                     max_output_channels=info['max_output_channels'],
-                    default_samplerate=info['default_samplerate']))
+                    default_samplerate=info['default_samplerate'],
+                    backend='portaudio', sd_index=i))
         self.devices = devices
 
     def get_device(self, name: str) -> DeviceInfo:

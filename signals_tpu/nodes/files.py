@@ -4,8 +4,10 @@ These are **host nodes**: they cross the device boundary.  The compiler
 turns a :class:`FileReader` into a staged program *input* (blocks read ahead
 on the host, position-addressed like the reference's seek,
 ``files.py:56-58``) and a :class:`FileWriter` into a program *output* (a tap
-written to disk after each device step).  WAV IO is self-contained
-(:mod:`signals_tpu.runtime.wavio`) since libsndfile is unavailable.
+written to disk after each device step).  Formats dispatch through
+:mod:`signals_tpu.runtime.sndfile`: WAV/AIFF/AU natively, anything else via
+libsndfile when the ``soundfile`` package is importable (the reference's
+only backend, ``files.py:8``).
 """
 
 from __future__ import annotations
@@ -19,7 +21,7 @@ from signals_tpu.core import Request
 from signals_tpu.core.state import Param, instance_of
 from signals_tpu.graph import Emitter, KernelCtx, PassThroughResult
 from signals_tpu.registry import register
-from signals_tpu.runtime import wavio
+from signals_tpu.runtime import sndfile
 
 F32 = np.float32
 
@@ -63,9 +65,9 @@ class FileReader(SoundFileBase):
     def flags(cls) -> SignalFlags:
         return super().flags() | SignalFlags.GENERATOR
 
-    def _open(self) -> wavio.WavReader:
+    def _open(self):
         if self._buffer is None:
-            self._buffer = wavio.WavReader(self._state.path)
+            self._buffer = sndfile.open_reader(self._state.path)
         return self._buffer
 
     @property
@@ -91,13 +93,12 @@ class FileWriter(SoundFileBase, PassThroughResult):
     def flags(cls) -> SignalFlags:
         return super().flags() | SignalFlags.RECORDER
 
-    def _open_writer(self, rate: int, channels: int) -> wavio.WavWriter:
-        if self._buffer is not None and not isinstance(self._buffer,
-                                                       wavio.WavWriter):
+    def _open_writer(self, rate: int, channels: int):
+        if self._buffer is not None and not hasattr(self._buffer, 'write'):
             self._close()
         if self._buffer is None:
-            self._buffer = wavio.WavWriter(self._state.path, rate=rate,
-                                           channels=channels)
+            self._buffer = sndfile.open_writer(self._state.path, rate=rate,
+                                               channels=channels)
         return self._buffer
 
     def kernel(self, ctx: KernelCtx):

@@ -1,0 +1,377 @@
+"""Unified sound-file IO with format dispatch.
+
+The reference reads/writes any format libsndfile supports, lazily opened
+and seeked to the requested frame position
+(``/root/reference/src/signals/chain/files.py:42-58``).  Here:
+
+* WAV (:mod:`signals_tpu.runtime.wavio`), AIFF and AU/SND are handled by
+  self-contained codecs (no dependencies) — covering the interchange
+  formats with deterministic, seekable block IO;
+* every other format (FLAC, OGG, ...) dispatches to ``soundfile`` /
+  libsndfile when the package is importable, and raises a clear error
+  otherwise.
+
+All readers expose ``read(position, frames) -> (frames, channels) f32``
+with zero-fill outside the file, plus ``channels``/``rate``/``frames``;
+writers expose sequential ``write(block)``.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import struct
+import typing
+
+import numpy as np
+
+from signals_tpu.runtime import wavio
+
+F32 = np.float32
+
+
+class SoundFileError(Exception):
+    pass
+
+
+# --- AIFF (big-endian PCM, 80-bit extended-float sample rate) ----------------
+
+
+def _ext_float_decode(b: bytes) -> float:
+    """80-bit IEEE 754 extended float -> python float (AIFF sample rate)."""
+    (se,) = struct.unpack('>H', b[:2])
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    hi, lo = struct.unpack('>II', b[2:10])
+    mant = (hi << 32) | lo
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _ext_float_encode(x: float) -> bytes:
+    """python float -> 80-bit extended float bytes."""
+    if x == 0:
+        return b'\0' * 10
+    sign = 0x8000 if x < 0 else 0
+    x = abs(x)
+    import math
+    m, e = math.frexp(x)          # x = m * 2**e, m in [0.5, 1)
+    exp = e - 1 + 16383
+    mant = int(m * (1 << 64))
+    return struct.pack('>HII', sign | exp, mant >> 32, mant & 0xFFFFFFFF)
+
+
+class AiffReader:
+    """Seekable AIFF reader (big-endian PCM 8/16/24/32)."""
+
+    def __init__(self, path):
+        self.path = pathlib.Path(path)
+        self._f = self.path.open('rb')
+        form, _, aiff = struct.unpack('>4sI4s', self._f.read(12))
+        if form != b'FORM' or aiff not in (b'AIFF', b'AIFC'):
+            raise SoundFileError(f'{self.path}: not an AIFF file')
+        self._data_offset = None
+        comm = None
+        while True:
+            header = self._f.read(8)
+            if len(header) < 8:
+                break
+            cid, size = struct.unpack('>4sI', header)
+            if cid == b'COMM':
+                comm = self._f.read(size)
+            elif cid == b'SSND':
+                offset, _blocksize = struct.unpack('>II', self._f.read(8))
+                self._data_offset = self._f.tell() + offset
+                self._f.seek(size - 8 + (size & 1), 1)
+            else:
+                self._f.seek(size + (size & 1), 1)
+        if comm is None or self._data_offset is None:
+            raise SoundFileError(f'{self.path}: missing COMM/SSND chunk')
+        channels, nframes, bits = struct.unpack('>hIh', comm[:8])
+        self.rate = int(round(_ext_float_decode(comm[8:18])))
+        if bits not in (8, 16, 24, 32):
+            raise SoundFileError(f'{self.path}: unsupported depth {bits}')
+        self.channels = channels
+        self.bits = bits
+        self.frames = nframes
+        self._frame_bytes = channels * (bits // 8)
+
+    def _decode(self, raw: bytes) -> np.ndarray:
+        if self.bits == 8:          # AIFF 8-bit PCM is signed
+            return (np.frombuffer(raw, dtype=np.int8).astype(np.float32)
+                    / 128.0)
+        if self.bits == 16:
+            return (np.frombuffer(raw, dtype='>i2').astype(np.float32)
+                    / 32768.0)
+        if self.bits == 24:
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            i = ((b[:, 0].astype(np.int32) << 16)
+                 | (b[:, 1].astype(np.int32) << 8)
+                 | b[:, 2].astype(np.int32))
+            i = np.where(i >= 1 << 23, i - (1 << 24), i)
+            return i.astype(np.float32) / float(1 << 23)
+        return (np.frombuffer(raw, dtype='>i4').astype(np.float32)
+                / float(1 << 31))
+
+    def read(self, position: int, frames: int) -> np.ndarray:
+        out = np.zeros((frames, self.channels), dtype=F32)
+        start = max(position, 0)
+        stop = min(position + frames, self.frames)
+        if stop > start:
+            self._f.seek(self._data_offset + start * self._frame_bytes)
+            raw = self._f.read((stop - start) * self._frame_bytes)
+            data = self._decode(raw).reshape(-1, self.channels)
+            out[start - position:start - position + data.shape[0]] = data
+        return out
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class AiffWriter:
+    """Sequential PCM16 AIFF writer; header kept valid after every block."""
+
+    def __init__(self, path, *, rate: int, channels: int):
+        self.path = pathlib.Path(path)
+        self.rate = int(rate)
+        self.channels = int(channels)
+        self.frames = 0
+        self._f = self.path.open('wb')
+        self._write_header()
+
+    def _write_header(self) -> None:
+        data_size = self.frames * self.channels * 2
+        self._f.seek(0)
+        self._f.write(struct.pack('>4sI4s', b'FORM', 4 + 26 + 16 + data_size,
+                                  b'AIFF'))
+        self._f.write(struct.pack('>4sIhIh', b'COMM', 18, self.channels,
+                                  self.frames, 16))
+        self._f.write(_ext_float_encode(float(self.rate)))
+        self._f.write(struct.pack('>4sIII', b'SSND', 8 + data_size, 0, 0))
+
+    def write(self, block: np.ndarray) -> None:
+        block = np.asarray(block, dtype=np.float32)
+        if block.ndim != 2 or block.shape[1] != self.channels:
+            block = np.broadcast_to(block, (block.shape[0], self.channels))
+        q = np.clip(np.rint(np.ascontiguousarray(block) * 32767.0),
+                    -32768, 32767)
+        self._f.seek(0, 2)
+        self._f.write(q.astype('>i2').tobytes())
+        self.frames += block.shape[0]
+        self._write_header()
+        self._f.flush()
+
+    def close(self) -> None:
+        self._write_header()
+        self._f.close()
+
+
+# --- AU / SND (Sun audio: trivial big-endian header) --------------------------
+
+_AU_MAGIC = b'.snd'
+_AU_PCM16 = 3
+_AU_F32 = 6
+
+
+class AuReader:
+    """Seekable AU/SND reader (PCM16 and float32 encodings)."""
+
+    def __init__(self, path):
+        self.path = pathlib.Path(path)
+        self._f = self.path.open('rb')
+        magic, offset, size, enc, rate, channels = struct.unpack(
+            '>4sIIIII', self._f.read(24))
+        if magic != _AU_MAGIC:
+            raise SoundFileError(f'{self.path}: not an AU file')
+        if enc not in (_AU_PCM16, _AU_F32):
+            raise SoundFileError(f'{self.path}: unsupported encoding {enc}')
+        self._data_offset = offset
+        self._enc = enc
+        self.rate = rate
+        self.channels = channels
+        sb = 2 if enc == _AU_PCM16 else 4
+        self._frame_bytes = channels * sb
+        if size == 0xFFFFFFFF:      # unknown length: use the file size
+            end = self._f.seek(0, 2)
+            size = end - offset
+        self.frames = size // self._frame_bytes
+
+    def read(self, position: int, frames: int) -> np.ndarray:
+        out = np.zeros((frames, self.channels), dtype=F32)
+        start = max(position, 0)
+        stop = min(position + frames, self.frames)
+        if stop > start:
+            self._f.seek(self._data_offset + start * self._frame_bytes)
+            raw = self._f.read((stop - start) * self._frame_bytes)
+            if self._enc == _AU_F32:
+                data = np.frombuffer(raw, dtype='>f4').astype(np.float32)
+            else:
+                data = (np.frombuffer(raw, dtype='>i2').astype(np.float32)
+                        / 32768.0)
+            data = data.reshape(-1, self.channels)
+            out[start - position:start - position + data.shape[0]] = data
+        return out
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class AuWriter:
+    """Sequential float32 AU writer."""
+
+    def __init__(self, path, *, rate: int, channels: int):
+        self.path = pathlib.Path(path)
+        self.rate = int(rate)
+        self.channels = int(channels)
+        self.frames = 0
+        self._f = self.path.open('wb')
+        self._write_header()
+
+    def _write_header(self) -> None:
+        self._f.seek(0)
+        self._f.write(struct.pack('>4sIIIII', _AU_MAGIC, 24,
+                                  self.frames * self.channels * 4,
+                                  _AU_F32, self.rate, self.channels))
+
+    def write(self, block: np.ndarray) -> None:
+        block = np.asarray(block, dtype=np.float32)
+        if block.ndim != 2 or block.shape[1] != self.channels:
+            block = np.broadcast_to(block, (block.shape[0], self.channels))
+        self._f.seek(0, 2)
+        self._f.write(np.ascontiguousarray(block).astype('>f4').tobytes())
+        self.frames += block.shape[0]
+        self._write_header()
+        self._f.flush()
+
+    def close(self) -> None:
+        self._write_header()
+        self._f.close()
+
+
+# --- libsndfile dispatch (optional) ------------------------------------------
+
+
+def _soundfile():
+    try:
+        import soundfile
+    except ImportError:
+        return None
+    return soundfile
+
+
+def soundfile_available() -> bool:
+    return _soundfile() is not None
+
+
+class LibSndReader:
+    """Position-addressed reads through soundfile/libsndfile (the
+    reference's backend, ``files.py:44-58``: lazy open + seek)."""
+
+    def __init__(self, path, sf_module=None):
+        sf = sf_module if sf_module is not None else _soundfile()
+        if sf is None:
+            raise SoundFileError(
+                f'{path}: format requires the soundfile package')
+        self.path = pathlib.Path(path)
+        self._sf = sf.SoundFile(str(path), mode='r')
+        self.channels = self._sf.channels
+        self.rate = int(self._sf.samplerate)
+        self.frames = len(self._sf)
+
+    def read(self, position: int, frames: int) -> np.ndarray:
+        out = np.zeros((frames, self.channels), dtype=F32)
+        start = max(position, 0)
+        stop = min(position + frames, self.frames)
+        if stop > start:
+            self._sf.seek(start)
+            data = self._sf.read(stop - start, dtype='float32',
+                                 always_2d=True)
+            out[start - position:start - position + data.shape[0]] = data
+        return out
+
+    def close(self) -> None:
+        self._sf.close()
+
+
+class LibSndWriter:
+    """Sequential writes through soundfile/libsndfile (format from the
+    extension, e.g. ``.flac``/``.ogg``)."""
+
+    def __init__(self, path, *, rate: int, channels: int, sf_module=None):
+        sf = sf_module if sf_module is not None else _soundfile()
+        if sf is None:
+            raise SoundFileError(
+                f'{path}: format requires the soundfile package')
+        self.path = pathlib.Path(path)
+        self.rate = int(rate)
+        self.channels = int(channels)
+        self.frames = 0
+        self._sf = sf.SoundFile(str(path), mode='w', samplerate=self.rate,
+                                channels=self.channels)
+
+    def write(self, block: np.ndarray) -> None:
+        block = np.asarray(block, dtype=np.float32)
+        if block.ndim != 2 or block.shape[1] != self.channels:
+            block = np.broadcast_to(block, (block.shape[0], self.channels))
+        self._sf.write(np.ascontiguousarray(block))
+        self.frames += block.shape[0]
+
+    def close(self) -> None:
+        self._sf.close()
+
+
+# --- dispatch -----------------------------------------------------------------
+
+_NATIVE_READERS = {
+    '.wav': wavio.WavReader,
+    '.wave': wavio.WavReader,
+    '.aif': AiffReader,
+    '.aiff': AiffReader,
+    '.aifc': AiffReader,
+    '.au': AuReader,
+    '.snd': AuReader,
+}
+
+_NATIVE_WRITERS = {
+    '.wav': wavio.WavWriter,
+    '.wave': wavio.WavWriter,
+    '.aif': AiffWriter,
+    '.aiff': AiffWriter,
+    '.aifc': AiffWriter,
+    '.au': AuWriter,
+    '.snd': AuWriter,
+}
+
+
+def open_reader(path, sf_module=None):
+    """Open a seekable reader for any supported format (native codecs for
+    WAV/AIFF/AU; libsndfile for everything else when available)."""
+    ext = pathlib.Path(path).suffix.lower()
+    cls = _NATIVE_READERS.get(ext)
+    if cls is not None:
+        return cls(path)
+    sf = sf_module if sf_module is not None else _soundfile()
+    if sf is not None:
+        return LibSndReader(path, sf_module=sf)
+    raise SoundFileError(
+        f'{path}: unsupported format {ext!r} (install soundfile for '
+        f'libsndfile formats; native support: '
+        f'{", ".join(sorted(_NATIVE_READERS))})')
+
+
+def open_writer(path, *, rate: int, channels: int, sf_module=None):
+    """Open a sequential writer, dispatched like :func:`open_reader`."""
+    import os
+    if str(path) == os.devnull:      # discard target (the default path)
+        return wavio.WavWriter(path, rate=rate, channels=channels)
+    ext = pathlib.Path(path).suffix.lower()
+    cls = _NATIVE_WRITERS.get(ext)
+    if cls is not None:
+        return cls(path, rate=rate, channels=channels)
+    sf = sf_module if sf_module is not None else _soundfile()
+    if sf is not None:
+        return LibSndWriter(path, rate=rate, channels=channels, sf_module=sf)
+    raise SoundFileError(
+        f'{path}: unsupported format {ext!r} (install soundfile for '
+        f'libsndfile formats; native support: '
+        f'{", ".join(sorted(_NATIVE_WRITERS))})')

@@ -1,9 +1,12 @@
-"""Minimal RIFF/WAVE read & write (PCM16 and IEEE float32).
+"""Minimal RIFF/WAVE read & write.
 
-The reference delegates sound-file IO to libsndfile via the ``soundfile``
-package (``src/signals/chain/files.py:8,44``); neither is available here and
-the framework only needs seekable float32 block IO, so this is a small
-self-contained implementation.
+Read: PCM 8/16/24/32-bit and IEEE float32/float64 (plus the EXTENSIBLE
+wrapper).  Write: IEEE float32 or PCM16.  The reference delegates
+sound-file IO to libsndfile via the ``soundfile`` package
+(``src/signals/chain/files.py:8,44``); this self-contained implementation
+covers seekable block IO without that dependency —
+:mod:`signals_tpu.runtime.sndfile` dispatches to libsndfile for other
+formats when the package is importable.
 """
 
 from __future__ import annotations
@@ -59,15 +62,36 @@ class WavReader:
             audio_fmt = struct.unpack('<H', fmt[24:26])[0]
         if audio_fmt not in (_FMT_PCM, _FMT_FLOAT):
             raise WavError(f'{self.path}: unsupported format {audio_fmt}')
-        if audio_fmt == _FMT_PCM and bits != 16:
-            raise WavError(f'{self.path}: only 16-bit PCM supported')
-        if audio_fmt == _FMT_FLOAT and bits != 32:
-            raise WavError(f'{self.path}: only 32-bit float supported')
+        if audio_fmt == _FMT_PCM and bits not in (8, 16, 24, 32):
+            raise WavError(f'{self.path}: unsupported PCM depth {bits}')
+        if audio_fmt == _FMT_FLOAT and bits not in (32, 64):
+            raise WavError(f'{self.path}: unsupported float depth {bits}')
         self.is_float = audio_fmt == _FMT_FLOAT
+        self.bits = bits
         self.channels = channels
         self.rate = rate
         self._frame_bytes = block_align
         self.frames = data_size // block_align
+
+    def _decode(self, raw: bytes) -> np.ndarray:
+        """Raw frame bytes -> float32 in [-1, 1] (PCM) / as stored (float)."""
+        if self.is_float:
+            dt = '<f4' if self.bits == 32 else '<f8'
+            return np.frombuffer(raw, dtype=dt).astype(np.float32)
+        if self.bits == 8:          # WAV 8-bit PCM is unsigned
+            u = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+            return (u - 128.0) / 128.0
+        if self.bits == 16:
+            return np.frombuffer(raw, dtype='<i2').astype(np.float32) / 32768.0
+        if self.bits == 24:
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            i = (b[:, 0].astype(np.int32)
+                 | (b[:, 1].astype(np.int32) << 8)
+                 | (b[:, 2].astype(np.int32) << 16))
+            i = np.where(i >= 1 << 23, i - (1 << 24), i)
+            return i.astype(np.float32) / float(1 << 23)
+        return (np.frombuffer(raw, dtype='<i4').astype(np.float32)
+                / float(1 << 31))
 
     def read(self, position: int, frames: int) -> np.ndarray:
         """Read ``frames`` frames at absolute frame ``position`` as float32
@@ -78,11 +102,7 @@ class WavReader:
         if stop > start:
             self._f.seek(self._data_offset + start * self._frame_bytes)
             raw = self._f.read((stop - start) * self._frame_bytes)
-            if self.is_float:
-                data = np.frombuffer(raw, dtype='<f4')
-            else:
-                data = np.frombuffer(raw, dtype='<i2').astype(np.float32) / 32768.0
-            data = data.reshape(-1, self.channels)
+            data = self._decode(raw).reshape(-1, self.channels)
             out[start - position:start - position + data.shape[0]] = data
         return out
 
@@ -91,32 +111,45 @@ class WavReader:
 
 
 class WavWriter:
-    """Sequential float32 frame writer; header finalized on close."""
+    """Sequential frame writer (float32 or PCM16); header finalized on
+    close."""
 
-    def __init__(self, path, *, rate: int, channels: int):
+    def __init__(self, path, *, rate: int, channels: int,
+                 subtype: str = 'float32'):
+        if subtype not in ('float32', 'pcm16'):
+            raise WavError(f'unsupported write subtype {subtype!r}')
         self.path = pathlib.Path(path)
         self.rate = int(rate)
         self.channels = int(channels)
+        self.subtype = subtype
+        self._sample_bytes = 4 if subtype == 'float32' else 2
         self.frames = 0
         self._f = self.path.open('wb')
         self._write_header()
 
     def _write_header(self) -> None:
-        data_size = self.frames * self.channels * 4
+        sb = self._sample_bytes
+        data_size = self.frames * self.channels * sb
+        fmt = _FMT_FLOAT if self.subtype == 'float32' else _FMT_PCM
         self._f.seek(0)
         self._f.write(struct.pack(
             '<4sI4s4sIHHIIHH4sI',
             b'RIFF', 36 + data_size, b'WAVE',
-            b'fmt ', 16, _FMT_FLOAT, self.channels, self.rate,
-            self.rate * self.channels * 4, self.channels * 4, 32,
+            b'fmt ', 16, fmt, self.channels, self.rate,
+            self.rate * self.channels * sb, self.channels * sb, 8 * sb,
             b'data', data_size))
 
     def write(self, block: np.ndarray) -> None:
         block = np.asarray(block, dtype=np.float32)
         if block.ndim != 2 or block.shape[1] != self.channels:
             block = np.broadcast_to(block, (block.shape[0], self.channels))
+        block = np.ascontiguousarray(block)
         self._f.seek(0, 2)
-        self._f.write(np.ascontiguousarray(block).astype('<f4').tobytes())
+        if self.subtype == 'float32':
+            self._f.write(block.astype('<f4').tobytes())
+        else:
+            q = np.clip(np.rint(block * 32767.0), -32768, 32767)
+            self._f.write(q.astype('<i2').tobytes())
         self.frames += block.shape[0]
         # keep the header valid after every block so the file is readable
         # while recording is still in progress
