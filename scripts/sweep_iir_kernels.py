@@ -1,0 +1,346 @@
+"""Sweep batched-IIR Pallas kernel variants + scaling/fetch experiments.
+
+Variants of the lane-parallel coupled-form cascade (frames sequential,
+(block, voice) pairs on lanes):
+
+  v0: production sosfilt_batch (row loads via (1,1024)->(8,128) reshape,
+      state in VMEM scratch, read+written every row)
+  v1: tile-major rows (native (8,128) row loads), state in fori carry
+  v2: v1 + rows unrolled by U per fori iteration
+
+Plus: osc-only & full-patch scaling at 60/120 s, and an end-to-end
+device-side PCM16 quantize + fetch of a 60 s poly-64 render (the honest
+host-materialization headline path).
+
+Run detached:
+  setsid nohup python scripts/sweep_iir_kernels.py > /tmp/sweep.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      os.path.expanduser('~/.cache/signals_tpu_xla'))
+
+import numpy as np
+
+RATE = 44100
+BLOCK = 1024
+V = 64
+
+results: dict = {}
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def pipelined(launch, n_out=4, rounds=2):
+    np.asarray(launch(0))
+    best = float('inf')
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        outs = [launch(i) for i in range(n_out)]
+        for o in outs:
+            np.asarray(o)
+        best = min(best, (time.perf_counter() - t0) / n_out)
+    return best
+
+
+# --- kernel variants ----------------------------------------------------------
+
+LANE_GROUP = 1024
+ROW_CHUNK = 256
+
+
+def _v1_kernel(coef_ref, x_ref, out_ref, state_ref, *, nsec, rows, unroll):
+    """Tile-major rows; state in fori carry; optional row unroll."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    rc_idx = pl.program_id(1)
+    params = []
+    for s in range(nsec):
+        params.append(tuple(coef_ref[s, k, 0] for k in range(5)))  # (8,128)
+
+    def init_state():
+        return tuple(jnp.zeros((8, 128), jnp.float32)
+                     for _ in range(2 * nsec))
+
+    def load_state():
+        return tuple(state_ref[i] for i in range(2 * nsec))
+
+    state0 = jax.lax.cond(rc_idx == 0, init_state, load_state)
+
+    def one_row(r, state):
+        v = x_ref[r, 0]
+        st = list(state)
+        for s in range(nsec):
+            prc, prs, d0, d1, d2 = params[s]
+            s1, s2 = st[2 * s], st[2 * s + 1]
+            y = d0 * v + d1 * s1 + d2 * s2
+            st[2 * s] = prc * s1 - prs * s2 + v
+            st[2 * s + 1] = prs * s1 + prc * s2
+            v = y
+        out_ref[r, 0] = v
+        return tuple(st)
+
+    if unroll == 1:
+        state = jax.lax.fori_loop(0, rows, one_row, state0)
+    else:
+        def body(i, state):
+            r0 = i * unroll
+            for j in range(unroll):
+                state = one_row(r0 + j, state)
+            return state
+
+        state = jax.lax.fori_loop(0, rows // unroll, body, state0)
+    for i in range(2 * nsec):
+        state_ref[i] = state[i]
+
+
+@functools.lru_cache(maxsize=32)
+def _build_v1(n_rows, n_lanes, nsec, unroll, row_chunk):
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lane_groups = n_lanes // LANE_GROUP
+    row_chunks = n_rows // row_chunk
+    kernel = functools.partial(_v1_kernel, nsec=nsec, rows=row_chunk,
+                               unroll=unroll)
+
+    def call(coeffs, x):
+        # x: (n_rows, LG, 8, 128); coeffs: (nsec, 5, LG, 8, 128)
+        return pl.pallas_call(
+            kernel,
+            grid=(lane_groups, row_chunks),
+            in_specs=[
+                pl.BlockSpec((nsec, 5, 1, 8, 128),
+                             lambda lg, rc: (0, 0, lg, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((row_chunk, 1, 8, 128),
+                             lambda lg, rc: (rc, lg, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((row_chunk, 1, 8, 128),
+                                   lambda lg, rc: (rc, lg, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_rows, lane_groups, 8, 128), np.float32),
+            scratch_shapes=[pltpu.VMEM((2 * nsec, 8, 128), np.float32)],
+        )(coeffs, x)
+
+    return jax.jit(call)
+
+
+def run_variant(name, rows, lanes, *, nsec=1, unroll=1, row_chunk=256):
+    import jax
+    import jax.numpy as jnp
+
+    lanes_pad = -(-lanes // LANE_GROUP) * LANE_GROUP
+    LG = lanes_pad // LANE_GROUP
+    key = jax.random.PRNGKey(0)
+    if name == 'v0':
+        from signals_tpu.compiler.pallas_kernels import _build_batch_call
+        x = jax.random.normal(key, (rows, lanes_pad), dtype=jnp.float32)
+        coeffs = jnp.tile(
+            jnp.asarray([[0.9, 0.1, 0.05, 0.1, 0.05, 0, 0, 0]],
+                        jnp.float32).reshape(1, 8, 1),
+            (nsec, 1, lanes_pad))
+        call = _build_batch_call(rows, lanes_pad, nsec, False)
+
+        @jax.jit
+        def run(c, x):
+            return jnp.mean(jnp.abs(call(c, x)))
+
+        args = (coeffs, x)
+    else:
+        x = jax.random.normal(key, (rows, LG, 8, 128), dtype=jnp.float32)
+        coeffs = jnp.broadcast_to(
+            jnp.asarray([0.9, 0.1, 0.05, 0.1, 0.05], jnp.float32)
+            .reshape(1, 5, 1, 1, 1),
+            (nsec, 5, LG, 8, 128)).copy()
+        call = _build_v1(rows, lanes_pad, nsec, unroll, row_chunk)
+
+        @jax.jit
+        def run(c, x):
+            return jnp.mean(jnp.abs(call(c, x)))
+
+        args = (coeffs, x)
+
+    t = pipelined(lambda i: run(*args))
+    gvs = rows * lanes_pad / t / 1e9
+    label = f'{name}_u{unroll}_rc{row_chunk}_rows{rows}'
+    log(f'{label}: {t*1e3:.2f} ms, {gvs:.2f} G samples/s')
+    results.setdefault('kernels', {})[label] = {
+        'wall_ms': round(t * 1e3, 3), 'gvs': round(gvs, 3)}
+
+
+def check_correctness():
+    """v1 must reproduce v0 (the production kernel) exactly."""
+    import jax
+    import jax.numpy as jnp
+    from signals_tpu.compiler.pallas_kernels import _build_batch_call
+    rows, lanes, nsec = 512, 2048, 1
+    LG = lanes // LANE_GROUP
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (rows, lanes), dtype=jnp.float32)
+    c8 = jnp.tile(jnp.asarray([0.9, 0.1, 0.05, 0.1, 0.05, 0, 0, 0],
+                              jnp.float32).reshape(1, 8, 1),
+                  (nsec, 1, lanes))
+    y0 = np.asarray(_build_batch_call(rows, lanes, nsec, False)(c8, x))
+    c5 = jnp.broadcast_to(
+        jnp.asarray([0.9, 0.1, 0.05, 0.1, 0.05], jnp.float32)
+        .reshape(1, 5, 1, 1, 1), (nsec, 5, LG, 8, 128)).copy()
+    x4 = x.reshape(rows, LG, 8, 128)
+    y1 = np.asarray(_build_v1(rows, lanes, nsec, 8, 256)(c5, x4))
+    err = float(np.abs(y0.reshape(rows, LG, 8, 128) - y1).max())
+    log(f'v1-vs-v0 max abs err: {err:.2e}')
+    results['v1_vs_v0_err'] = err
+    assert err < 1e-5, err
+
+
+def sweep_kernels():
+    seconds = 15
+    nb = int(round(seconds * RATE / BLOCK))
+    lanes = nb * V
+    rows = 2048          # context-mode shape (C=1024 + F=1024)
+    run_variant('v0', rows, lanes)
+    run_variant('v1', rows, lanes, unroll=1)
+    run_variant('v1', rows, lanes, unroll=4)
+    run_variant('v1', rows, lanes, unroll=8)
+    run_variant('v1', rows, lanes, unroll=16)
+    run_variant('v1', rows, lanes, unroll=8, row_chunk=512)
+    run_variant('v1', 1024, lanes, unroll=8)   # streaming/no-context shape
+    # bandpass-style two-section cascade
+    run_variant('v1', rows, lanes, nsec=2, unroll=8)
+
+
+# --- scaling + fetch ----------------------------------------------------------
+
+
+def build_poly(no_filter=False):
+    import bench as benchmod
+    from signals_tpu.parallel import PolyPatch
+    if no_filter:
+        from signals_tpu.nodes.env import ADSR
+        from signals_tpu.nodes.fx import Gain, RingMod
+        from signals_tpu.nodes.osc import Sawtooth, Square
+        hz = benchmod.fixed(110.0)
+        saw = Sawtooth()
+        saw.hertz = hz
+        gate = Square()
+        gate.hertz = benchmod.fixed(2.0)
+        env = ADSR()
+        env.gate = gate
+        voiced = RingMod()
+        voiced.left = saw
+        voiced.right = env
+        out = Gain()
+        out.left = voiced
+        out.right = benchmod.fixed(1.0 / 64)
+        root, hznode = out, hz
+    else:
+        root, hznode = benchmod.build_subtractive_voice()
+    freqs = (110.0 * 2 ** (np.arange(V) % 12 / 12.0)
+             * (1 + 0.001 * np.arange(V))).astype(np.float32)
+    return PolyPatch(root, n_voices=V, overrides={(hznode, 'value'): freqs},
+                     block_frames=BLOCK, rate=RATE, layout='channels')
+
+
+def bench_device(poly, seconds):
+    import jax
+    import jax.numpy as jnp
+    n_blocks = int(round(seconds * RATE / BLOCK))
+    params, _ = poly.params()
+    carry0 = poly.init_carry()
+    fn = poly.render_fn(n_blocks)
+
+    @jax.jit
+    def reduced(params, carry, position):
+        mix, carry2 = fn(params, carry, position, {})
+        return jnp.mean(jnp.abs(mix))
+
+    t = pipelined(lambda i: reduced(
+        params, __import__('jax').tree.map(lambda x: x, carry0), 0))
+    return n_blocks * BLOCK / RATE / t, t
+
+
+def scaling():
+    import signals_tpu.compiler as comp
+    out = {}
+    for no_filter in (True, False):
+        comp._compile_cache.clear()
+        poly = build_poly(no_filter=no_filter)
+        for seconds in (60, 120):
+            x, t = bench_device(poly, seconds)
+            k = f'{"osc_only" if no_filter else "full"}_{seconds}s'
+            out[k] = {'x_realtime': round(x, 1), 'wall_ms': round(t * 1e3, 1)}
+            log(f'{k}: {x:.1f}x ({t*1e3:.0f} ms)')
+    results['scaling'] = out
+
+
+def pcm16_fetch():
+    """End-to-end headline path: 60 s poly-64 render fetched as PCM16."""
+    import jax
+    import jax.numpy as jnp
+    import signals_tpu.compiler as comp
+    comp._compile_cache.clear()
+    poly = build_poly()
+    seconds = 60
+    n_blocks = int(round(seconds * RATE / BLOCK))
+    params, _ = poly.params()
+    carry0 = poly.init_carry()
+    fn = poly.render_fn(n_blocks)
+
+    @jax.jit
+    def as_pcm16(params, carry, position):
+        mix, carry2 = fn(params, carry, position, {})
+        q = jnp.clip(jnp.round(mix * 32767.0), -32768, 32767)
+        return q.astype(jnp.int16)
+
+    def launch(i):
+        return as_pcm16(params, jax.tree.map(lambda x: x, carry0), 0)
+
+    t = pipelined(launch)
+    x = n_blocks * BLOCK / RATE / t
+    log(f'poly64 60s fetched as PCM16: {x:.1f}x realtime ({t*1e3:.0f} ms)')
+    results['pcm16_fetch_60s'] = {'x_realtime': round(x, 1),
+                                  'wall_ms': round(t * 1e3, 1)}
+
+    @jax.jit
+    def as_f32(params, carry, position):
+        mix, carry2 = fn(params, carry, position, {})
+        return mix
+
+    t = pipelined(lambda i: as_f32(
+        params, jax.tree.map(lambda x: x, carry0), 0))
+    x = n_blocks * BLOCK / RATE / t
+    log(f'poly64 60s fetched as f32:   {x:.1f}x realtime ({t*1e3:.0f} ms)')
+    results['f32_fetch_60s'] = {'x_realtime': round(x, 1),
+                                'wall_ms': round(t * 1e3, 1)}
+
+
+def main():
+    import jax
+    log(f'devices: {jax.devices()}')
+    check_correctness()
+    sweep_kernels()
+    scaling()
+    pcm16_fetch()
+    print(json.dumps(results, indent=2))
+    with open('/tmp/sweep_results.json', 'w') as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == '__main__':
+    main()

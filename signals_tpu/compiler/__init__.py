@@ -222,14 +222,16 @@ class _CollectCtx(KernelCtx):
             self.compiler.collect(inp, self.window)
         return self._dummy(inp, context_frames + self.nframes)
 
-    def in_grid_samples(self, name: PortName, stride: int, count: int):
+    def in_grid_samples(self, name: PortName, stride: int, count: int,
+                        ahead: int = 0):
+        # mirrors LowerCtx.in_grid_samples exactly: one strided window,
+        # oldest first, newest ``ahead`` grid steps past the anchor
         inp = self._input(name)
         if inp is not None:
             anchor_off = stride * (self.window.offset // stride)
-            for j in range(count):
-                self.compiler.collect(inp, Window(anchor_off - j * stride, 1))
-        out = self._dummy(inp, count)
-        return out
+            start = anchor_off - (count - 1 - ahead) * stride
+            self.compiler.collect(inp, Window(start, count, stride=stride))
+        return self._dummy(inp, count)
 
     def in_channels(self, name: PortName) -> typing.Optional[int]:
         inp = self._input(name)
@@ -403,6 +405,13 @@ class LowerCtx(KernelCtx):
         return _filters.sosfilt_stream(coeffs, x, zi)
 
 
+def _host_key(uid: str, w: Window) -> str:
+    """Stable name of a host-staged input window (stride disambiguates a
+    strided control-grid window from a contiguous one at the same span)."""
+    suffix = f',{w.stride}' if w.stride != 1 else ''
+    return f'{uid}@{w.offset},{w.frames}{suffix}'
+
+
 class _Compiler:
     """One trace of one patch at one (block_frames, rate, channels)."""
 
@@ -453,9 +462,11 @@ class _Compiler:
                 inp = node._ports[pname].sig
                 if inp is None:
                     continue
+                # same strided window grid_kernel will request via
+                # in_grid_samples (ahead=0 outside mega rendering)
                 anchor_off = stride * (window.offset // stride)
-                for j in range(count):
-                    self.collect(inp, Window(anchor_off - j * stride, 1))
+                start = anchor_off - (count - 1) * stride
+                self.collect(inp, Window(start, count, stride=stride))
             return
         if _is_stateful(node):
             # stateful nodes step once per block at the main window
@@ -526,7 +537,7 @@ class _Compiler:
         uid = info.uid
 
         if _is_host_source(node):
-            result = self.host[f'{uid}@{window.offset},{window.frames}']
+            result = self.host[_host_key(uid, window)]
         elif _is_delay(node):
             result = self._lower_delay(node, window)
         elif _is_grid_stateless(node):
@@ -722,7 +733,7 @@ class CompiledPatch:
                 continue
             uid = self.index.info(node).uid
             for w in sorted(self.index.info(node).windows):
-                key = f'{uid}@{w.offset},{w.frames}'
+                key = _host_key(uid, w)
                 if key not in seen:
                     seen.add(key)
                     spec.append((node, w, key))
@@ -738,11 +749,16 @@ class CompiledPatch:
         ``position``.  Returns key -> (n_blocks, frames, ch) arrays."""
         out = {}
         for node, w, key in self._host_spec:
-            blocks = [
-                node.host_read(position + i * self.block_frames + w.offset,
-                               w.frames, self.rate)
-                for i in range(n_blocks)
-            ]
+            blocks = []
+            for i in range(n_blocks):
+                base = position + i * self.block_frames + w.offset
+                if w.stride == 1:
+                    blocks.append(node.host_read(base, w.frames, self.rate))
+                else:
+                    # strided control-grid window: one frame per grid step
+                    blocks.append(np.concatenate(
+                        [node.host_read(base + k * w.stride, 1, self.rate)
+                         for k in range(w.frames)], axis=0))
             out[key] = np.stack(blocks, axis=0)
         return out
 
