@@ -365,11 +365,7 @@ def main(argv=None):
                                         label='fm+delay+spec')
 
     extra['parity_max_abs_err'] = parity
-    # feedback loops amplify the per-pass f32 engine divergence by
-    # ~1/(1-gain); the fm_delay config gets the amplified budget
-    tolerances = {'fm_delay': 3 * TOL}
-    extra['parity_ok'] = all(v <= tolerances.get(k, TOL)
-                             for k, v in parity.items())
+    extra['parity_ok'] = all(v <= TOL for v in parity.values())
 
     headline = extra['c4_poly64']['x_realtime']
     result = {

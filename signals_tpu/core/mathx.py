@@ -1,0 +1,86 @@
+"""Cross-engine bit-exact transcendentals.
+
+``numpy``'s and XLA's ``sin`` differ by a couple of ulps on the same
+float32 inputs (different implementations).  On a plain oscillator that is
+inaudible and far inside the 1e-5 parity budget, but FM stacks and
+feedback loops *amplify* the divergence: a 2-ulp difference entering a
+modulator's phase is multiplied by modulation indices, re-enters through
+delay lines, and random-walks over thousands of blocks — the measured
+cross-engine error of the FM+delay benchmark config was ~1.1e-5 with
+library sines.
+
+:func:`sin2pi` removes the divergence at the source: one polynomial whose
+evaluation produces identical bits in both engines.
+
+* Quadrant folding uses only exact f32 ops (Sterbenz subtractions,
+  compares) — bit-identical everywhere.
+* The Horner chain runs in **float64 and rounds to float32 once**.  A pure
+  f32 chain is NOT reproducible: XLA contracts ``mul+add`` into FMAs at
+  the LLVM/Mosaic level — straight through ``optimization_barrier``, which
+  fences the HLO value but not a re-derived contraction — and the FMA's
+  single rounding differs from numpy's two roundings by 1 ulp.  In f64,
+  contraction still perturbs f64 ulps, but those vanish at the final f32
+  rounding except on exact rounding-boundary ties (probability ~2^-28 per
+  sample — none observed over 5e5 random inputs, and a single f32 ulp if
+  one ever lands).
+* Coefficients are Taylor terms of ``sin(2*pi*y)``, degree 13 —
+  truncation ≤ 7e-10 relative on ``|y| <= 1/4``, far below one f32 ulp,
+  so accuracy matches library sines (measured ≤ 1.6e-7 absolute vs f64
+  ``np.sin``) while bits match across engines.
+
+The f64 arithmetic is ~6 scalar-coefficient ops per sample; on TPU f64 is
+emulated but the sine is a negligible slice of patch cost (fusion-boundary
+HBM traffic dominates), and the pull engine is numpy-native f64.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import math
+
+import numpy as np
+
+F32 = np.float32
+
+#: float64 Taylor coefficients of sin(2*pi*y) = y * P(y^2),
+#: P(z) = sum_n C[n] * z^n with C[n] = (-1)^n (2*pi)^(2n+1) / (2n+1)!
+_SIN2PI_COEFFS = tuple(
+    (-1.0) ** n * (2.0 * math.pi) ** (2 * n + 1) / math.factorial(2 * n + 1)
+    for n in range(7))
+
+
+def sin2pi(xp, t, exact=None):
+    """``sin(2*pi*t)`` for ``t`` in ``[0, 1)``, bit-identical across
+    engines.
+
+    ``xp``: numpy or jax.numpy.  ``exact`` is accepted for interface
+    symmetry with other bit-parity helpers and unused (the f64 chain needs
+    no fencing).  Inputs outside ``[0, 1)`` must be range-reduced first
+    (the oscillators already reduce with ``x - floor(x)``).
+    """
+    if xp is np:
+        guard = contextlib.nullcontext()
+    else:
+        import jax
+        guard = jax.enable_x64(True)
+    # fold [0, 1) onto y in [-1/4, 1/4] with sin(2*pi*t) = -sin(2*pi*y):
+    # r = t - 1/2 in [-1/2, 1/2); reflect the outer quarters.  All three
+    # candidate subtractions are Sterbenz-exact.
+    r = t - F32(0.5)
+    y = xp.where(r > F32(0.25), F32(0.5) - r,
+                 xp.where(r < F32(-0.25), F32(-0.5) - r, r))
+    with guard:
+        z = (y * y).astype(xp.float64)
+        acc = xp.full_like(z, _SIN2PI_COEFFS[-1])
+        for c in _SIN2PI_COEFFS[-2::-1]:
+            acc = c + z * acc
+        p = acc.astype(F32)
+    return -(y * p)
+
+
+def cos2pi(xp, t, exact=None):
+    """``cos(2*pi*t)`` for ``t`` in ``[0, 1)`` via the quarter-turn shift
+    (the shift and re-reduction are exact ops)."""
+    s = t + F32(0.25)
+    s = s - xp.floor(s)
+    return sin2pi(xp, s, exact)

@@ -229,11 +229,30 @@ class ADSR(StatefulEmitter, ImplicitChannels):
         lv_on_seq = cb1                                 # (total, ch)
         lv_off_seq = cb2
 
-        # evaluate every frame against the state of its own grid cell
-        fri = ctx.frame_range_int                       # (nframes, 1)
-        anchor_int = fri[0:1] - xp.mod(fri[0:1], stride)
-        cell = ((fri - anchor_int) // stride)[:, 0] + (K - 1)   # (nframes,)
+        # evaluate every frame against the state of its own grid cell.
+        # Gathers over the full frame axis are catastrophically slow on TPU
+        # (measured 5x the whole rest of the patch), and the cell mapping is
+        # static in every real window shape — so pick rows with slices:
+        #   * one block (nb == 1): every frame shares cell K-1
+        #   * a grid-aligned strided window: frame j IS cell K-1+j
+        #   * a whole-blocks contiguous window: cells repeat stride times
+        nframes = ctx.nframes
+        w_stride = w.stride if w is not None else 1
+        aligned = w is not None and w.offset % stride == 0
+
+        def pick(arr):
+            if nb == 1:
+                return arr[K - 1:K]                    # (1, ch) broadcast row
+            if aligned and w_stride == stride:
+                return arr[K - 1:K - 1 + nframes]      # one row per frame
+            if aligned and w_stride == 1 and nframes == nb * stride:
+                return xp.repeat(arr[K - 1:K - 1 + nb], stride, axis=0)
+            fri_ = ctx.frame_range_int
+            anchor_int = fri_[0:1] - xp.mod(fri_[0:1], stride)
+            cell = ((fri_ - anchor_int) // stride)[:, 0] + (K - 1)
+            return arr[cell]
+
         t = ctx.frame_range
-        return self._value(xp, t, on[cell], t_on_seq[cell], t_off_seq[cell],
-                           lv_on_seq[cell], lv_off_seq[cell],
+        return self._value(xp, t, pick(on), pick(t_on_seq), pick(t_off_seq),
+                           pick(lv_on_seq), pick(lv_off_seq),
                            A, D, S, R)

@@ -72,38 +72,47 @@ class Osc(BlockCachingEmitter, ImplicitChannels, abc.ABC):
         # argument loses accuracy linearly in |t|.
         turns = _frac(xp, ctx.frame_range * ctx.inv_rate_f32 * hertz)
         t = _frac(xp, turns + phase)
-        return self._osc(ctx.xp, t)
+        return self._osc(ctx, t)
 
     @abc.abstractmethod
-    def _osc(self, xp, t):
+    def _osc(self, ctx, t):
         raise NotImplementedError
 
 
 @register('signals.chain.osc.Sine')
 class Sine(Osc):
+    """Sine via the shared cross-engine polynomial
+    (:func:`signals_tpu.core.mathx.sin2pi`): numpy's and XLA's library
+    ``sin`` differ by ~2 ulps, which FM phase stacks and feedback loops
+    amplify past the 1e-5 parity budget — the shared evaluation makes both
+    engines bit-identical."""
 
-    def _osc(self, xp, t):
-        return xp.sin(t * F32(2 * np.pi))
+    def _osc(self, ctx, t):
+        from signals_tpu.core.mathx import sin2pi
+        return sin2pi(ctx.xp, t, ctx.exact)   # t already reduced to [0, 1)
 
 
 @register('signals.chain.osc.Square')
 class Square(Osc):
 
-    def _osc(self, xp, t):
+    def _osc(self, ctx, t):
+        xp = ctx.xp
         return xp.sign(F32(0.5) - _frac(xp, t))
 
 
 @register('signals.chain.osc.Sawtooth')
 class Sawtooth(Osc):
 
-    def _osc(self, xp, t):
+    def _osc(self, ctx, t):
+        xp = ctx.xp
         return F32(2.0) * _frac(xp, t - F32(0.5)) - F32(1.0)
 
 
 @register('signals.chain.osc.Triangle')
 class Triangle(Osc):
 
-    def _osc(self, xp, t):
+    def _osc(self, ctx, t):
+        xp = ctx.xp
         t = t - F32(0.25)
         return ((F32(4.0) * _frac_half(xp, t) - F32(1.0))
                 * xp.sign(_frac(xp, t) - F32(0.5)))
