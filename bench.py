@@ -206,10 +206,16 @@ def bench_single(root, *, seconds=1.0, label='', channels=1,
     fn = compiled.render_fn(n_blocks)
     carry0 = compiled.carry0
 
-    def launch(i):
-        blocks, carry, taps = fn(params, jax.tree.map(lambda x: x, carry0),
-                                 0, host)
+    @jax.jit
+    def run(params, carry, position, host):
+        # fetch the audio only: vis/recorder taps are PASSTHRU copies of
+        # the same samples, delivered on the host from the same buffer —
+        # returning them too would double the bytes through the host link
+        blocks, carry2, _taps = fn(params, carry, position, host)
         return blocks
+
+    def launch(i):
+        return run(params, jax.tree.map(lambda x: x, carry0), 0, host)
 
     if pipelined:
         t = time_render_pipelined(launch)
@@ -292,7 +298,10 @@ def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0):
 
 
 def bench_block_latency(root, *, channels=1):
-    """p50 latency of a single-block step call (the realtime-path metric)."""
+    """Realtime-path block latencies: p50 of a single-block step call, and
+    p50 per block of the production render-ahead path (the Transport
+    renders 8 blocks per device call into the ring, amortizing the
+    per-dispatch round trip the tunnel imposes)."""
     import jax
     from signals_tpu.compiler import compile_node
     compiled = compile_node(root, block_frames=BLOCK, rate=RATE,
@@ -311,7 +320,16 @@ def bench_block_latency(root, *, channels=1):
         np.asarray(out[0])
         carry = out[1]
         lat.append(time.perf_counter() - t0)
-    return float(np.median(lat))
+    single = float(np.median(lat))
+
+    ahead = 8                           # Transport.blocks_per_call
+    lat8 = []
+    for i in range(20):
+        t0 = time.perf_counter()
+        audio, _ = compiled.render(position=i * ahead * BLOCK,
+                                   n_blocks=ahead, deliver_taps=False)
+        lat8.append((time.perf_counter() - t0) / ahead)
+    return single, float(np.median(lat8))
 
 
 def main(argv=None):
@@ -355,7 +373,9 @@ def main(argv=None):
     parity['subtractive'] = check_parity(voice3, n_blocks=n_blocks)
     extra['c3_subtractive'] = bench_single(voice3, seconds=seconds,
                                            label='subtractive-voice')
-    extra['p50_block_latency_ms'] = bench_block_latency(voice3) * 1e3
+    lat1, lat8 = bench_block_latency(voice3)
+    extra['p50_block_latency_ms'] = lat1 * 1e3
+    extra['p50_block_latency_renderahead_ms'] = lat8 * 1e3
 
     # config 4 (headline): 64-voice poly, mix fetched to host as PCM16
     # (the production bounce format; f32 fetch reported alongside)

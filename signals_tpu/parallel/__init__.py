@@ -67,8 +67,6 @@ class PolyPatch:
             layout = 'vmap' if mesh is not None else 'channels'
         if layout not in ('channels', 'vmap'):
             raise ValueError(layout)
-        if mesh is not None and layout != 'vmap':
-            raise ValueError('mesh sharding requires the vmap layout')
         self.layout = layout
         self.n_voices = n_voices
         self.mesh = mesh
@@ -76,8 +74,23 @@ class PolyPatch:
         self._render_cache: dict[int, typing.Any] = {}
 
         if layout == 'channels':
-            # note: installs the stacked values into the live nodes' states
-            # (the patch *becomes* V-channel)
+            # Voices ride the channel/lane axis.  With a mesh, the lane
+            # axis is sharded: the graph compiles at the per-device voice
+            # count and shard_map feeds each device its slice of the
+            # stacked params (mix reduction becomes a psum over ICI).
+            n_local = n_voices
+            if mesh is not None:
+                n_dev = int(np.prod(mesh.devices.shape))
+                if n_voices % n_dev:
+                    raise ValueError(
+                        f'n_voices={n_voices} not divisible by the '
+                        f'{n_dev}-device mesh')
+                n_local = n_voices // n_dev
+            self._n_local = n_local
+            #: (node, pname, voice_axis, global stacked array)
+            self._channel_overrides: list[tuple] = []
+            # note: installs the (per-device slice of the) stacked values
+            # into the live nodes' states (the patch *becomes* V-channel)
             for (node, pname), values in overrides.items():
                 arr = np.asarray(values, dtype=F32)
                 if arr.shape[0] != n_voices:
@@ -92,20 +105,26 @@ class PolyPatch:
                         f'{pname!r} is {old!r} — use layout="vmap"')
                 if old.shape == (1, 1):
                     # scalar param: voices become columns of a (1, V) row
-                    setattr(state, pname, arr.reshape(1, n_voices))
+                    stacked = arr.reshape(1, n_voices)
+                    axis = 1
                 else:
                     # row param (e.g. a (1, E) event track): voices become
                     # rows of a (V, E) array — per-channel tracks
-                    row = np.broadcast_to(
-                        arr.reshape(n_voices, -1), (n_voices, old.shape[1]))
-                    setattr(state, pname, np.ascontiguousarray(row))
-            if root.channels != n_voices:
+                    stacked = np.ascontiguousarray(np.broadcast_to(
+                        arr.reshape(n_voices, -1), (n_voices, old.shape[1])))
+                    axis = 0
+                local = (stacked if mesh is None else np.ascontiguousarray(
+                    stacked[:, :n_local] if axis == 1
+                    else stacked[:n_local]))
+                setattr(state, pname, local)
+                self._channel_overrides.append((node, pname, axis, stacked))
+            if root.channels != n_local:
                 raise ValueError(
                     f'patch does not propagate the voice channel axis: root '
-                    f'has {root.channels} channels, expected {n_voices}; '
+                    f'has {root.channels} channels, expected {n_local}; '
                     f'use layout="vmap"')
             self.compiled = compile_node(root, block_frames=block_frames,
-                                         rate=rate, channels=n_voices)
+                                         rate=rate, channels=n_local)
             self._out_channels = 1 if channels is None else channels
             return
 
@@ -128,6 +147,12 @@ class PolyPatch:
         """(params pytree with overridden leaves stacked, in_axes pytree)."""
         base = self.compiled.params()
         if self.layout == 'channels':
+            if self.mesh is not None:
+                # live states hold the per-device slice (the compile
+                # shape); feed the full stacked arrays — shard_map slices
+                index = self.compiled.index
+                for node, pname, _axis, stacked in self._channel_overrides:
+                    base[index.info(node).uid][pname] = stacked
             return base, None
         axes = {uid: {k: None for k in leaves}
                 for uid, leaves in base.items()}
@@ -145,6 +170,18 @@ class PolyPatch:
         """Per-voice carried state."""
         import jax
         if self.layout == 'channels':
+            if self.mesh is not None:
+                # per-channel state tiled out to the global voice width
+                # (initial values are channel-uniform)
+                n_dev = self.n_voices // self._n_local
+
+                def widen(x):
+                    if x.ndim and x.shape[-1] == self._n_local:
+                        return np.ascontiguousarray(
+                            np.concatenate([x] * n_dev, axis=-1))
+                    return x.copy()
+
+                return jax.tree.map(widen, self.compiled.carry0)
             # stateful nodes already carry V channels in this layout
             return jax.tree.map(lambda x: x.copy(), self.compiled.carry0)
         return jax.tree.map(
@@ -152,6 +189,38 @@ class PolyPatch:
             self.compiled.carry0)
 
     # -- rendering -----------------------------------------------------------
+
+    def _channel_specs(self, params, carry):
+        """(params, carry) PartitionSpec pytrees for the channels layout:
+        overridden leaves shard their voice axis; carried state shards its
+        channel (last) axis; everything else replicates."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+        ax = self.axis_name
+        index = self.compiled.index
+        sharded = {(index.info(node).uid, pname): axis
+                   for node, pname, axis, _ in self._channel_overrides}
+        pspecs = {}
+        for uid, leaves in params.items():
+            pspecs[uid] = {}
+            for pname, leaf in leaves.items():
+                axis = sharded.get((uid, pname))
+                if axis is None:
+                    pspecs[uid][pname] = P()
+                else:
+                    spec = [None] * np.ndim(leaf)
+                    spec[axis] = ax
+                    pspecs[uid][pname] = P(*spec)
+        n_local = self._n_local
+
+        del n_local
+
+        def cspec(leaf):
+            if np.ndim(leaf) and leaf.shape[-1] == self.n_voices:
+                return P(*([None] * (np.ndim(leaf) - 1)), ax)
+            return P()
+
+        return pspecs, jax.tree.map(cspec, carry)
 
     def _make_render_channels(self, n_blocks: int):
         import jax
@@ -161,7 +230,7 @@ class PolyPatch:
         F = compiled.block_frames
         step_core = compiled._step_core
         out_ch = self._out_channels
-        V = self.n_voices
+        V = compiled.channels          # per-device voice lanes
 
         stateless = not compiled.carry0
 
@@ -178,7 +247,7 @@ class PolyPatch:
                 mix = blocks.sum(axis=2, keepdims=True)
                 return jnp.broadcast_to(mix, (n_blocks, F, out_ch)), carry
 
-            return jax.jit(mega_many, donate_argnums=(1,))
+            return self._finalize_channels(mega_many)
 
         def many(params, carry, position0, host_staged):
             positions = (jnp.int32(position0)
@@ -210,7 +279,36 @@ class PolyPatch:
                                            n_blocks)))
             return mix, carry2
 
-        return jax.jit(many, donate_argnums=(1,))
+        return self._finalize_channels(many)
+
+    def _finalize_channels(self, many):
+        """Jit the channels-layout render; with a mesh, wrap it in
+        shard_map over the voice-lane axis — each device renders its voice
+        shard against its param/carry slices and the master mix is a psum
+        over ICI (the only inter-chip traffic)."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        if self.mesh is None:
+            return jax.jit(many, donate_argnums=(1,))
+
+        shard_map = getattr(jax, 'shard_map', None)
+        if shard_map is None:
+            from jax.experimental.shard_map import shard_map
+        ax = self.axis_name
+        params, _ = self.params()
+        carry = self.init_carry()
+        pspecs, cspecs = self._channel_specs(params, carry)
+
+        def sharded(params, carry, position0, host_staged):
+            mix, carry2 = many(params, carry, position0, host_staged)
+            return jax.lax.psum(mix, ax), carry2
+
+        f = shard_map(sharded, mesh=self.mesh,
+                      in_specs=(pspecs, cspecs, P(), P()),
+                      out_specs=(P(), cspecs),
+                      check_rep=False)
+        return jax.jit(f, donate_argnums=(1,))
 
     def _make_render(self, n_blocks: int):
         import jax
