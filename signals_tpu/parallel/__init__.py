@@ -292,9 +292,14 @@ class PolyPatch:
         if self.mesh is None:
             return jax.jit(many, donate_argnums=(1,))
 
+        import functools
         shard_map = getattr(jax, 'shard_map', None)
-        if shard_map is None:
-            from jax.experimental.shard_map import shard_map
+        if shard_map is not None:
+            # jax.shard_map replaced check_rep with check_vma
+            shard_map = functools.partial(shard_map, check_vma=False)
+        else:
+            from jax.experimental.shard_map import shard_map as _sm
+            shard_map = functools.partial(_sm, check_rep=False)
         ax = self.axis_name
         params, _ = self.params()
         carry = self.init_carry()
@@ -306,8 +311,7 @@ class PolyPatch:
 
         f = shard_map(sharded, mesh=self.mesh,
                       in_specs=(pspecs, cspecs, P(), P()),
-                      out_specs=(P(), cspecs),
-                      check_rep=False)
+                      out_specs=(P(), cspecs))
         return jax.jit(f, donate_argnums=(1,))
 
     def _make_render(self, n_blocks: int):
