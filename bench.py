@@ -394,7 +394,7 @@ def main(argv=None):
     progress('bench: config 4b (poly-64 device-resident)...')
     voice4b, hz4b = build_subtractive_voice()
     extra['c4_poly64_device_resident'] = bench_poly_device(
-        voice4b, hz4b, 64, seconds=seconds)
+        voice4b, hz4b, 64, seconds=2 * seconds if not args.quick else seconds)
 
     # config 5: FM + delay feedback + spectral tap
     progress('bench: config 5 (fm+delay)...')

@@ -778,6 +778,16 @@ class CompiledPatch:
     #: per-block associative scan.  Set False to force per-block rendering.
     enable_mega = True
 
+    #: mega only engages at this channel width or above: narrow patches
+    #: lay frames-major (N, ch<8) arrays across mostly-idle VPU lanes,
+    #: where the per-block vmapped path tiles better (measured on v5e)
+    mega_min_channels = 8
+
+    @property
+    def _use_mega(self) -> bool:
+        return (self.enable_mega and self.mega_compatible
+                and self.channels >= self.mega_min_channels)
+
     @property
     def mega_compatible(self) -> bool:
         """Whether the patch can render a whole batch as one mega window:
@@ -841,7 +851,7 @@ class CompiledPatch:
             return (jnp.int32(position0)
                     + jnp.int32(F) * jnp.arange(n_blocks, dtype=jnp.int32))
 
-        if self.enable_mega and self.mega_compatible and n_blocks > 1:
+        if self._use_mega and n_blocks > 1:
             many = self.mega_core(n_blocks)
         elif stateless:
             def many(params, carry, position0, host_staged):

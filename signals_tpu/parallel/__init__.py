@@ -234,8 +234,7 @@ class PolyPatch:
 
         stateless = not compiled.carry0
 
-        if (stateless and compiled.enable_mega and compiled.mega_compatible
-                and n_blocks > 1):
+        if stateless and compiled._use_mega and n_blocks > 1:
             # mega window: the whole voice batch renders as one traced
             # window (context dedup + the batched VMEM-resident filter),
             # then mixes down over the voice/channel lanes

@@ -151,6 +151,7 @@ def test_mega_pallas_filter_path_matches_block_render():
         mega_c = compile_node(build(), block_frames=F, rate=RATE,
                               channels=1)
         mega_c.enable_mega = True
+        mega_c.mega_min_channels = 1
         assert mega_c.mega_compatible
         out, _ = mega_c.render(n_blocks=12)
         out2, _ = mega_c.render(position=4 * F, n_blocks=4)

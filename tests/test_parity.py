@@ -397,6 +397,7 @@ def test_mega_window_render_matches_block_render():
     C._compile_cache.clear()
     mega_c = compile_node(mega_root, block_frames=F, rate=RATE, channels=1)
     mega_c.enable_mega = True
+    mega_c.mega_min_channels = 1
     assert mega_c.mega_compatible
     out, _ = mega_c.render(n_blocks=20)
     C._compile_cache.clear()
