@@ -15,8 +15,12 @@ in the same history as typed commands.
 Run: ``python -m signals_tpu.ui.tui [patch.sigs]``
 Keys: Esc toggles command/grid mode.  In grid mode: arrows/hjkl move,
 Enter starts/completes a cable (then a digit picks the input port),
-``a`` add-at-cursor, ``d`` delete, ``m`` move, ``x`` disconnect,
-``u``/``r`` undo/redo.
+``a`` fuzzy add-picker (the reference's add-signal dialog,
+``ui/patcher/dialog.py:118-169``), ``A`` raw add command, ``d`` delete,
+``m`` move, ``x`` disconnect, ``y``/``c``/``p`` copy/cut/paste the node
+under the cursor (the reference's clipboard actions,
+``ui/patcher/window.py:159-178`` — payload is the node's class + state,
+re-added through the undoable command stack), ``u``/``r`` undo/redo.
 """
 
 from __future__ import annotations
@@ -60,6 +64,10 @@ class PatcherTUI:
         self.pending: typing.Optional[tuple[str, Coordinates]] = None
         self.port_menu: typing.Optional[tuple[str, Coordinates,
                                               list[str]]] = None
+        #: clipboard payload: ``(cls_name, state_text)`` of a copied node
+        self.clipboard: typing.Optional[tuple[str, str]] = None
+        #: fuzzy add-picker state: ``{'query': str, 'sel': int}``
+        self.picker: typing.Optional[dict] = None
         self.message = "Esc: grid mode; commands: " \
                        "'+ 1a signals.chain.osc.Sine', 'view', 'undo', " \
                        "'exit'; F2 undo, F3 redo"
@@ -141,6 +149,104 @@ class PatcherTUI:
         self.message = ('disconnect: ' + '  '.join(
             f'{i + 1}){p}' for i, p in enumerate(ports)))
 
+    # --- clipboard (reference window.py:159-178) ----------------------------
+
+    def _info_at(self, at: Coordinates):
+        for info in self.controller.map.iter_signals():
+            if info.at == at:
+                return info
+        return None
+
+    def copy(self) -> bool:
+        from signals_tpu.map import SigState
+        at = self._at()
+        info = self._info_at(at)
+        if info is None:
+            self.message = f'{at}: nothing to copy'
+            return False
+        sig = self._sig(at)
+        state = SigState.from_signal(sig) if sig is not None else info.state
+        self.clipboard = (info.cls_name, state.items_text())
+        self.message = f'copied {info.cls_name.rsplit(".", 1)[-1]} from {at}'
+        return True
+
+    def cut(self) -> None:
+        if self.copy():
+            self.run_line(f'- {self._at()}')
+
+    def paste(self) -> None:
+        if self.clipboard is None:
+            self.message = 'clipboard empty'
+            return
+        cls_name, state_text = self.clipboard
+        self.run_line(f'+ {self._at()} {cls_name} {state_text}'.rstrip())
+
+    # --- fuzzy add-picker (reference dialog.py:118-169) ---------------------
+
+    def picker_matches(self, query: str) -> list[str]:
+        """Rank library names: substring beats subsequence, shorter and
+        later-component matches rank higher."""
+        names = self.controller.library.names
+        q = query.lower()
+        scored = []
+        for name in names:
+            low = name.lower()
+            leaf = low.rsplit('.', 1)[-1]
+            if not q:
+                scored.append((2, len(name), name))
+                continue
+            if q in leaf:
+                scored.append((0, len(leaf) + leaf.index(q), name))
+            elif q in low:
+                scored.append((1, len(name), name))
+            else:
+                it = iter(low)
+                if all(c in it for c in q):
+                    scored.append((2, len(name), name))
+        return [n for _, _, n in sorted(scored)]
+
+    def _open_picker(self) -> None:
+        self.picker = {'query': '', 'sel': 0}
+        self._picker_message()
+
+    def _picker_message(self) -> None:
+        query = self.picker['query']
+        matches = self.picker_matches(query)[:6]
+        sel = min(self.picker['sel'], max(0, len(matches) - 1))
+        self.picker['sel'] = sel
+        parts = [(f'[{m.rsplit(".", 1)[-1]}]' if i == sel
+                  else m.rsplit('.', 1)[-1])
+                 for i, m in enumerate(matches)]
+        self.message = (f'add@{self._at()}: {query}_  '
+                        + ('  '.join(parts) if parts else '(no match)'))
+
+    def handle_picker_key(self, ch) -> None:
+        query = self.picker['query']
+        matches = self.picker_matches(query)[:6]
+        if ch == ESC:
+            self.picker = None
+            self.message = 'cancelled'
+            return
+        if ch in ('\n', '\r', _KEY_ENTER):
+            sel = self.picker['sel']
+            self.picker = None
+            if not matches:
+                self.message = 'no match'
+                return
+            self.run_line(f'+ {self._at()} {matches[sel]}')
+            return
+        if ch in ('\x7f', '\b', _KEY_BACKSPACE):
+            self.picker['query'] = query[:-1]
+        elif ch in (_KEY_LEFT, _KEY_UP):
+            self.picker['sel'] = max(0, self.picker['sel'] - 1)
+        elif ch in (_KEY_RIGHT, _KEY_DOWN, '\t'):
+            self.picker['sel'] = min(len(matches) - 1,
+                                     self.picker['sel'] + 1)
+        elif isinstance(ch, str) and ch.isprintable():
+            self.picker['query'] = query + ch
+            self.picker['sel'] = 0
+        self._picker_message()
+
     def _pick_port(self, idx: int) -> None:
         action, at, ports = self.port_menu
         self.port_menu = None
@@ -155,6 +261,9 @@ class PatcherTUI:
             self.run_line(f'>/ {at}.{ports[idx]}')
 
     def handle_grid_key(self, ch) -> None:
+        if self.picker is not None:
+            self.handle_picker_key(ch)
+            return
         if self.port_menu is not None:
             if isinstance(ch, str) and ch.isdigit():
                 self._pick_port(int(ch) - 1)
@@ -174,9 +283,17 @@ class PatcherTUI:
         elif ch in ('\n', '\r', _KEY_ENTER):
             self._start_or_complete()
         elif ch == 'a':
+            self._open_picker()
+        elif ch == 'A':
             self.mode = 'cmd'
             self.line = f'+ {self._at()} '
             self.message = 'complete the add command'
+        elif ch == 'y':
+            self.copy()
+        elif ch == 'c':
+            self.cut()
+        elif ch == 'p':
+            self.paste()
         elif ch == 'd':
             self.run_line(f'- {self._at()}')
         elif ch == 'm':
@@ -208,8 +325,8 @@ class PatcherTUI:
         if ch == ESC:
             self.mode = 'grid'
             self.message = ('grid mode — arrows move, Enter cables, '
-                            'a add, d delete, m move, x disconnect, '
-                            'Esc back')
+                            'a add-picker, d delete, m move, x disconnect, '
+                            'y/c/p copy/cut/paste, Esc back')
         elif isinstance(ch, str) and ch.isprintable():
             self.line += ch
         elif ch in ('\n', _KEY_ENTER, '\r'):

@@ -99,7 +99,7 @@ def test_add_gesture_prefills_command():
     tui = make_tui()
     tui.handle_key(ESC)
     tui.handle_key('l')
-    tui.handle_key('a')
+    tui.handle_key('A')
     assert tui.mode == 'cmd'
     assert tui.line == '+ 1b '
 
@@ -113,3 +113,92 @@ def test_cell_span_matches_padded_render():
     y, x0, x1 = cell_span(at)
     assert '2b:Sine' in lines[y][x0:x1]
     assert len(lines) >= 4                 # padded to the cursor row
+
+
+def test_copy_paste_undo_round_trip():
+    """Clipboard parity with the reference's signal copy/paste
+    (``window.py:159-178``): payload carries class + state, paste re-adds
+    through the undoable stack."""
+    tui = make_tui()
+    type_line(tui, '+ 1a signals_tpu.nodes.fixed.Fixed value=[[440]]')
+    tui.handle_key(ESC)                    # grid mode at 1a
+    tui.handle_key('y')                    # copy
+    assert tui.clipboard is not None
+    assert 'Fixed' in tui.clipboard[0]
+    assert 'value=' in tui.clipboard[1]
+    tui.handle_key('l')                    # -> 1b
+    tui.handle_key('p')                    # paste
+    pasted = tui.controller.map.get(Coordinates.parse('1b'))
+    assert pasted is not None
+    assert float(pasted.get_state().value[0, 0]) == 440.0
+    tui.handle_key('u')                    # undo the paste
+    assert tui.controller.map.get(Coordinates.parse('1b')) is None
+    tui.handle_key('r')                    # redo it
+    assert tui.controller.map.get(Coordinates.parse('1b')) is not None
+
+
+def test_cut_removes_and_paste_restores():
+    tui = make_tui()
+    type_line(tui, '+ 1a signals_tpu.nodes.osc.Sine')
+    tui.handle_key(ESC)
+    tui.handle_key('c')                    # cut
+    assert tui.controller.map.get(Coordinates.parse('1a')) is None
+    tui.handle_key('j')                    # -> 2a
+    tui.handle_key('p')
+    assert tui.controller.map.get(Coordinates.parse('2a')) is not None
+    tui.handle_key('u')                    # undo paste
+    tui.handle_key('u')                    # undo cut
+    assert tui.controller.map.get(Coordinates.parse('1a')) is not None
+
+
+def test_copy_empty_cell_is_noop():
+    tui = make_tui()
+    tui.handle_key(ESC)
+    tui.handle_key('y')
+    assert tui.clipboard is None
+    tui.handle_key('p')
+    assert 'clipboard empty' in tui.message
+
+
+def test_fuzzy_picker_adds_selected_signal():
+    tui = make_tui()
+    tui.handle_key(ESC)
+    tui.handle_key('a')                    # open the picker
+    assert tui.picker is not None
+    for ch in 'sine':
+        tui.handle_key(ch)
+    assert 'Sine' in tui.message
+    tui.handle_key('\n')                   # accept top match
+    sig = tui.controller.map.get(Coordinates.parse('1a'))
+    assert sig is not None
+    assert type(sig).__name__ == 'Sine'
+    tui.handle_key('u')                    # picker adds are undoable
+    assert tui.controller.map.get(Coordinates.parse('1a')) is None
+
+
+def test_fuzzy_picker_subsequence_and_cancel():
+    tui = make_tui()
+    tui.handle_key(ESC)
+    tui.handle_key('a')
+    for ch in 'lwps':                      # subsequence of LowPass
+        tui.handle_key(ch)
+    matches = tui.picker_matches('lwps')
+    assert any(m.endswith('LowPass') for m in matches)
+    tui.handle_key(ESC)                    # cancel
+    assert tui.picker is None
+    assert tui.controller.map.get(Coordinates.parse('1a')) is None
+
+
+def test_picker_selection_keys():
+    tui = make_tui()
+    tui.handle_key(ESC)
+    tui.handle_key('a')
+    for ch in 'pass':                      # LowPass/HighPass/BandPass/...
+        tui.handle_key(ch)
+    first = tui.picker_matches('pass')[0]
+    tui.handle_key('\t')                   # move selection to second
+    second = tui.picker_matches('pass')[1]
+    tui.handle_key('\n')
+    sig = tui.controller.map.get(Coordinates.parse('1a'))
+    assert type(sig).__name__ == second.rsplit('.', 1)[-1]
+    assert first != second
