@@ -111,6 +111,8 @@ _NODE_MODULES = (
     'signals_tpu.nodes.delay',
     'signals_tpu.nodes.wavetable',
     'signals_tpu.nodes.seq',
+    'signals_tpu.nodes.reverb',
+    'signals_tpu.nodes.dyn',
 )
 
 _loaded = False

@@ -1,0 +1,95 @@
+"""Compressor: engine parity, ratio law, blocking invariance."""
+
+import numpy as np
+
+import signals_tpu.compiler as comp
+from signals_tpu.compiler import compile_node
+from signals_tpu.nodes.dyn import Compressor
+from signals_tpu.nodes.fx import Gain, RingMod
+from signals_tpu.nodes.osc import Sine, Square
+from tests.conftest import fixed, pull_blocks
+
+F, RATE = 512, 44100
+
+
+def build(threshold=0.3, ratio=4.0):
+    carrier = Sine()
+    carrier.hertz = fixed(330.0)
+    gate = Square()                 # amplitude alternates: loud/quiet
+    gate.hertz = fixed(2.0)
+    lvl = Gain()
+    lvl.left = gate
+    lvl.right = fixed(0.35)         # +-0.35 -> levels 0.85 / 0.15 with bias
+    biased = RingMod()
+    biased.left = carrier
+    biased.right = lvl
+    comp_node = Compressor()
+    comp_node.input = biased
+    st = comp_node.get_state()
+    st.threshold = threshold
+    st.ratio = ratio
+    return comp_node
+
+
+def test_compressor_parity():
+    comp._compile_cache.clear()
+    c = compile_node(build(), block_frames=F, rate=RATE, channels=1)
+    got, _ = c.render(n_blocks=40, deliver_taps=False)
+    oracle = pull_blocks(build(), 40, block_frames=F, channels=1)
+    assert np.abs(got - oracle).max() <= 1e-5
+
+
+def test_compressor_ratio_law():
+    """A steady sine above threshold lands at thresh*(rms/thresh)^(1/R)."""
+    osc = Sine()
+    osc.hertz = fixed(440.0)
+    g = Gain()
+    g.left = osc
+    g.right = fixed(0.8)            # rms ~ 0.566, above thresh 0.2
+    cp = Compressor()
+    cp.input = g
+    st = cp.get_state()
+    st.threshold = 0.2
+    st.ratio = 4.0
+    comp._compile_cache.clear()
+    c = compile_node(cp, block_frames=F, rate=RATE, channels=1)
+    audio, _ = c.render(n_blocks=60, deliver_taps=False)
+    tail = audio[-8192:, 0]
+    rms_in = 0.8 / np.sqrt(2.0)
+    expect = 0.2 * (rms_in / 0.2) ** (1 / 4.0)
+    got = float(np.sqrt((tail ** 2).mean()))
+    assert abs(got - expect) / expect < 0.02
+
+
+def test_compressor_below_threshold_is_transparent():
+    osc = Sine()
+    osc.hertz = fixed(440.0)
+    g = Gain()
+    g.left = osc
+    g.right = fixed(0.1)            # rms 0.07 < thresh 0.5
+    cp = Compressor()
+    cp.input = g
+    comp._compile_cache.clear()
+    c = compile_node(cp, block_frames=F, rate=RATE, channels=1)
+    audio, _ = c.render(n_blocks=10, deliver_taps=False)
+    dry = pull_blocks_of(g)
+    np.testing.assert_allclose(audio, dry[:audio.shape[0]], atol=1e-6)
+
+
+def pull_blocks_of(node_builder_sig):
+    osc = Sine()
+    osc.hertz = fixed(440.0)
+    g = Gain()
+    g.left = osc
+    g.right = fixed(0.1)
+    return pull_blocks(g, 10, block_frames=F, channels=1)
+
+
+def test_compressor_blocking_invariance():
+    """The sliding-window envelope is a function of absolute time: a
+    seeked render equals the same span of a long render."""
+    comp._compile_cache.clear()
+    c = compile_node(build(), block_frames=F, rate=RATE, channels=1)
+    full, _ = c.render(n_blocks=24, deliver_taps=False)
+    seeked, _ = c.render(position=8 * F, n_blocks=8, deliver_taps=False)
+    np.testing.assert_allclose(seeked, full[8 * F:16 * F], atol=2e-7)
