@@ -158,16 +158,14 @@ class PatcherTUI:
         return None
 
     def copy(self) -> bool:
-        from signals_tpu.map import SigState
+        from signals_tpu.ui.actions import clip_payload
         at = self._at()
-        info = self._info_at(at)
-        if info is None:
+        payload = clip_payload(self.controller, at)
+        if payload is None:
             self.message = f'{at}: nothing to copy'
             return False
-        sig = self._sig(at)
-        state = SigState.from_signal(sig) if sig is not None else info.state
-        self.clipboard = (info.cls_name, state.items_text())
-        self.message = f'copied {info.cls_name.rsplit(".", 1)[-1]} from {at}'
+        self.clipboard = payload
+        self.message = f'copied {payload[0].rsplit(".", 1)[-1]} from {at}'
         return True
 
     def cut(self) -> None:
@@ -175,35 +173,17 @@ class PatcherTUI:
             self.run_line(f'- {self._at()}')
 
     def paste(self) -> None:
+        from signals_tpu.ui.actions import paste_line
         if self.clipboard is None:
             self.message = 'clipboard empty'
             return
-        cls_name, state_text = self.clipboard
-        self.run_line(f'+ {self._at()} {cls_name} {state_text}'.rstrip())
+        self.run_line(paste_line(self._at(), self.clipboard))
 
     # --- fuzzy add-picker (reference dialog.py:118-169) ---------------------
 
     def picker_matches(self, query: str) -> list[str]:
-        """Rank library names: substring beats subsequence, shorter and
-        later-component matches rank higher."""
-        names = self.controller.library.names
-        q = query.lower()
-        scored = []
-        for name in names:
-            low = name.lower()
-            leaf = low.rsplit('.', 1)[-1]
-            if not q:
-                scored.append((2, len(name), name))
-                continue
-            if q in leaf:
-                scored.append((0, len(leaf) + leaf.index(q), name))
-            elif q in low:
-                scored.append((1, len(name), name))
-            else:
-                it = iter(low)
-                if all(c in it for c in q):
-                    scored.append((2, len(name), name))
-        return [n for _, _, n in sorted(scored)]
+        from signals_tpu.ui.actions import fuzzy_rank
+        return fuzzy_rank(self.controller.library.names, query)
 
     def _open_picker(self) -> None:
         self.picker = {'query': '', 'sel': 0}
