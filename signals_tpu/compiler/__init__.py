@@ -462,11 +462,17 @@ class _Compiler:
                 inp = node._ports[pname].sig
                 if inp is None:
                     continue
-                # same strided window grid_kernel will request via
-                # in_grid_samples (ahead=0 outside mega rendering)
+                # the exact strided window grid_kernel will request via
+                # in_grid_samples: when this node is itself lowered at a
+                # window spanning nb grid cells (nested grid nodes, mega
+                # windows), it samples count + nb - 1 points with
+                # ahead = nb - 1 — mirror that here or host-fed inputs
+                # stage the wrong window
                 anchor_off = stride * (window.offset // stride)
+                nb = max(1, 1 + (window.end - 1 - anchor_off) // stride)
+                total = count + nb - 1
                 start = anchor_off - (count - 1) * stride
-                self.collect(inp, Window(start, count, stride=stride))
+                self.collect(inp, Window(start, total, stride=stride))
             return
         if _is_stateful(node):
             # stateful nodes step once per block at the main window
@@ -749,17 +755,33 @@ class CompiledPatch:
         ``position``.  Returns key -> (n_blocks, frames, ch) arrays."""
         out = {}
         for node, w, key in self._host_spec:
-            blocks = []
-            for i in range(n_blocks):
-                base = position + i * self.block_frames + w.offset
-                if w.stride == 1:
-                    blocks.append(node.host_read(base, w.frames, self.rate))
-                else:
-                    # strided control-grid window: one frame per grid step
-                    blocks.append(np.concatenate(
-                        [node.host_read(base + k * w.stride, 1, self.rate)
-                         for k in range(w.frames)], axis=0))
-            out[key] = np.stack(blocks, axis=0)
+            if w.stride == 1:
+                out[key] = np.stack(
+                    [node.host_read(
+                        position + i * self.block_frames + w.offset,
+                        w.frames, self.rate) for i in range(n_blocks)],
+                    axis=0)
+                continue
+            # strided control-grid window: one frame per grid step.
+            # Consecutive blocks share all but `step` grid points, so read
+            # each unique point once and assemble the blocks by slicing.
+            step, rem = divmod(self.block_frames, w.stride)
+            if rem == 0:
+                base0 = position + w.offset
+                n_uniq = w.frames + (n_blocks - 1) * step
+                uniq = np.concatenate(
+                    [node.host_read(base0 + j * w.stride, 1, self.rate)
+                     for j in range(n_uniq)], axis=0)
+                out[key] = np.stack(
+                    [uniq[i * step:i * step + w.frames]
+                     for i in range(n_blocks)], axis=0)
+                continue
+            out[key] = np.stack(
+                [np.concatenate(
+                    [node.host_read(position + i * self.block_frames
+                                    + w.offset + k * w.stride, 1, self.rate)
+                     for k in range(w.frames)], axis=0)
+                 for i in range(n_blocks)], axis=0)
         return out
 
     def _host_slice(self, staged: dict, i: int) -> dict:

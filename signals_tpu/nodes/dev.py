@@ -358,6 +358,12 @@ class SourceDevice(Device, Emitter):
 
     def host_read(self, position: int, frames: int, rate: int) -> np.ndarray:
         if self._capture is not None:
+            if float(rate) != self._capture.rate:
+                # silent resampling would time-scale the audio and stall
+                # every read near the live head — fail loudly instead
+                raise BadPlaybackState(
+                    f'patch renders at {rate} Hz but {self.info.name!r} '
+                    f'captures at {self._capture.rate:g} Hz')
             return self._capture.read(position, frames)
         return np.zeros((frames, self.channels), dtype=F32)
 

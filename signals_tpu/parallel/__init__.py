@@ -44,8 +44,11 @@ class PolyPatch:
       instruction — measured ~2x the vmap layout.  Requires a mono voice
       patch and overrides targeting scalar-shaped params.
     * ``layout='vmap'`` — a leading voice batch axis via ``jax.vmap``.
-      Fully general (any per-voice param, multichannel voices) and the
-      layout used for multi-chip voice sharding (``mesh=...``).
+      Fully general (any per-voice param, multichannel voices).
+
+    Both layouts shard over a device ``mesh``: vmap shards the batch
+    axis, channels shards the lane axis (per-device param/carry slices);
+    in both, the master mix is a psum over ICI.
 
     >>> # poly = PolyPatch(root, n_voices=64,
     >>> #                  overrides={(hz_node, 'value'): freqs})
@@ -143,13 +146,46 @@ class PolyPatch:
 
     # -- parameter staging ---------------------------------------------------
 
+    def set_override(self, node, pname: str, values) -> None:
+        """Update a per-voice override's stacked values live (no
+        recompilation).  In the mesh-sharded channels layout the live node
+        state only holds one device's slice, so per-voice edits must go
+        through here; in every other layout editing the node state
+        directly also works."""
+        arr = np.asarray(values, dtype=F32)
+        if arr.shape[0] != self.n_voices:
+            raise ValueError(
+                f'override for {pname!r} has leading dim {arr.shape[0]}, '
+                f'expected n_voices={self.n_voices}')
+        if self.layout == 'channels':
+            for i, (n, p, axis, stacked) in enumerate(
+                    self._channel_overrides):
+                if n is node and p == pname:
+                    new = (arr.reshape(1, self.n_voices) if axis == 1
+                           else np.ascontiguousarray(np.broadcast_to(
+                               arr.reshape(self.n_voices, -1),
+                               stacked.shape)))
+                    self._channel_overrides[i] = (n, p, axis, new)
+                    local = (new if self.mesh is None
+                             else np.ascontiguousarray(
+                                 new[:, :self._n_local] if axis == 1
+                                 else new[:self._n_local]))
+                    setattr(node.get_state(), pname, local)
+                    return
+            raise KeyError((node, pname))
+        uid = self.compiled.index.info(node).uid
+        if (uid, pname) not in self._overrides:
+            raise KeyError((node, pname))
+        self._overrides[(uid, pname)] = arr
+
     def params(self) -> tuple[dict, dict]:
         """(params pytree with overridden leaves stacked, in_axes pytree)."""
         base = self.compiled.params()
         if self.layout == 'channels':
             if self.mesh is not None:
                 # live states hold the per-device slice (the compile
-                # shape); feed the full stacked arrays — shard_map slices
+                # shape); feed the full stacked arrays — per-voice edits
+                # go through set_override, which refreshes both
                 index = self.compiled.index
                 for node, pname, _axis, stacked in self._channel_overrides:
                     base[index.info(node).uid][pname] = stacked
@@ -211,9 +247,6 @@ class PolyPatch:
                     spec = [None] * np.ndim(leaf)
                     spec[axis] = ax
                     pspecs[uid][pname] = P(*spec)
-        n_local = self._n_local
-
-        del n_local
 
         def cspec(leaf):
             if np.ndim(leaf) and leaf.shape[-1] == self.n_voices:

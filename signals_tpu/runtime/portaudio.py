@@ -114,6 +114,7 @@ class HardwareCapture:
             raise RuntimeError(
                 'PortAudio capture requires the sounddevice package')
         self._sd = sd
+        self.rate = float(rate)
         self.channels = channels
         self.timeout = timeout
         self._capacity = max(1, int(max_buffer_seconds * rate))
@@ -160,8 +161,16 @@ class HardwareCapture:
             hi = min(end, self._head)
             if position >= 0 and lo > position and self._head > 0:
                 self.overruns += 1
-            for i in range(lo, hi):
-                out[i - position] = self._buf[i % self._capacity]
+            if hi > lo:
+                # at most two slice copies (ring wrap) — the capture
+                # callback contends on this lock, so stay vectorized
+                p0 = lo % self._capacity
+                first = min(hi - lo, self._capacity - p0)
+                out[lo - position:lo - position + first] = \
+                    self._buf[p0:p0 + first]
+                if first < hi - lo:
+                    out[lo - position + first:hi - position] = \
+                        self._buf[:hi - lo - first]
         return out
 
     def stop(self) -> None:

@@ -70,6 +70,7 @@ class AiffReader:
         form, _, aiff = struct.unpack('>4sI4s', self._f.read(12))
         if form != b'FORM' or aiff not in (b'AIFF', b'AIFC'):
             raise SoundFileError(f'{self.path}: not an AIFF file')
+        self._is_aifc = aiff == b'AIFC'
         self._data_offset = None
         comm = None
         while True:
@@ -79,6 +80,8 @@ class AiffReader:
             cid, size = struct.unpack('>4sI', header)
             if cid == b'COMM':
                 comm = self._f.read(size)
+                if size & 1:          # IFF chunks pad to even sizes
+                    self._f.seek(1, 1)
             elif cid == b'SSND':
                 offset, _blocksize = struct.unpack('>II', self._f.read(8))
                 self._data_offset = self._f.tell() + offset
@@ -89,6 +92,16 @@ class AiffReader:
             raise SoundFileError(f'{self.path}: missing COMM/SSND chunk')
         channels, nframes, bits = struct.unpack('>hIh', comm[:8])
         self.rate = int(round(_ext_float_decode(comm[8:18])))
+        if self._is_aifc:
+            # AIFC carries a compressionType after the rate; only
+            # uncompressed big-endian PCM decodes like AIFF — reject
+            # 'sowt' (little-endian), 'fl32', ulaw etc. instead of
+            # producing byte-swapped garbage
+            ctype = comm[18:22] if len(comm) >= 22 else b'NONE'
+            if ctype not in (b'NONE', b'none'):
+                raise SoundFileError(
+                    f'{self.path}: AIFC compression {ctype!r} unsupported '
+                    f'(install soundfile for libsndfile decoding)')
         if bits not in (8, 16, 24, 32):
             raise SoundFileError(f'{self.path}: unsupported depth {bits}')
         self.channels = channels

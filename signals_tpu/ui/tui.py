@@ -213,15 +213,16 @@ class PatcherTUI:
             if not matches:
                 self.message = 'no match'
                 return
-            self.run_line(f'+ {self._at()} {matches[sel]}')
+            self.run_line(
+                f'+ {self._at()} {matches[min(max(sel, 0), len(matches) - 1)]}')
             return
         if ch in ('\x7f', '\b', _KEY_BACKSPACE):
             self.picker['query'] = query[:-1]
         elif ch in (_KEY_LEFT, _KEY_UP):
             self.picker['sel'] = max(0, self.picker['sel'] - 1)
         elif ch in (_KEY_RIGHT, _KEY_DOWN, '\t'):
-            self.picker['sel'] = min(len(matches) - 1,
-                                     self.picker['sel'] + 1)
+            self.picker['sel'] = max(0, min(len(matches) - 1,
+                                            self.picker['sel'] + 1))
         elif isinstance(ch, str) and ch.isprintable():
             self.picker['query'] = query + ch
             self.picker['sel'] = 0

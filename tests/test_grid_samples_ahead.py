@@ -68,3 +68,25 @@ def test_ahead_matches_pull_engine():
     got, _ = compiled.render(position=0, n_blocks=6)
     oracle = pull_blocks(build(), 6, block_frames=512, channels=1)
     np.testing.assert_allclose(got, oracle, atol=1e-6)
+
+
+def test_nested_grid_nodes_with_host_source(tmp_path):
+    """Regression: a host-fed grid node consumed by ANOTHER grid node used
+    to crash at trace with a host-window KeyError (the collection pass
+    assumed single-cell grid windows)."""
+    from signals_tpu.nodes.env import ADSR
+    from signals_tpu.nodes.files import FileReader
+    from signals_tpu.runtime import wavio
+
+    path = tmp_path / 'gate.wav'
+    gate = np.sign(np.sin(np.linspace(0, 40, 44100))).astype(np.float32)
+    wavio.write_wav(path, gate.reshape(-1, 1), 44100)
+    rd = FileReader()
+    rd.get_state().path = str(path)
+    a1 = ADSR()
+    a1.gate = rd
+    a2 = ADSR()
+    a2.gate = a1
+    compiled = compile_node(a2, block_frames=1024, rate=44100, channels=1)
+    audio, _ = compiled.render(n_blocks=4)
+    assert np.isfinite(audio).all()

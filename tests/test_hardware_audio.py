@@ -323,3 +323,15 @@ def test_sink_falls_back_to_paced_consumer_for_virtual(fake_sd_paced):
     finally:
         sink.stop()
         sink.close()
+
+
+def test_capture_rate_mismatch_raises(fake_sd):
+    from signals_tpu.nodes.dev import BadPlaybackState
+    info = DeviceInfo(name='Fake Mic', index=3, max_input_channels=1,
+                      default_samplerate=48000.0,
+                      backend='portaudio', sd_index=1)
+    src = SourceDevice(info)
+    src.start_capture(block_frames=256, sd_module=fake_sd)
+    with pytest.raises(BadPlaybackState, match='48000'):
+        src.host_read(0, 64, 44100)
+    src.stop_capture()

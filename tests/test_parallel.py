@@ -155,3 +155,25 @@ def test_mesh_channels_layout_rejects_indivisible_voices():
     with pytest.raises(ValueError, match='divisible'):
         PolyPatch(root, n_voices=12, overrides={(hz, 'value'): freqs},
                   block_frames=F, rate=RATE, mesh=mesh, layout='channels')
+
+
+def test_set_override_updates_mesh_channels_render():
+    """Per-voice edits in the mesh-sharded channels layout go through
+    set_override (the live state only holds one device's slice)."""
+    mesh = voice_mesh(8)
+    root, hz, _ = _voice()
+    freqs = np.linspace(100, 800, 16).astype(np.float32)
+    poly = PolyPatch(root, n_voices=16, overrides={(hz, 'value'): freqs},
+                     block_frames=F, rate=RATE, mesh=mesh,
+                     layout='channels')
+    a, _ = poly.render(n_blocks=2)
+    poly.set_override(hz, 'value', freqs * 1.5)
+    b, _ = poly.render(n_blocks=2)
+    assert not np.allclose(a, b)
+    # and the non-mesh layout agrees with the edited values
+    root2, hz2, _ = _voice()
+    ref = PolyPatch(root2, n_voices=16,
+                    overrides={(hz2, 'value'): freqs * 1.5},
+                    block_frames=F, rate=RATE, layout='channels')
+    r, _ = ref.render(n_blocks=2)
+    assert np.abs(b - r).max() <= 1e-5

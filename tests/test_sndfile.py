@@ -236,3 +236,20 @@ def test_file_writer_node_records_au(tmp_path):
     assert r.frames == 1024
     np.testing.assert_allclose(r.read(0, 1024), audio, atol=1e-6)
     r.close()
+
+
+def test_aifc_compressed_rejected(tmp_path):
+    """'sowt' (little-endian) AIFC must be rejected, not decoded as
+    byte-swapped garbage."""
+    import struct
+    path = tmp_path / 'clip.aifc'
+    comm = struct.pack('>hIh', 1, 4, 16) + \
+        sndfile._ext_float_encode(44100.0) + b'sowt' + b'\x00'
+    data = struct.pack('<4h', 1000, 2000, -1000, -2000)
+    with path.open('wb') as f:
+        body = (struct.pack('>4sI', b'COMM', len(comm)) + comm + b'\x00'
+                + struct.pack('>4sIII', b'SSND', 8 + len(data), 0, 0) + data)
+        f.write(struct.pack('>4sI4s', b'FORM', 4 + len(body), b'AIFC'))
+        f.write(body)
+    with pytest.raises(sndfile.SoundFileError, match='sowt'):
+        sndfile.open_reader(path)
