@@ -301,3 +301,268 @@ def sosfilt_pallas(coeffs, x, *, interpret: bool = False):
         ])
         xp_ = call(xp_, pc, ps, taps)
     return xp_[:n, :ch]
+
+
+# --- timeline-segment cascade with in-kernel DMA ------------------------------
+#
+# The mega filter path used to materialize the per-segment context layout
+# in HBM (k+1 transposes of the timeline) and transpose the tail output
+# back to block-major afterwards — ~35 ms of a 120 s render.  This kernel
+# reads the raw (T, V) timeline straight from HBM with manually
+# double-buffered DMAs (each lane group's segments are overlapping row
+# windows, which BlockSpec index maps cannot express) and writes its tail
+# output block-major, eliminating all three passes.
+
+
+def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
+                in_sems, out_sems, *, nsec: int, row_chunk: int,
+                chunks_per_seg: int, c_chunks: int, seg_frames: int,
+                group: int, v: int, n_segments: int, unroll: int):
+    """One (lane_group, row_chunk) grid step.
+
+    Lanes are ``group`` consecutive segments x ``v`` channels (group*v =
+    1024).  ``x_hbm``: (T, v) timeline; ``out_hbm``: (n_segments_pad, F, v)
+    block-major tail output.  ``xbuf``/``ybuf``: (2, row_chunk, 8, 128)
+    double buffers; ``state_ref``: (2*nsec, 8, 128) carry across row
+    chunks of one lane group.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lg = pl.program_id(0)
+    rc = pl.program_id(1)
+    n_rc = pl.num_programs(1)
+    step = lg * n_rc + rc
+    # lane index = g*v + ch within the group's 1024 lanes; segment g's
+    # channels land at sublane (g*v)//128, lane offset (g*v)%128
+
+    def in_dma(slot, lg_, rc_, g):
+        seg = lg_ * group + g
+        src_row = seg * seg_frames + rc_ * row_chunk
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(src_row, row_chunk), :],
+            xbuf.at[slot, :, (g * v) // 128,
+                    pl.ds((g * v) % 128, v)],
+            in_sems.at[slot, g])
+
+    def start_in(slot, step_):
+        lg_ = step_ // n_rc
+        rc_ = step_ % n_rc
+        for g in range(group):
+            in_dma(slot, lg_, rc_, g).start()
+
+    def wait_in(slot, step_):
+        lg_ = step_ // n_rc
+        rc_ = step_ % n_rc
+        for g in range(group):
+            in_dma(slot, lg_, rc_, g).wait()
+
+    def out_dma(slot_, lg_, rc_, g):
+        seg = lg_ * group + g
+        dst_row = rc_ * row_chunk - c_chunks * row_chunk
+        return pltpu.make_async_copy(
+            ybuf.at[slot_, :, (g * v) // 128, pl.ds((g * v) % 128, v)],
+            out_hbm.at[seg, pl.ds(dst_row, row_chunk), :],
+            out_sems.at[slot_, g])
+
+    slot = step % 2
+
+    @pl.when(step == 0)
+    def _():
+        start_in(0, 0)
+
+    @pl.when(step + 1 < pl.num_programs(0) * n_rc)
+    def _():
+        start_in((step + 1) % 2, step + 1)
+
+    wait_in(slot, step)
+
+    # out DMAs of the step that last used this ybuf slot must complete
+    # before the compute below overwrites it
+    @pl.when(step >= 2)
+    def _():
+        prev = step - 2
+        prc = prev % n_rc
+
+        @pl.when(prc >= c_chunks)
+        def _():
+            for g in range(group):
+                out_dma(prev % 2, prev // n_rc, prc, g).wait()
+
+    @pl.when(rc == 0)
+    def _():
+        state_ref[...] = jnp.zeros_like(state_ref)
+
+    params = [tuple(coef_ref[s, k, 0] for k in range(5))
+              for s in range(nsec)]
+
+    def load_state():
+        return tuple(state_ref[i] for i in range(2 * nsec))
+
+    def one_row(r, state):
+        val = xbuf[slot, r]
+        st = list(state)
+        for s in range(nsec):
+            prc_, prs_, d0, d1, d2 = params[s]
+            s1, s2 = st[2 * s], st[2 * s + 1]
+            y = d0 * val + d1 * s1 + d2 * s2
+            st[2 * s] = prc_ * s1 - prs_ * s2 + val
+            st[2 * s + 1] = prs_ * s1 + prc_ * s2
+            val = y
+        ybuf[slot, r] = val
+        return tuple(st)
+
+    def body(i, state):
+        r0 = i * unroll
+        for j in range(unroll):
+            state = one_row(r0 + j, state)
+        return state
+
+    state = jax.lax.fori_loop(0, row_chunk // unroll, body, load_state())
+    for i in range(2 * nsec):
+        state_ref[i] = state[i]
+
+    @pl.when(rc >= c_chunks)
+    def _():
+        for g in range(group):
+            out_dma(slot, lg, rc, g).start()
+
+    # drain: the final step waits for its own output DMAs (and the
+    # second-to-last step's, handled by the step+2 wait above except for
+    # the last two steps)
+    last = pl.num_programs(0) * n_rc - 1
+
+    @pl.when(step == last)
+    def _():
+        for back in (1, 0):
+            prev = step - back
+            prc = prev % n_rc
+
+            @pl.when((prev >= 0) & (prc >= c_chunks))
+            def _(prev=prev, prc=prc):
+                for g in range(group):
+                    out_dma(prev % 2, prev // n_rc, prc, g).wait()
+
+
+@functools.lru_cache(maxsize=32)
+def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
+                    seg_frames: int, context: int, interpret: bool):
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    group = LANE_GROUP // v           # segments per lane group
+    n_seg_pad = _round_up(n_segments, group)
+    lane_groups = n_seg_pad // group
+    L = context + seg_frames
+    row_chunk = ROW_CHUNK
+    # chunks must tile the context and the tail exactly (output DMAs copy
+    # whole chunks into the (F, v) tail region)
+    while context % row_chunk or seg_frames % row_chunk:
+        row_chunk //= 2
+    chunks_per_seg = L // row_chunk
+    c_chunks = context // row_chunk
+    tail = seg_frames
+    unroll = ROW_UNROLL if row_chunk % ROW_UNROLL == 0 else 1
+    kernel = functools.partial(
+        _seg_kernel, nsec=nsec, row_chunk=row_chunk,
+        chunks_per_seg=chunks_per_seg, c_chunks=c_chunks,
+        seg_frames=seg_frames, group=group, v=v, n_segments=n_segments,
+        unroll=unroll)
+
+    def call(coeffs, x):
+        # x: (T_pad, v) with T_pad covering the padded segment range
+        return pl.pallas_call(
+            kernel,
+            grid=(lane_groups, chunks_per_seg),
+            in_specs=[
+                pl.BlockSpec((nsec, 5, 1, 8, 128),
+                             lambda lg, rc: (0, 0, lg, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((n_seg_pad, tail, v), np.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, row_chunk, 8, 128), np.float32),
+                pltpu.VMEM((2, row_chunk, 8, 128), np.float32),
+                pltpu.VMEM((2 * nsec, 8, 128), np.float32),
+                pltpu.SemaphoreType.DMA((2, group)),
+                pltpu.SemaphoreType.DMA((2, group)),
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(coeffs, x)
+
+    return jax.jit(call)
+
+
+def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
+                     context: int,
+                     interpret: typing.Optional[bool] = None):
+    """Filter ``n_segments`` overlapping timeline segments, zero-state,
+    with per-segment coefficients, returning only each segment's tail.
+
+    ``x``: ``(context + n_segments*seg_frames, ch)`` contiguous timeline;
+    segment ``b`` spans rows ``[b*seg_frames, b*seg_frames + context +
+    seg_frames)``.  ``coeffs``: ``(n_segments, nsec, ch, 11)``.  Returns
+    ``(n_segments, seg_frames, ch)`` **block-major** — the layout the
+    mega window needs, produced directly by the kernel's output DMAs (no
+    transposes, no materialized segment expansion).
+
+    Requires ``ch`` to divide 128 and ``context % row-chunk == 0``;
+    callers fall back to :func:`sosfilt_batch` otherwise.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    x = jnp.asarray(x, dtype=jnp.float32)
+    coeffs = jnp.asarray(coeffs, dtype=jnp.float32)
+    T, ch = x.shape
+    nsec = coeffs.shape[1]
+    chc = coeffs.shape[2]
+    chx = max(ch, chc)
+    if 128 % chx and chx % 128:
+        raise ValueError(f'channel count {chx} must divide (or be a '
+                         f'multiple of) 128')
+    if chx < 32:
+        # narrow channel counts mean heavy zero-padding and tiny DMAs —
+        # the transposed-layout path (sosfilt_batch) is the right kernel
+        raise ValueError(f'channel count {chx} too narrow for the '
+                         f'DMA-segment kernel (needs >= 32)')
+    x = jnp.broadcast_to(x, (T, chx))
+    coeffs = jnp.broadcast_to(coeffs, (n_segments, nsec, chx, 11))
+
+    # Mosaic DMA slices must be 128-lane aligned on hardware: pad the
+    # channel dim up to a full tile (zero lanes carry zero coefficients)
+    vpad = _round_up(chx, 128)
+    if vpad != chx:
+        x = jnp.pad(x, ((0, 0), (0, vpad - chx)))
+        coeffs = jnp.pad(coeffs, ((0, 0), (0, 0), (0, vpad - chx), (0, 0)))
+
+    group = LANE_GROUP // vpad
+    n_seg_pad = _round_up(n_segments, group)
+    # padded segments read rows past the timeline end: extend with zeros
+    T_need = context + n_seg_pad * seg_frames
+    if T_need > T:
+        x = jnp.pad(x, ((0, T_need - T), (0, 0)))
+
+    # per-lane coefficients: lane = (segment % group)*ch + c within the
+    # group's 1024 lanes; groups stacked on the leading axis
+    sel = jnp.stack([coeffs[..., 6], coeffs[..., 7], coeffs[..., 8],
+                     coeffs[..., 9], coeffs[..., 10]], axis=0)
+    sel = jnp.pad(sel, ((0, 0), (0, n_seg_pad - n_segments), (0, 0),
+                        (0, 0)))
+    # (5, n_seg_pad, nsec, vpad) -> (nsec, 5, LG, group*vpad=1024)
+    sel = sel.transpose(2, 0, 1, 3).reshape(
+        nsec, 5, n_seg_pad // group, group * vpad)
+    sel = sel.reshape(nsec, 5, n_seg_pad // group, 8, 128)
+
+    call = _build_seg_call(int(x.shape[0]), vpad, nsec, n_segments,
+                           seg_frames, context, interpret)
+    y = call(sel, x)                   # (n_seg_pad, F, vpad)
+    return y[:n_segments, :, :chx]

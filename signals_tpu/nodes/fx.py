@@ -235,7 +235,17 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         # input over [-C, N) — context shared with the window itself
         x = ctx.in_context('input', C)                     # (C+N, ch)
         if _filters.resolve_mega_impl() == 'pallas':
-            from signals_tpu.compiler.pallas_kernels import sosfilt_batch
+            from signals_tpu.compiler.pallas_kernels import (
+                sosfilt_batch, sosfilt_segments)
+            chx = max(x.shape[1], chs)
+            if C % F_ == 0 and chx >= 32 and 128 % chx == 0:
+                # fully DMA-driven: the kernel reads the raw timeline from
+                # HBM (overlapping segment windows BlockSpecs can't
+                # express) and writes its tail output block-major — no
+                # segment materialization, no transposes
+                y = sosfilt_segments(coeffs, x, n_segments=nb,
+                                     seg_frames=F_, context=C)
+                return y.reshape(nb * F_, y.shape[-1])
             # assemble the kernel's frames-major lane layout
             # xt[r, b] = x[b*F + r]; write back only the tail F rows per
             # block — context rows warm up state inside VMEM

@@ -160,3 +160,100 @@ def test_mega_pallas_filter_path_matches_block_render():
         C._compile_cache.clear()
     assert np.abs(out - ref).max() <= 1e-5
     assert np.abs(out2 - ref[4 * F:8 * F]).max() <= 1e-5
+
+
+def test_sosfilt_segments_matches_batch():
+    """The DMA-driven timeline-segment kernel equals the batched kernel
+    fed with the materialized segment layout."""
+    from signals_tpu.compiler.pallas_kernels import (sosfilt_batch,
+                                                     sosfilt_segments)
+    rng = np.random.default_rng(21)
+    F, C, nb, ch = 256, 256, 7, 64       # odd nb exercises group padding
+    T = C + nb * F
+    x = rng.standard_normal((T, ch)).astype(np.float32)
+    cuts = rng.uniform(300.0, 8000.0, (nb, ch)).astype(np.float32)
+    co = np.stack([design_coupled(np, 'lp', [cuts[b:b + 1]], NYQ)
+                   for b in range(nb)], axis=0)       # (nb, 1, ch, 11)
+
+    got = np.asarray(sosfilt_segments(
+        co, x, n_segments=nb, seg_frames=F, context=C, interpret=True))
+    assert got.shape == (nb, F, ch)
+
+    idx = np.arange(C + F)[:, None] + np.arange(nb)[None, :] * F
+    xt = x[idx]                                        # (C+F, nb, ch)
+    ref = np.asarray(sosfilt_batch(co, xt, interpret=True, tail=F))
+    np.testing.assert_allclose(got, ref.transpose(1, 0, 2), atol=1e-6)
+
+
+def test_sosfilt_segments_two_sections():
+    from signals_tpu.compiler.pallas_kernels import sosfilt_segments
+    rng = np.random.default_rng(22)
+    F, C, nb, ch = 512, 512, 3, 32
+    T = C + nb * F
+    x = rng.standard_normal((T, ch)).astype(np.float32)
+    co = np.stack([design_coupled(
+        np, 'bp', [np.array([[200.0 + 50 * b]], np.float32),
+                   np.array([[5000.0]], np.float32)], NYQ)
+        for b in range(nb)], axis=0)                   # (nb, 2, 1, 11)
+    got = np.asarray(sosfilt_segments(
+        co, x, n_segments=nb, seg_frames=F, context=C, interpret=True))
+    ref = np.zeros_like(got)
+    for b in range(nb):
+        for c in range(ch):       # scalar coeffs broadcast over channels
+            seg = x[b * F:b * F + C + F, c].astype(np.float64)
+            y = scipy.signal.sosfilt(co[b, :, 0, :6].astype(np.float64),
+                                     seg)
+            ref[b, :, c] = y[-F:]
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_mega_dma_segment_path_matches_vmap_poly():
+    """PolyPatch (channels layout, 32 voices) renders identically with the
+    DMA-segment kernel and the associative-scan mega impl."""
+    import signals_tpu.compiler as C
+    from signals_tpu.compiler import filters as _filters
+    from signals_tpu.nodes.fx import Gain, LowPass, Mix
+    from signals_tpu.nodes.osc import Sawtooth, Sine
+    from signals_tpu.parallel import PolyPatch
+    from tests.conftest import fixed
+
+    def build():
+        hz = fixed(110.0)
+        saw = Sawtooth()
+        saw.hertz = hz
+        lfo = Sine()
+        lfo.hertz = fixed(1.0)
+        d = Gain()
+        d.left = lfo
+        d.right = fixed(700.0)
+        cut = Mix()
+        cut.left = d
+        cut.right = fixed(1800.0)
+        cut.mix = fixed(0.5)
+        lp = LowPass()
+        lp.input = saw
+        lp.cutoff = cut
+        return lp, hz
+
+    freqs = np.linspace(100, 700, 32).astype(np.float32)
+
+    def render(impl):
+        old = _filters.MEGA_FILTER_IMPL
+        _filters.MEGA_FILTER_IMPL = impl
+        try:
+            C._compile_cache.clear()
+            root, hz = build()
+            poly = PolyPatch(root, n_voices=32,
+                             overrides={(hz, 'value'): freqs},
+                             block_frames=256, rate=44100,
+                             layout='channels')
+            assert poly.compiled._use_mega
+            audio, _ = poly.render(n_blocks=4)
+            return audio
+        finally:
+            _filters.MEGA_FILTER_IMPL = old
+            C._compile_cache.clear()
+
+    ref = render('vmap')
+    got = render('pallas')          # 32 voices -> the DMA segment kernel
+    assert np.abs(got - ref).max() <= 1e-5
