@@ -292,7 +292,7 @@ def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0):
 
     t = time_render_pipelined(launch)
     samples = n_blocks * BLOCK
-    return {'label': 'poly-64-device', 'n_voices': n_voices,
+    return {'label': f'poly-{n_voices}-device', 'n_voices': n_voices,
             'x_realtime': samples / RATE / t,
             'samples_per_sec': samples / t, 'wall_per_call_s': t}
 
@@ -395,6 +395,15 @@ def main(argv=None):
     voice4b, hz4b = build_subtractive_voice()
     extra['c4_poly64_device_resident'] = bench_poly_device(
         voice4b, hz4b, 64, seconds=2 * seconds if not args.quick else seconds)
+
+    if not args.quick:
+        # voice-scaling evidence: 4x the polyphony on the same chip
+        # (shorter batches: the mega window's working set scales with
+        # voices x seconds and must fit HBM)
+        progress('bench: config 4c (poly-256 device-resident)...')
+        voice4c, hz4c = build_subtractive_voice()
+        extra['c4_poly256_device_resident'] = bench_poly_device(
+            voice4c, hz4c, 256, seconds=seconds)
 
     # config 5: FM + delay feedback + spectral tap
     progress('bench: config 5 (fm+delay)...')

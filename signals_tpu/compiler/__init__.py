@@ -601,6 +601,28 @@ class _Compiler:
         import jax.numpy as jnp
         info = self.index.info(node)
         uid = info.uid
+        if self.mega is not None:
+            # whole-window stateful lowering: the node handles its own
+            # carried-state propagation across the window, loop-free
+            F, nb = self.mega
+            main = Window(0, nb * F)
+            mkey = (id(node), main)
+            if id(node) not in self._stateful_done:
+                self._stateful_done.add(id(node))
+                ctx = LowerCtx(self, node, main)
+                block, new_carry = node.mega_step(ctx, self.carry_in[uid])
+                block = jnp.asarray(block, dtype=F32)
+                block = jnp.broadcast_to(block, (nb * F, node.channels))
+                enabled = self.node_param(node, 'enabled')
+                block = jnp.where(enabled, block, F32(0.0))
+                self.carry_out[uid] = dict(new_carry)
+                self._memo[mkey] = block
+            if window != main:
+                raise CompileError(
+                    f'{node.cls_name()}: stateful nodes in a mega window '
+                    f'serve only the main window (a consumer requested '
+                    f'{window}); disable mega rendering for this patch')
+            return self._memo[mkey]
         main = Window(0, self.block_frames)
         mkey = (id(node), main)
         if id(node) not in self._stateful_done:
@@ -814,11 +836,15 @@ class CompiledPatch:
     def mega_compatible(self) -> bool:
         """Whether the patch can render a whole batch as one mega window:
         no delays (feedback is genuinely sequential), no host-fed sources,
-        and any stateful node must offer a carry-free grid lowering."""
+        and any stateful node must offer either a carry-free grid lowering
+        or a whole-window ``mega_step`` (e.g. streaming filters, whose
+        carried state propagates through the window via an associative
+        scan instead of a block loop)."""
         for node in self.index.order:
             if _is_delay(node) or _is_host_source(node):
                 return False
-            if _is_stateful(node) and not _is_grid_stateless(node):
+            if (_is_stateful(node) and not _is_grid_stateless(node)
+                    and not getattr(node, 'supports_mega_step', False)):
                 return False
         return True
 
@@ -839,14 +865,15 @@ class CompiledPatch:
             comp = _Compiler(index)
             comp.mega = (F, n_blocks)
             comp.params = params
-            comp.carry_in = {}
+            comp.carry_in = carry
             comp.position = jnp.int32(position0)
             comp.host = {}
             block = comp.lower(root, Window(0, n_blocks * F))
             block = jnp.broadcast_to(block, (n_blocks * F, channels))
+            comp.passthrough_carry()
             taps = {uid: t.reshape(n_blocks, F, -1)
                     for uid, t in comp.taps.items()}
-            return block.reshape(n_blocks, F, channels), carry, taps
+            return block.reshape(n_blocks, F, channels), comp.carry_out, taps
 
         return many
 

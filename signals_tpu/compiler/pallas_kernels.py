@@ -338,9 +338,18 @@ def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
     # lane index = g*v + ch within the group's 1024 lanes; segment g's
     # channels land at sublane (g*v)//128, lane offset (g*v)%128
 
+    subs = v // 128                   # sublane rows per segment when v>=128
+
     def in_dma(slot, lg_, rc_, g):
         seg = lg_ * group + g
         src_row = seg * seg_frames + rc_ * row_chunk
+        if subs:
+            # wide channels: x_hbm is (T, subs, 128); a segment owns whole
+            # sublane rows (DMA slices must be 128-lane aligned)
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(src_row, row_chunk)],
+                xbuf.at[slot, :, g * subs:(g + 1) * subs, :],
+                in_sems.at[slot, g])
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(src_row, row_chunk), :],
             xbuf.at[slot, :, (g * v) // 128,
@@ -362,6 +371,11 @@ def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
     def out_dma(slot_, lg_, rc_, g):
         seg = lg_ * group + g
         dst_row = rc_ * row_chunk - c_chunks * row_chunk
+        if subs:
+            return pltpu.make_async_copy(
+                ybuf.at[slot_, :, g * subs:(g + 1) * subs, :],
+                out_hbm.at[seg, pl.ds(dst_row, row_chunk)],
+                out_sems.at[slot_, g])
         return pltpu.make_async_copy(
             ybuf.at[slot_, :, (g * v) // 128, pl.ds((g * v) % 128, v)],
             out_hbm.at[seg, pl.ds(dst_row, row_chunk), :],
@@ -472,8 +486,12 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
         seg_frames=seg_frames, group=group, v=v, n_segments=n_segments,
         unroll=unroll)
 
+    out_dims = ((n_seg_pad, tail, v // 128, 128) if v >= 128
+                else (n_seg_pad, tail, v))
+
     def call(coeffs, x):
-        # x: (T_pad, v) with T_pad covering the padded segment range
+        # x: (T_pad, v) — or (T_pad, v//128, 128) for wide channels —
+        # with T_pad covering the padded segment range
         return pl.pallas_call(
             kernel,
             grid=(lane_groups, chunks_per_seg),
@@ -484,7 +502,7 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            out_shape=jax.ShapeDtypeStruct((n_seg_pad, tail, v), np.float32),
+            out_shape=jax.ShapeDtypeStruct(out_dims, np.float32),
             scratch_shapes=[
                 pltpu.VMEM((2, row_chunk, 8, 128), np.float32),
                 pltpu.VMEM((2, row_chunk, 8, 128), np.float32),
@@ -562,7 +580,10 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
         nsec, 5, n_seg_pad // group, group * vpad)
     sel = sel.reshape(nsec, 5, n_seg_pad // group, 8, 128)
 
+    if vpad >= 128:
+        x = x.reshape(x.shape[0], vpad // 128, 128)
     call = _build_seg_call(int(x.shape[0]), vpad, nsec, n_segments,
                            seg_frames, context, interpret)
-    y = call(sel, x)                   # (n_seg_pad, F, vpad)
+    y = call(sel, x)
+    y = y.reshape(y.shape[0], y.shape[1], vpad)   # (n_seg_pad, F, vpad)
     return y[:n_segments, :, :chx]

@@ -192,6 +192,105 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
     def context_frames(self) -> int:
         return 0 if self._state.streaming else self._state.context
 
+    @property
+    def supports_mega_step(self) -> bool:
+        """Streaming (exact carried-state) single-section filters render a
+        whole mega window loop-free: per-block zero-state filtering + an
+        associative affine scan of the 2-state transitions over blocks +
+        a data-parallel initial-state correction.  Band filters cascade
+        two sections whose corrections interact — they keep the per-block
+        scan."""
+        return self._state.streaming and self.n_sections == 1
+
+    def mega_step(self, ctx: KernelCtx, carry: dict):
+        """Exact streaming IIR over a whole mega window, no block loop.
+
+        With per-block coefficients, block b maps the incoming state by
+        ``z' = A_b^F z + zf_b`` where ``zf_b`` is the zero-state final
+        state — an affine map composed across blocks by one associative
+        scan.  The per-frame output correction for an incoming state is
+        ``y[k] += d1 s1m[k] + d2 s2m[k]`` with ``(s1m, s2m) = A_b^k z_b``,
+        evaluated in closed form (the coupled-form transition is a scaled
+        rotation: ``A^k = rho^k Rot(k theta)``), with the powers computed
+        in float64 so large ``k theta`` angles stay accurate at any
+        cutoff.
+        """
+        import jax
+        import jax.numpy as jnp
+        F_, nb = ctx.block_grid
+        xp = ctx.xp
+        nyquist = ctx.rate_f32 * F32(0.5)
+        grids = self._crits_grid(ctx)                      # each (nb, ch_i)
+        chs = max(g.shape[1] for g in grids)
+        crits = tuple(jnp.broadcast_to(g, (nb, chs)).reshape(1, -1)
+                      for g in grids)
+        coeffs = _filters.design_coupled(jnp, self.type_code(), crits,
+                                         nyquist)          # (1, nb*chs, 11)
+        co = coeffs.reshape(1, nb, chs, 11).transpose(1, 0, 2, 3)
+
+        x = ctx.in_('input')                               # (nb*F, ch)
+        ch = max(x.shape[1], chs)
+        xb = jnp.broadcast_to(x, (nb * F_, ch)).reshape(nb, F_, ch)
+        co = jnp.broadcast_to(co, (nb, 1, ch, 11))
+
+        # 1. zero-state filtering per block (+ per-block final states)
+        zi0 = jnp.zeros((1, 2, ch), dtype=F32)
+        y0, zf = jax.vmap(
+            lambda c, xs: ctx.sosfilt_stream(c, xs, zi0))(co, xb)
+        # y0: (nb, F, ch); zf: (nb, 1, 2, ch)
+
+        rc = co[:, 0, :, 6]                                # (nb, ch)
+        rs = co[:, 0, :, 7]
+        d1 = co[:, 0, :, 9]
+        d2 = co[:, 0, :, 10]
+
+        # 2. A_b^F by square-and-multiply (static F), then the affine scan
+        pc = jnp.ones_like(rc)
+        ps = jnp.zeros_like(rs)
+        bc, bs = rc, rs
+        n = F_
+        while n:
+            if n & 1:
+                pc, ps = pc * bc - ps * bs, ps * bc + pc * bs
+            n >>= 1
+            if n:
+                bc, bs = bc * bc - bs * bs, 2 * bc * bs
+
+        def combine(older, newer):
+            oac, oas, od1, od2 = older
+            nac, nas, nd1, nd2 = newer
+            return (nac * oac - nas * oas,
+                    nas * oac + nac * oas,
+                    nac * od1 - nas * od2 + nd1,
+                    nas * od1 + nac * od2 + nd2)
+
+        Pc, Ps, D1, D2 = jax.lax.associative_scan(
+            combine, (pc, ps, zf[:, 0, 0, :], zf[:, 0, 1, :]), axis=0)
+        zi1 = jnp.broadcast_to(carry['zi'][0, 0], (ch,))
+        zi2 = jnp.broadcast_to(carry['zi'][0, 1], (ch,))
+        Z1 = Pc * zi1 - Ps * zi2 + D1                      # (nb, ch)
+        Z2 = Ps * zi1 + Pc * zi2 + D2
+        z_in1 = jnp.concatenate([zi1[None], Z1[:-1]], axis=0)
+        z_in2 = jnp.concatenate([zi2[None], Z2[:-1]], axis=0)
+
+        # 3. per-frame correction: (s1m, s2m)[b, k] = A_b^k z_in[b]
+        with jax.enable_x64(True):
+            rho = jnp.sqrt(rc.astype(jnp.float64) ** 2
+                           + rs.astype(jnp.float64) ** 2)
+            theta = jnp.arctan2(rs.astype(jnp.float64),
+                                rc.astype(jnp.float64))
+            k = jnp.arange(F_, dtype=jnp.float64)[None, :, None]
+            mag = jnp.exp(k * jnp.log(jnp.maximum(rho, 1e-300))[:, None, :])
+            ang = k * theta[:, None, :]
+            ck = (mag * jnp.cos(ang)).astype(F32)          # (nb, F, ch)
+            sk = (mag * jnp.sin(ang)).astype(F32)
+        s1m = ck * z_in1[:, None, :] - sk * z_in2[:, None, :]
+        s2m = sk * z_in1[:, None, :] + ck * z_in2[:, None, :]
+        y = y0 + d1[:, None, :] * s1m + d2[:, None, :] * s2m
+
+        zf_out = jnp.stack([Z1[-1], Z2[-1]], axis=0)[None]  # (1, 2, ch)
+        return y.reshape(nb * F_, ch), {'zi': zf_out}
+
     @abc.abstractmethod
     def type_code(self) -> str:
         """One of the :mod:`signals_tpu.compiler.filters` type codes."""

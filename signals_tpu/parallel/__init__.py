@@ -267,17 +267,19 @@ class PolyPatch:
 
         stateless = not compiled.carry0
 
-        if stateless and compiled._use_mega and n_blocks > 1:
+        if compiled._use_mega and n_blocks > 1:
             # mega window: the whole voice batch renders as one traced
             # window (context dedup + the batched VMEM-resident filter),
-            # then mixes down over the voice/channel lanes
+            # then mixes down over the voice/channel lanes; carried state
+            # (e.g. streaming filters) propagates via associative scans
+            # inside the window, not a block loop
             mega = compiled.mega_core(n_blocks)
 
             def mega_many(params, carry, position0, host_staged):
-                blocks, _, _taps = mega(params, carry, position0,
-                                        host_staged)    # (n, F, V)
+                blocks, carry2, _taps = mega(params, carry, position0,
+                                             host_staged)    # (n, F, V)
                 mix = blocks.sum(axis=2, keepdims=True)
-                return jnp.broadcast_to(mix, (n_blocks, F, out_ch)), carry
+                return jnp.broadcast_to(mix, (n_blocks, F, out_ch)), carry2
 
             return self._finalize_channels(mega_many)
 

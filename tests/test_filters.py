@@ -95,3 +95,97 @@ def test_scan_zero_initial_state():
                         [np.array([[1000.0]], dtype=np.float32)], NYQ)
     y = np.asarray(sosfilt_scan(coeffs, np.zeros((64, 1), dtype=np.float32)))
     assert np.all(y == 0)
+
+
+def test_streaming_filter_mega_window_is_loop_free_and_exact():
+    """streaming=true single-section filters render whole mega windows
+    without a block scan: per-block zero-state filtering + an associative
+    affine state scan + closed-form initial-state correction.  Must equal
+    the per-block scan path (and therefore the pull engine) exactly."""
+    import signals_tpu.compiler as C
+    from signals_tpu.compiler import compile_node
+    from signals_tpu.nodes.fx import LowPass
+    from signals_tpu.nodes.osc import Sawtooth
+    from tests.conftest import fixed, pull_blocks
+
+    F = 512
+
+    def build(streaming=True):
+        saw = Sawtooth()
+        saw.hertz = fixed(55.0)
+        lp = LowPass()
+        lp.input = saw
+        lp.cutoff = fixed(60.0)          # the streaming-mode regime
+        lp.get_state().streaming = streaming
+        return lp
+
+    C._compile_cache.clear()
+    scan_c = compile_node(build(), block_frames=F, rate=44100, channels=1)
+    scan_c.enable_mega = False           # force the per-block scan path
+    ref, ref_carry = scan_c.render(n_blocks=24)
+
+    C._compile_cache.clear()
+    mega_c = compile_node(build(), block_frames=F, rate=44100, channels=1)
+    mega_c.mega_min_channels = 1
+    assert mega_c.mega_compatible and mega_c._use_mega
+    got, carry = mega_c.render(n_blocks=24)
+    assert np.abs(got - ref).max() <= 1e-5
+
+    # carried state round-trips across mega renders (resume equivalence)
+    a, c1 = mega_c.render(n_blocks=12)
+    b, _ = mega_c.render(position=12 * F, n_blocks=12, carry=c1)
+    joined = np.concatenate([a, b])
+    assert np.abs(joined - got).max() <= 1e-5
+
+    # and it matches whole-signal float64 filtering with scipy's own f64
+    # design (f32-rounded coefficients shift a 60 Hz pole by ~1e-4, and
+    # the pull engine's scipy f32 state accumulates similar error — the
+    # very reasons coupled-form streaming exists)
+    import scipy.signal
+    saw = pull_blocks(build().input.sig, 24, block_frames=F, channels=1)
+    sos = scipy.signal.butter(2, 60.0 / 22050.0, 'low', output='sos')
+    truth = scipy.signal.sosfilt(sos, saw[:, 0].astype(np.float64))
+    assert np.abs(got[:, 0] - truth).max() <= 1e-5
+
+
+def test_streaming_band_filter_keeps_scan_path():
+    """Two-section streaming filters are not mega-steppable (section
+    corrections interact); the patch falls back to the block scan."""
+    from signals_tpu.compiler import compile_node
+    from signals_tpu.nodes.fx import BandPass
+    from signals_tpu.nodes.osc import Sawtooth
+    from tests.conftest import fixed, pull_blocks
+    import signals_tpu.compiler as C
+
+    saw = Sawtooth()
+    saw.hertz = fixed(110.0)
+    bp = BandPass()
+    bp.input = saw
+    bp.low = fixed(80.0)
+    bp.high = fixed(500.0)
+    bp.get_state().streaming = True
+    C._compile_cache.clear()
+    c = compile_node(bp, block_frames=512, rate=44100, channels=1)
+    assert not c.mega_compatible
+    got, _ = c.render(n_blocks=10)
+    saw2 = Sawtooth()
+    saw2.hertz = fixed(110.0)
+    bp2 = BandPass()
+    bp2.input = saw2
+    bp2.low = fixed(80.0)
+    bp2.high = fixed(500.0)
+    bp2.get_state().streaming = True
+    saw_sig = pull_blocks(Sawtooth_src(), 10, block_frames=512, channels=1)
+    import scipy.signal
+    sos = scipy.signal.butter(2, [80.0 / 22050.0, 500.0 / 22050.0],
+                              'bandpass', output='sos')
+    truth = scipy.signal.sosfilt(sos, saw_sig[:, 0].astype(np.float64))
+    assert np.abs(got[:, 0] - truth).max() <= 2e-5
+
+
+def Sawtooth_src():
+    from signals_tpu.nodes.osc import Sawtooth
+    from tests.conftest import fixed
+    saw = Sawtooth()
+    saw.hertz = fixed(110.0)
+    return saw

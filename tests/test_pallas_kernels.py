@@ -257,3 +257,23 @@ def test_mega_dma_segment_path_matches_vmap_poly():
     ref = render('vmap')
     got = render('pallas')          # 32 voices -> the DMA segment kernel
     assert np.abs(got - ref).max() <= 1e-5
+
+
+def test_sosfilt_segments_wide_channels():
+    """256 channels (two sublane rows per segment) — the 256-voice path."""
+    from signals_tpu.compiler.pallas_kernels import sosfilt_segments
+    rng = np.random.default_rng(23)
+    F, C, nb, ch = 256, 256, 5, 256
+    T = C + nb * F
+    x = rng.standard_normal((T, ch)).astype(np.float32)
+    cuts = rng.uniform(300.0, 8000.0, (nb, ch)).astype(np.float32)
+    co = np.stack([design_coupled(np, 'lp', [cuts[b:b + 1]], NYQ)
+                   for b in range(nb)], axis=0)
+    got = np.asarray(sosfilt_segments(
+        co, x, n_segments=nb, seg_frames=F, context=C, interpret=True))
+    assert got.shape == (nb, F, ch)
+    # spot-check a handful of (segment, channel) pairs against scipy
+    for b, c in ((0, 0), (2, 77), (4, 255), (3, 128)):
+        seg = x[b * F:b * F + C + F, c].astype(np.float64)
+        y = scipy.signal.sosfilt(co[b, :, c, :6].astype(np.float64), seg)
+        assert np.abs(got[b, :, c] - y[-F:]).max() <= 1e-5
