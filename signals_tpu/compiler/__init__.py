@@ -840,12 +840,18 @@ class CompiledPatch:
         or a whole-window ``mega_step`` (e.g. streaming filters, whose
         carried state propagates through the window via an associative
         scan instead of a block loop)."""
+        main = Window(0, self.block_frames)
         for node in self.index.order:
             if _is_delay(node) or _is_host_source(node):
                 return False
-            if (_is_stateful(node) and not _is_grid_stateless(node)
-                    and not getattr(node, 'supports_mega_step', False)):
-                return False
+            if _is_stateful(node) and not _is_grid_stateless(node):
+                if not getattr(node, 'supports_mega_step', False):
+                    return False
+                # a mega-stepped node serves only the window-wide main
+                # block; consumers that sample it at block rate or pull
+                # context windows (nested filters) need the per-block path
+                if self.index.info(node).windows - {main}:
+                    return False
         return True
 
     def mega_core(self, n_blocks: int):

@@ -316,8 +316,8 @@ def sosfilt_pallas(coeffs, x, *, interpret: bool = False):
 
 def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
                 in_sems, out_sems, *, nsec: int, row_chunk: int,
-                chunks_per_seg: int, c_chunks: int, seg_frames: int,
-                group: int, v: int, n_segments: int, unroll: int):
+                c_chunks: int, seg_frames: int, group: int, v: int,
+                unroll: int):
     """One (lane_group, row_chunk) grid step.
 
     Lanes are ``group`` consecutive segments x ``v`` channels (group*v =
@@ -338,22 +338,16 @@ def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
     # lane index = g*v + ch within the group's 1024 lanes; segment g's
     # channels land at sublane (g*v)//128, lane offset (g*v)%128
 
-    subs = v // 128                   # sublane rows per segment when v>=128
+    # callers pad channels to vpad = round_up(chx, 128), so a segment
+    # always owns whole sublane rows; x_hbm is (T, subs, 128)
+    subs = v // 128
 
     def in_dma(slot, lg_, rc_, g):
         seg = lg_ * group + g
         src_row = seg * seg_frames + rc_ * row_chunk
-        if subs:
-            # wide channels: x_hbm is (T, subs, 128); a segment owns whole
-            # sublane rows (DMA slices must be 128-lane aligned)
-            return pltpu.make_async_copy(
-                x_hbm.at[pl.ds(src_row, row_chunk)],
-                xbuf.at[slot, :, g * subs:(g + 1) * subs, :],
-                in_sems.at[slot, g])
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(src_row, row_chunk), :],
-            xbuf.at[slot, :, (g * v) // 128,
-                    pl.ds((g * v) % 128, v)],
+            x_hbm.at[pl.ds(src_row, row_chunk)],
+            xbuf.at[slot, :, g * subs:(g + 1) * subs, :],
             in_sems.at[slot, g])
 
     def start_in(slot, step_):
@@ -371,14 +365,9 @@ def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
     def out_dma(slot_, lg_, rc_, g):
         seg = lg_ * group + g
         dst_row = rc_ * row_chunk - c_chunks * row_chunk
-        if subs:
-            return pltpu.make_async_copy(
-                ybuf.at[slot_, :, g * subs:(g + 1) * subs, :],
-                out_hbm.at[seg, pl.ds(dst_row, row_chunk)],
-                out_sems.at[slot_, g])
         return pltpu.make_async_copy(
-            ybuf.at[slot_, :, (g * v) // 128, pl.ds((g * v) % 128, v)],
-            out_hbm.at[seg, pl.ds(dst_row, row_chunk), :],
+            ybuf.at[slot_, :, g * subs:(g + 1) * subs, :],
+            out_hbm.at[seg, pl.ds(dst_row, row_chunk)],
             out_sems.at[slot_, g])
 
     slot = step % 2
@@ -481,13 +470,10 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
     tail = seg_frames
     unroll = ROW_UNROLL if row_chunk % ROW_UNROLL == 0 else 1
     kernel = functools.partial(
-        _seg_kernel, nsec=nsec, row_chunk=row_chunk,
-        chunks_per_seg=chunks_per_seg, c_chunks=c_chunks,
-        seg_frames=seg_frames, group=group, v=v, n_segments=n_segments,
-        unroll=unroll)
+        _seg_kernel, nsec=nsec, row_chunk=row_chunk, c_chunks=c_chunks,
+        seg_frames=seg_frames, group=group, v=v, unroll=unroll)
 
-    out_dims = ((n_seg_pad, tail, v // 128, 128) if v >= 128
-                else (n_seg_pad, tail, v))
+    out_dims = (n_seg_pad, tail, v // 128, 128)
 
     def call(coeffs, x):
         # x: (T_pad, v) — or (T_pad, v//128, 128) for wide channels —
@@ -580,8 +566,7 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
         nsec, 5, n_seg_pad // group, group * vpad)
     sel = sel.reshape(nsec, 5, n_seg_pad // group, 8, 128)
 
-    if vpad >= 128:
-        x = x.reshape(x.shape[0], vpad // 128, 128)
+    x = x.reshape(x.shape[0], vpad // 128, 128)
     call = _build_seg_call(int(x.shape[0]), vpad, nsec, n_segments,
                            seg_frames, context, interpret)
     y = call(sel, x)

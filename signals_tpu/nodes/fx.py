@@ -337,7 +337,8 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
             from signals_tpu.compiler.pallas_kernels import (
                 sosfilt_batch, sosfilt_segments)
             chx = max(x.shape[1], chs)
-            if C % F_ == 0 and chx >= 32 and 128 % chx == 0:
+            if (C % F_ == 0 and chx >= 32
+                    and (128 % chx == 0 or chx % 128 == 0)):
                 # fully DMA-driven: the kernel reads the raw timeline from
                 # HBM (overlapping segment windows BlockSpecs can't
                 # express) and writes its tail output block-major — no

@@ -43,6 +43,9 @@ class PatcherPresenter:
         self.out = io.StringIO()
         self.controller = controller or Controller(interactive=True,
                                                    stdout=self.out)
+        # the presenter owns the console surface: command feedback must
+        # land in self.out even for an injected controller
+        self.controller.stdout = self.out
         self.selected: typing.Optional[Coordinates] = None
         #: gesture: None | ('cable', src_at, (x, y)) | ('move', src_at, (x, y))
         self.drag: typing.Optional[tuple] = None

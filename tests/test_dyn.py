@@ -72,17 +72,15 @@ def test_compressor_below_threshold_is_transparent():
     comp._compile_cache.clear()
     c = compile_node(cp, block_frames=F, rate=RATE, channels=1)
     audio, _ = c.render(n_blocks=10, deliver_taps=False)
-    dry = pull_blocks_of(g)
+    # oracle from the actual signal under test (fresh nodes: the pull
+    # engine's block caches must not serve the compiled render's graph)
+    osc2 = Sine()
+    osc2.hertz = fixed(440.0)
+    g2 = Gain()
+    g2.left = osc2
+    g2.right = fixed(0.1)
+    dry = pull_blocks(g2, 10, block_frames=F, channels=1)
     np.testing.assert_allclose(audio, dry[:audio.shape[0]], atol=1e-6)
-
-
-def pull_blocks_of(node_builder_sig):
-    osc = Sine()
-    osc.hertz = fixed(440.0)
-    g = Gain()
-    g.left = osc
-    g.right = fixed(0.1)
-    return pull_blocks(g, 10, block_frames=F, channels=1)
 
 
 def test_compressor_blocking_invariance():

@@ -168,13 +168,6 @@ def test_streaming_band_filter_keeps_scan_path():
     c = compile_node(bp, block_frames=512, rate=44100, channels=1)
     assert not c.mega_compatible
     got, _ = c.render(n_blocks=10)
-    saw2 = Sawtooth()
-    saw2.hertz = fixed(110.0)
-    bp2 = BandPass()
-    bp2.input = saw2
-    bp2.low = fixed(80.0)
-    bp2.high = fixed(500.0)
-    bp2.get_state().streaming = True
     saw_sig = pull_blocks(Sawtooth_src(), 10, block_frames=512, channels=1)
     import scipy.signal
     sos = scipy.signal.butter(2, [80.0 / 22050.0, 500.0 / 22050.0],
@@ -189,3 +182,31 @@ def Sawtooth_src():
     saw = Sawtooth()
     saw.hertz = fixed(110.0)
     return saw
+
+
+def test_streaming_filter_with_downstream_consumer_renders():
+    """Regression: a streaming filter whose output is consumed at a
+    non-main window (a nested context-pulling filter here) must not
+    engage mega rendering — it renders via the block path instead of
+    crashing at trace."""
+    import signals_tpu.compiler as C
+    from signals_tpu.compiler import compile_node
+    from signals_tpu.nodes.fx import HighPass, LowPass
+    from signals_tpu.nodes.osc import Sawtooth
+    from tests.conftest import fixed
+
+    saw = Sawtooth()
+    saw.hertz = fixed(110.0)
+    lp = LowPass()
+    lp.input = saw
+    lp.cutoff = fixed(90.0)
+    lp.get_state().streaming = True
+    hp = HighPass()
+    hp.input = lp
+    hp.cutoff = fixed(40.0)
+    C._compile_cache.clear()
+    c = compile_node(hp, block_frames=512, rate=44100, channels=1)
+    c.mega_min_channels = 1
+    assert not c.mega_compatible       # consumer pulls context windows
+    audio, _ = c.render(n_blocks=6)
+    assert np.isfinite(audio).all()
