@@ -104,14 +104,17 @@ class SinkDevice(Device, Receiver, ExplicitChannels):
                  block_frames: int = 1024,
                  realtime: bool = True,
                  ring_blocks: int = 8,
-                 output_fd: int = -1):
+                 output_fd: int = -1,
+                 output_format: str = 'f32'):
         super().__init__(info)
         self.block_frames = block_frames
         self.realtime = realtime
         #: render-ahead depth of the native ring buffer (blocks)
         self.ring_blocks = ring_blocks
-        #: raw f32 output target for the paced consumer (-1 = discard)
+        #: output target for the paced consumer (-1 = discard)
         self.output_fd = output_fd
+        #: fd stream format: 'f32' (raw) or 'pcm16' (the production format)
+        self.output_format = output_format
         self.frame_position = 0
         self._transport = None
         self._ring = None
@@ -219,7 +222,7 @@ class SinkDevice(Device, Receiver, ExplicitChannels):
         from signals_tpu.runtime.ring import PacedConsumer
         return PacedConsumer(self._ring, rate=self.rate,
                              block_frames=self.block_frames,
-                             fd=self.output_fd)
+                             fd=self.output_fd, fmt=self.output_format)
 
     def stop(self) -> None:
         if not self.is_active:

@@ -21,6 +21,7 @@
 // (signals_tpu/runtime/ring.py).
 
 #include <atomic>
+#include <cmath>
 #include <chrono>
 #include <cstdint>
 #include <cstring>
@@ -55,11 +56,13 @@ struct Consumer {
     double rate = 44100.0;
     uint32_t block_frames = 0;
     int fd = -1;
+    int format = 0;             // 0 = raw float32, 1 = PCM16 (clipped)
     std::thread thread;
     std::atomic<bool> running{false};
     std::atomic<uint64_t> frames_consumed{0};
     std::atomic<uint64_t> underruns{0};
     float* scratch = nullptr;
+    int16_t* scratch16 = nullptr;
 };
 
 }  // namespace
@@ -146,9 +149,24 @@ static void consumer_loop(Consumer* c) {
                 c->underruns.fetch_add(1, std::memory_order_relaxed);
             }
             if (c->fd >= 0) {
-                // best-effort write of the raw f32 block
-                ssize_t ignored = write(c->fd, c->scratch, block_bytes);
-                (void)ignored;
+                // best-effort write of the block (f32 or PCM16)
+                if (c->format == 1) {
+                    const size_t n_samples =
+                        static_cast<size_t>(block) * c->ring->channels;
+                    for (size_t s = 0; s < n_samples; ++s) {
+                        float v = c->scratch[s] * 32767.0f;
+                        if (v > 32767.0f) v = 32767.0f;
+                        if (v < -32768.0f) v = -32768.0f;
+                        c->scratch16[s] =
+                            static_cast<int16_t>(lrintf(v));
+                    }
+                    ssize_t ignored = write(c->fd, c->scratch16,
+                                            n_samples * sizeof(int16_t));
+                    (void)ignored;
+                } else {
+                    ssize_t ignored = write(c->fd, c->scratch, block_bytes);
+                    (void)ignored;
+                }
             }
             emitted += block;
             c->frames_consumed.store(emitted, std::memory_order_relaxed);
@@ -163,15 +181,17 @@ static void consumer_loop(Consumer* c) {
 }
 
 Consumer* sig_consumer_start(Ring* ring, double rate, uint32_t block_frames,
-                             int fd) {
+                             int fd, int format) {
     if (!ring || rate <= 0 || block_frames == 0) return nullptr;
     Consumer* c = new Consumer();
     c->ring = ring;
     c->rate = rate;
     c->block_frames = block_frames;
     c->fd = fd;
-    c->scratch =
-        new float[static_cast<size_t>(block_frames) * ring->channels];
+    c->format = format;
+    const size_t n = static_cast<size_t>(block_frames) * ring->channels;
+    c->scratch = new float[n];
+    c->scratch16 = format == 1 ? new int16_t[n] : nullptr;
     c->running.store(true);
     c->thread = std::thread(consumer_loop, c);
     return c;
@@ -182,6 +202,7 @@ void sig_consumer_stop(Consumer* c) {
     c->running.store(false);
     if (c->thread.joinable()) c->thread.join();
     delete[] c->scratch;
+    delete[] c->scratch16;
     delete c;
 }
 

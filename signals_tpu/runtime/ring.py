@@ -29,12 +29,17 @@ def _load_native() -> typing.Optional[ctypes.CDLL]:
     if _lib_tried:
         return _lib
     _lib_tried = True
-    if not _LIB_PATH.exists():
+    src = _NATIVE_DIR / 'ring.cc'
+    stale = (_LIB_PATH.exists() and src.exists()
+             and src.stat().st_mtime > _LIB_PATH.stat().st_mtime)
+    if not _LIB_PATH.exists() or stale:
         try:
-            subprocess.run(['make', '-C', str(_NATIVE_DIR)], check=True,
+            subprocess.run(['make', '-C', str(_NATIVE_DIR)]
+                           + (['-B'] if stale else []), check=True,
                            capture_output=True, timeout=120)
         except (OSError, subprocess.SubprocessError):
-            return None
+            if not _LIB_PATH.exists():
+                return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
@@ -55,7 +60,8 @@ def _load_native() -> typing.Optional[ctypes.CDLL]:
     lib.sig_ring_capacity.argtypes = [ctypes.c_void_p]
     lib.sig_consumer_start.restype = ctypes.c_void_p
     lib.sig_consumer_start.argtypes = [ctypes.c_void_p, ctypes.c_double,
-                                       ctypes.c_uint32, ctypes.c_int]
+                                       ctypes.c_uint32, ctypes.c_int,
+                                       ctypes.c_int]
     lib.sig_consumer_stop.argtypes = [ctypes.c_void_p]
     for name in ('sig_consumer_frames', 'sig_consumer_underruns'):
         fn = getattr(lib, name)
@@ -149,10 +155,17 @@ class RingBuffer:
 
 class PacedConsumer:
     """Drains a ring at the sample rate on its own thread — the virtual
-    output device.  Underruns are zero-filled and counted."""
+    output device.  Underruns are zero-filled and counted.
+
+    ``fmt='pcm16'`` makes the fd writer emit 16-bit PCM (the production
+    stream format: pipe it to a player, a device node, or a .raw file)
+    instead of raw float32.
+    """
 
     def __init__(self, ring: RingBuffer, *, rate: float, block_frames: int,
-                 fd: int = -1):
+                 fd: int = -1, fmt: str = 'f32'):
+        if fmt not in ('f32', 'pcm16'):
+            raise ValueError(fmt)
         self.ring = ring
         self.rate = rate
         self.block_frames = block_frames
@@ -160,7 +173,8 @@ class PacedConsumer:
         self._native = ring._handle is not None
         if self._native:
             self._handle = ring._lib.sig_consumer_start(
-                ring._handle, float(rate), block_frames, fd)
+                ring._handle, float(rate), block_frames, fd,
+                1 if fmt == 'pcm16' else 0)
         else:
             self._underruns = 0
             self._frames = 0

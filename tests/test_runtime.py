@@ -147,3 +147,29 @@ def test_wav_pcm16(tmp_path):
     assert rate == 8000
     np.testing.assert_allclose(data[:, 0], [0.0, 0.5, -0.5, 32767 / 32768],
                                atol=1e-4)
+
+
+def test_native_consumer_pcm16_fd_stream(tmp_path):
+    """fd streaming in the production PCM16 format: write a known block,
+    read the emitted int16 bytes back."""
+    import os
+    from signals_tpu.runtime.ring import PacedConsumer, RingBuffer, \
+        native_available
+    if not native_available():
+        pytest.skip('native ring unavailable')
+    path = tmp_path / 'stream.raw'
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT, 0o644)
+    ring = RingBuffer(capacity_frames=4096, channels=1)
+    block = np.linspace(-1.2, 1.2, 256, dtype=np.float32).reshape(-1, 1)
+    ring.write(block)
+    consumer = PacedConsumer(ring, rate=44100, block_frames=256, fd=fd,
+                             fmt='pcm16')
+    deadline = time.time() + 5
+    while consumer.frames < 256 and time.time() < deadline:
+        time.sleep(0.01)
+    consumer.stop()
+    os.close(fd)
+    raw = np.fromfile(path, dtype='<i2')
+    assert raw.shape[0] >= 256
+    expect = np.clip(np.rint(block[:, 0] * 32767.0), -32768, 32767)
+    np.testing.assert_array_equal(raw[:256], expect.astype(np.int16))
