@@ -4,6 +4,14 @@ capability)."""
 
 import numpy as np
 
+import jax
+
+try:                                    # prefer the TPU; fall back to CPU
+    jax.devices()                       # (the axon plugin can be flaky in
+except RuntimeError:                    # fresh subprocesses)
+    jax.config.update('jax_platforms', 'cpu')
+
+
 from signals_tpu.learn import fit
 from signals_tpu.nodes.fixed import Fixed
 from signals_tpu.nodes.fx import Gain

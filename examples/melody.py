@@ -2,6 +2,14 @@
 
 import numpy as np
 
+import jax
+
+try:                                    # prefer the TPU; fall back to CPU
+    jax.devices()                       # (the axon plugin can be flaky in
+except RuntimeError:                    # fresh subprocesses)
+    jax.config.update('jax_platforms', 'cpu')
+
+
 from signals_tpu.compiler import compile_node
 from signals_tpu.nodes.env import ADSR
 from signals_tpu.nodes.fixed import Fixed

@@ -9,6 +9,13 @@ your own ``.mid`` to play it instead.
 import struct
 import sys
 
+import jax
+
+try:                                    # prefer the TPU; fall back to CPU
+    jax.devices()                       # (the axon plugin can be flaky in
+except RuntimeError:                    # fresh subprocesses)
+    jax.config.update('jax_platforms', 'cpu')
+
 from signals_tpu.nodes.env import ADSR
 from signals_tpu.nodes.fx import Drive, LowPass, RingMod
 from signals_tpu.nodes.fixed import Fixed

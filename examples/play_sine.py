@@ -10,6 +10,14 @@ import time
 
 import numpy as np
 
+import jax
+
+try:                                    # prefer the TPU; fall back to CPU
+    jax.devices()                       # (the axon plugin can be flaky in
+except RuntimeError:                    # fresh subprocesses)
+    jax.config.update('jax_platforms', 'cpu')
+
+
 import signals_tpu.nodes.dev as dev
 import signals_tpu.nodes.fixed as fixed
 import signals_tpu.nodes.osc as osc

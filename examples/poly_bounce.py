@@ -3,6 +3,14 @@ polyphonic (vmapped) path end-to-end."""
 
 import numpy as np
 
+import jax
+
+try:                                    # prefer the TPU; fall back to CPU
+    jax.devices()                       # (the axon plugin can be flaky in
+except RuntimeError:                    # fresh subprocesses)
+    jax.config.update('jax_platforms', 'cpu')
+
+
 from signals_tpu.nodes.env import ADSR
 from signals_tpu.nodes.fixed import Fixed
 from signals_tpu.nodes.fx import Gain, LowPass, RingMod

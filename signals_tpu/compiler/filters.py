@@ -58,9 +58,19 @@ MEGA_FILTER_IMPL = 'auto'
 
 def resolve_mega_impl() -> str:
     if MEGA_FILTER_IMPL == 'auto':
-        import jax
-        return 'pallas' if jax.default_backend() == 'tpu' else 'vmap'
+        return 'pallas' if default_backend() == 'tpu' else 'vmap'
     return MEGA_FILTER_IMPL
+
+
+def default_backend() -> str:
+    """``jax.default_backend()`` that survives flaky accelerator plugins
+    (the axon TPU plugin sometimes fails to initialize in fresh
+    subprocesses — backend probes must not kill the render)."""
+    import jax
+    try:
+        return jax.default_backend()
+    except RuntimeError:
+        return 'cpu'
 
 
 def sosfilt(coeffs, x):

@@ -227,7 +227,8 @@ def sosfilt_batch(coeffs, x_t, *, interpret: typing.Optional[bool] = None,
     if interpret is None:
         # Mosaic kernels only target TPU; interpret everywhere else (the
         # CPU path exists for tests and the virtual 8-device mesh)
-        interpret = jax.default_backend() != 'tpu'
+        from signals_tpu.compiler.filters import default_backend
+        interpret = default_backend() != 'tpu'
     x_t = jnp.asarray(x_t, dtype=jnp.float32)
     coeffs = jnp.asarray(coeffs, dtype=jnp.float32)
     L, B, ch = x_t.shape
@@ -523,7 +524,8 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
     import jax.numpy as jnp
 
     if interpret is None:
-        interpret = jax.default_backend() != 'tpu'
+        from signals_tpu.compiler.filters import default_backend
+        interpret = default_backend() != 'tpu'
     x = jnp.asarray(x, dtype=jnp.float32)
     coeffs = jnp.asarray(coeffs, dtype=jnp.float32)
     T, ch = x.shape
