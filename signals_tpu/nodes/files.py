@@ -87,18 +87,31 @@ class FileReader(SoundFileBase):
 @register('signals.chain.files.FileWriter')
 class FileWriter(SoundFileBase, PassThroughResult):
     """Writes the forwarded block to disk, then passes it through
-    (reference ``files.py:89-102``).  RECORDER side-effect tap."""
+    (reference ``files.py:89-102``).  RECORDER side-effect tap.
+
+    ``subtype`` picks the sample encoding for containers that offer a
+    choice (WAV: float32/pcm16/mulaw/alaw/adpcm; AU: all but adpcm)."""
+
+    class State(SoundFileBase.State):
+        subtype: str = Param('float32', validate=instance_of(str))
 
     @classmethod
     def flags(cls) -> SignalFlags:
         return super().flags() | SignalFlags.RECORDER
 
+    def set_state(self, new_state) -> None:
+        old = getattr(self._state, 'subtype', None)
+        super().set_state(new_state)
+        if new_state.subtype != old:
+            self._close()
+
     def _open_writer(self, rate: int, channels: int):
         if self._buffer is not None and not hasattr(self._buffer, 'write'):
             self._close()
         if self._buffer is None:
-            self._buffer = sndfile.open_writer(self._state.path, rate=rate,
-                                               channels=channels)
+            self._buffer = sndfile.open_writer(
+                self._state.path, rate=rate, channels=channels,
+                subtype=self._state.subtype)
         return self._buffer
 
     def kernel(self, ctx: KernelCtx):

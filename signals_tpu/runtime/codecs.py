@@ -1,0 +1,289 @@
+"""Companded / ADPCM audio codecs: G.711 mu-law & A-law, IMA ADPCM.
+
+The reference reads and writes every format libsndfile handles
+(``src/signals/chain/files.py:8,42-58``), which includes the classic
+telephony and streaming codecs (``SF_FORMAT_ULAW``, ``SF_FORMAT_ALAW``,
+``SF_FORMAT_IMA_ADPCM``).  This module implements them natively:
+
+* :func:`mulaw_encode` / :func:`mulaw_decode` — ITU-T G.711 mu-law,
+  bit-compatible with the CCITT reference implementation (and therefore
+  with libsndfile / ``audioop``).
+* :func:`alaw_encode` / :func:`alaw_decode` — G.711 A-law, same pedigree.
+* :func:`ima_encode` / :func:`ima_decode` — IMA/DVI ADPCM with the WAV
+  per-block layout (independent blocks, int16 predictor header).
+
+All of the G.711 math is elementwise integer arithmetic written against
+an ``xp`` array namespace (numpy or ``jax.numpy``), so the same code runs
+on the host for file IO and **on the TPU** for device-side stream
+encoding: rendering pipelines quantize the master mix on device and fetch
+1 byte/sample (mu-law) or ~0.5 byte/sample (ADPCM) instead of 4-byte
+floats — the host link, not the render rate, is the bottleneck for
+bounced audio.  The IMA recurrence is sequential per block; the JAX
+version runs one ``lax.scan`` over the in-block sample index, vectorized
+across all blocks (and channels) in lanes.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+
+F32 = np.float32
+
+_BIAS = 0x84
+_CLIP = 32635
+
+
+def _to_int16(xp, x):
+    """float32 in [-1, 1] -> int16 full scale (round-half-away like the
+    PCM16 writers in :mod:`signals_tpu.runtime.wavio`)."""
+    q = xp.clip(xp.round(x * F32(32768.0)), -32768, 32767)
+    return q.astype(xp.int32)
+
+
+def mulaw_encode(xp, x) -> 'np.ndarray':
+    """float32 [-1, 1] -> G.711 mu-law bytes (uint8).
+
+    CCITT G.711 ``linear2ulaw``: bias the magnitude, find the segment
+    (exponent), keep 4 mantissa bits, complement.  Bit-identical to
+    ``audioop.lin2ulaw`` on the equivalent int16 input.
+    """
+    pcm = _to_int16(xp, x)
+    s = pcm >> 2                       # 14-bit domain, arithmetic shift —
+    #                                    the rounding CCITT/audioop use
+    mask = xp.where(s < 0, 0x7F, 0xFF)
+    mag = xp.minimum(xp.where(s < 0, -s, s), 8159) + 33  # 14-bit CLIP+BIAS
+    seg = xp.zeros_like(mag)
+    for j in range(8):                 # seg_uend = 0x3F,0x7F,...,0x1FFF
+        seg = seg + (mag > ((0x40 << j) - 1)).astype(mag.dtype)
+    u = xp.where(seg >= 8, 0x7F, (seg << 4) | ((mag >> (seg + 1)) & 0x0F))
+    return ((u ^ mask) & 0xFF).astype(xp.uint8)
+
+
+def mulaw_decode(xp, u) -> 'np.ndarray':
+    """G.711 mu-law bytes -> float32 (int16 scale / 32768)."""
+    v = (~u.astype(xp.int32)) & 0xFF
+    sign = v & 0x80
+    exp = (v >> 4) & 0x07
+    mant = v & 0x0F
+    mag = (((mant << 3) + _BIAS) << exp) - _BIAS
+    pcm = xp.where(sign != 0, -mag, mag)
+    return pcm.astype(F32) / F32(32768.0)
+
+
+_ALAW_AMI_MASK = 0x55
+
+
+def alaw_encode(xp, x) -> 'np.ndarray':
+    """float32 [-1, 1] -> G.711 A-law bytes (uint8).
+
+    CCITT ``linear2alaw`` operates on the 13-bit magnitude
+    (``pcm >> 3``); segment 0/1 keep mantissa bits 1..4, higher segments
+    shift by the segment number.  Bit-identical to ``audioop.lin2alaw``.
+    """
+    pcm = _to_int16(xp, x)
+    neg = pcm < 0
+    mag = xp.where(neg, -pcm - 1, pcm) >> 3              # 13-bit magnitude
+    seg = xp.zeros_like(mag)
+    for j in range(7):
+        seg = seg + (mag > ((0x1F << j) | ((1 << j) - 1))).astype(mag.dtype)
+    low = xp.where(seg < 1, (mag >> 1) & 0x0F, (mag >> seg) & 0x0F)
+    aval = (seg << 4) | low
+    a = xp.where(neg, aval, aval | 0x80) ^ _ALAW_AMI_MASK
+    return (a & 0xFF).astype(xp.uint8)
+
+
+def alaw_decode(xp, a) -> 'np.ndarray':
+    """G.711 A-law bytes -> float32 (int16 scale / 32768)."""
+    v = (a.astype(xp.int32) ^ _ALAW_AMI_MASK) & 0xFF
+    seg = (v >> 4) & 0x07
+    mant = v & 0x0F
+    base = (mant << 4) + 8
+    mag = xp.where(seg == 0, base, (base + 0x100) << (seg - 1))
+    pcm = xp.where((v & 0x80) != 0, mag, -mag)
+    return pcm.astype(F32) / F32(32768.0)
+
+
+# --- IMA / DVI ADPCM ----------------------------------------------------------
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int32)
+
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def ima_samples_per_block(block_align: int, channels: int) -> int:
+    """WAV ``wSamplesPerBlock`` for a given block alignment: a 4-byte
+    header per channel holds sample 0, then 4-bit nibbles."""
+    return (block_align - 4 * channels) * 2 // channels + 1
+
+
+def ima_encode_np(x: np.ndarray, *, samples_per_block: int = 1017
+                  ) -> typing.Tuple[np.ndarray, int]:
+    """float32 (frames, channels) -> WAV IMA-ADPCM ``data`` payload bytes.
+
+    Frames are padded with the final sample value up to a whole block (a
+    held sample encodes as near-silence deltas, matching what common
+    encoders emit).  Returns ``(payload_uint8, block_align)``.
+    The scan is vectorized across blocks and channels; only the in-block
+    sample index is a Python loop.
+    """
+    x = np.atleast_2d(np.asarray(x, dtype=np.float32))
+    frames, ch = x.shape
+    spb = samples_per_block
+    if spb % 2 == 0:
+        raise ValueError('samples_per_block must be odd')
+    block_align = ((spb - 1) // 2 + 4) * ch
+    nb = -(-frames // spb) if frames else 0
+    if nb == 0:
+        return np.zeros(0, dtype=np.uint8), block_align
+    pad = nb * spb - frames
+    if pad:
+        x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int32)
+    s = pcm.reshape(nb, spb, ch)                         # (nb, spb, ch)
+
+    pred = s[:, 0, :].copy()                             # (nb, ch)
+    index = np.zeros((nb, ch), dtype=np.int32)
+    codes = np.zeros((nb, spb - 1, ch), dtype=np.uint8)
+    for k in range(1, spb):
+        step = _IMA_STEPS[index]
+        diff = s[:, k, :] - pred
+        code = np.where(diff < 0, 8, 0).astype(np.int32)
+        adiff = np.abs(diff)
+        b4 = adiff >= step
+        adiff = adiff - np.where(b4, step, 0)
+        b2 = adiff >= step >> 1
+        adiff = adiff - np.where(b2, step >> 1, 0)
+        b1 = adiff >= step >> 2
+        code = code | b4 * 4 | b2 * 2 | b1 * 1
+        diffq = (step >> 3) + np.where(b4, step, 0) \
+            + np.where(b2, step >> 1, 0) + np.where(b1, step >> 2, 0)
+        pred = pred + np.where((code & 8) != 0, -diffq, diffq)
+        pred = np.clip(pred, -32768, 32767)
+        index = np.clip(index + _IMA_INDEX[code & 7], 0, 88)
+        codes[:, k - 1, :] = code.astype(np.uint8)
+
+    # layout per block: for each channel a 4-byte header
+    # [pred:int16le, initial-index:u8, 0] (the initial index is the state
+    # before sample 1 — our block-parallel encoder always starts at 0),
+    # then the channels' nibble words interleaved 4 bytes at a time
+    lo = codes[:, 0::2, :]
+    hi = codes[:, 1::2, :]
+    packed = (lo | (hi << 4)).astype(np.uint8)           # (nb, (spb-1)/2, ch)
+    p0 = s[:, 0, :]
+    hdr = np.stack([p0 & 0xFF, (p0 >> 8) & 0xFF,
+                    np.zeros_like(p0), np.zeros_like(p0)],
+                   axis=-1).astype(np.uint8)             # (nb, ch, 4)
+    body = packed.transpose(0, 2, 1).reshape(nb, ch, -1, 4)
+    body = body.transpose(0, 2, 1, 3).reshape(nb, -1)
+    out = np.concatenate([hdr.reshape(nb, -1), body], axis=1)
+    assert out.shape[1] == block_align
+    return np.ascontiguousarray(out).reshape(-1), block_align
+
+
+def ima_decode_np(payload: np.ndarray, *, channels: int, block_align: int,
+                  frames: typing.Optional[int] = None) -> np.ndarray:
+    """WAV IMA-ADPCM payload bytes -> float32 (frames, channels)."""
+    payload = np.asarray(payload, dtype=np.uint8)
+    ch = channels
+    spb = ima_samples_per_block(block_align, ch)
+    nb = payload.shape[0] // block_align
+    if nb == 0:
+        return np.zeros((0, ch), dtype=np.float32)
+    blk = payload[:nb * block_align].reshape(nb, block_align)
+    hdr = blk[:, :4 * ch].reshape(nb, ch, 4).astype(np.int32)
+    pred = (hdr[..., 0] | (hdr[..., 1] << 8)).astype(np.int16).astype(np.int32)
+    index = np.clip(hdr[..., 2], 0, 88)                  # (nb, ch)
+    body = blk[:, 4 * ch:].reshape(nb, -1, ch, 4)        # (nb, w, ch, 4)
+    packed = body.transpose(0, 2, 1, 3).reshape(nb, ch, -1)
+    codes = np.empty((nb, ch, (spb - 1)), dtype=np.int32)
+    codes[..., 0::2] = packed & 0x0F
+    codes[..., 1::2] = packed >> 4
+
+    out = np.empty((nb, spb, ch), dtype=np.int32)
+    out[:, 0, :] = pred
+    for k in range(spb - 1):
+        code = codes[:, :, k]                            # (nb, ch)
+        step = _IMA_STEPS[index]
+        diffq = (step >> 3) + np.where((code & 4) != 0, step, 0) \
+            + np.where((code & 2) != 0, step >> 1, 0) \
+            + np.where((code & 1) != 0, step >> 2, 0)
+        pred = pred + np.where((code & 8) != 0, -diffq, diffq)
+        pred = np.clip(pred, -32768, 32767)
+        index = np.clip(index + _IMA_INDEX[code & 7], 0, 88)
+        out[:, k + 1, :] = pred
+    dec = out.reshape(nb * spb, ch).astype(np.float32) / 32768.0
+    if frames is not None:
+        dec = dec[:frames]
+    return dec
+
+
+def ima_encode_jax(x, *, samples_per_block: int = 1017):
+    """Device-side IMA ADPCM encode: float32 (frames, channels) -> WAV
+    payload bytes (uint8), byte-identical to :func:`ima_encode_np`.
+
+    One ``lax.scan`` over the in-block sample index; all blocks and
+    channels ride the batch dimensions.  Used to stream/bounce a
+    rendered mix over the host link at ~0.5 byte/sample.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.float32))
+    frames, ch = x.shape
+    spb = samples_per_block
+    if spb % 2 == 0:
+        raise ValueError('samples_per_block must be odd')
+    block_align = ((spb - 1) // 2 + 4) * ch
+    nb = -(-frames // spb)
+    pad = nb * spb - frames
+    if pad:
+        x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+    pcm = jnp.clip(jnp.round(x * F32(32768.0)), -32768, 32767)
+    s = pcm.astype(jnp.int32).reshape(nb, spb, ch)
+
+    steps = jnp.asarray(_IMA_STEPS)
+    itab = jnp.asarray(_IMA_INDEX)
+
+    def step_fn(carry, sk):
+        pred, index = carry                              # (nb, ch) each
+        step = jnp.take(steps, index)
+        diff = sk - pred
+        code = jnp.where(diff < 0, 8, 0)
+        adiff = jnp.abs(diff)
+        b4 = adiff >= step
+        adiff = adiff - jnp.where(b4, step, 0)
+        b2 = adiff >= step >> 1
+        adiff = adiff - jnp.where(b2, step >> 1, 0)
+        b1 = adiff >= step >> 2
+        code = code | b4 * 4 | b2 * 2 | b1 * 1
+        diffq = ((step >> 3) + jnp.where(b4, step, 0)
+                 + jnp.where(b2, step >> 1, 0) + jnp.where(b1, step >> 2, 0))
+        pred = jnp.clip(pred + jnp.where((code & 8) != 0, -diffq, diffq),
+                        -32768, 32767)
+        index = jnp.clip(index + jnp.take(itab, code & 7), 0, 88)
+        return (pred, index), code.astype(jnp.uint8)
+
+    init = (s[:, 0, :], jnp.zeros((nb, ch), dtype=jnp.int32))
+    _, codes = jax.lax.scan(step_fn, init, s[:, 1:, :].transpose(1, 0, 2))
+    codes = codes.transpose(1, 0, 2)                     # (nb, spb-1, ch)
+
+    lo = codes[:, 0::2, :]
+    hi = codes[:, 1::2, :]
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    p0 = s[:, 0, :]
+    hdr = jnp.stack([(p0 & 0xFF), ((p0 >> 8) & 0xFF),
+                     jnp.zeros_like(p0), jnp.zeros_like(p0)],
+                    axis=-1).astype(jnp.uint8)           # (nb, ch, 4)
+    body = packed.transpose(0, 2, 1).reshape(nb, ch, -1, 4)
+    body = body.transpose(0, 2, 1, 3).reshape(nb, -1)
+    return jnp.concatenate([hdr.reshape(nb, -1), body], axis=1).reshape(-1)

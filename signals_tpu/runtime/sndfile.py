@@ -182,12 +182,15 @@ class AiffWriter:
 # --- AU / SND (Sun audio: trivial big-endian header) --------------------------
 
 _AU_MAGIC = b'.snd'
+_AU_MULAW = 1
 _AU_PCM16 = 3
 _AU_F32 = 6
+_AU_ALAW = 27
 
 
 class AuReader:
-    """Seekable AU/SND reader (PCM16 and float32 encodings)."""
+    """Seekable AU/SND reader (mu-law, A-law, PCM16 and float32 — mu-law
+    being AU's native telephony encoding)."""
 
     def __init__(self, path):
         self.path = pathlib.Path(path)
@@ -196,13 +199,13 @@ class AuReader:
             '>4sIIIII', self._f.read(24))
         if magic != _AU_MAGIC:
             raise SoundFileError(f'{self.path}: not an AU file')
-        if enc not in (_AU_PCM16, _AU_F32):
+        if enc not in (_AU_PCM16, _AU_F32, _AU_MULAW, _AU_ALAW):
             raise SoundFileError(f'{self.path}: unsupported encoding {enc}')
         self._data_offset = offset
         self._enc = enc
         self.rate = rate
         self.channels = channels
-        sb = 2 if enc == _AU_PCM16 else 4
+        sb = {_AU_MULAW: 1, _AU_ALAW: 1, _AU_PCM16: 2, _AU_F32: 4}[enc]
         self._frame_bytes = channels * sb
         if size == 0xFFFFFFFF:      # unknown length: use the file size
             end = self._f.seek(0, 2)
@@ -218,6 +221,14 @@ class AuReader:
             raw = self._f.read((stop - start) * self._frame_bytes)
             if self._enc == _AU_F32:
                 data = np.frombuffer(raw, dtype='>f4').astype(np.float32)
+            elif self._enc == _AU_MULAW:
+                from signals_tpu.runtime import codecs
+                data = codecs.mulaw_decode(
+                    np, np.frombuffer(raw, dtype=np.uint8))
+            elif self._enc == _AU_ALAW:
+                from signals_tpu.runtime import codecs
+                data = codecs.alaw_decode(
+                    np, np.frombuffer(raw, dtype=np.uint8))
             else:
                 data = (np.frombuffer(raw, dtype='>i2').astype(np.float32)
                         / 32768.0)
@@ -230,28 +241,48 @@ class AuReader:
 
 
 class AuWriter:
-    """Sequential float32 AU writer."""
+    """Sequential AU writer (float32 default; PCM16, mu-law, A-law)."""
 
-    def __init__(self, path, *, rate: int, channels: int):
+    _ENC = {'float32': _AU_F32, 'pcm16': _AU_PCM16, 'mulaw': _AU_MULAW,
+            'alaw': _AU_ALAW}
+    _SB = {'float32': 4, 'pcm16': 2, 'mulaw': 1, 'alaw': 1}
+
+    def __init__(self, path, *, rate: int, channels: int,
+                 subtype: str = 'float32'):
+        if subtype not in self._ENC:
+            raise SoundFileError(f'unsupported AU write subtype {subtype!r}')
         self.path = pathlib.Path(path)
         self.rate = int(rate)
         self.channels = int(channels)
+        self.subtype = subtype
         self.frames = 0
         self._f = self.path.open('wb')
         self._write_header()
 
     def _write_header(self) -> None:
         self._f.seek(0)
-        self._f.write(struct.pack('>4sIIIII', _AU_MAGIC, 24,
-                                  self.frames * self.channels * 4,
-                                  _AU_F32, self.rate, self.channels))
+        self._f.write(struct.pack(
+            '>4sIIIII', _AU_MAGIC, 24,
+            self.frames * self.channels * self._SB[self.subtype],
+            self._ENC[self.subtype], self.rate, self.channels))
 
     def write(self, block: np.ndarray) -> None:
         block = np.asarray(block, dtype=np.float32)
         if block.ndim != 2 or block.shape[1] != self.channels:
             block = np.broadcast_to(block, (block.shape[0], self.channels))
+        block = np.ascontiguousarray(block)
+        if self.subtype == 'float32':
+            raw = block.astype('>f4').tobytes()
+        elif self.subtype == 'pcm16':
+            q = np.clip(np.rint(block * 32767.0), -32768, 32767)
+            raw = q.astype('>i2').tobytes()
+        else:
+            from signals_tpu.runtime import codecs
+            enc = (codecs.mulaw_encode if self.subtype == 'mulaw'
+                   else codecs.alaw_encode)
+            raw = enc(np, block).tobytes()
         self._f.seek(0, 2)
-        self._f.write(np.ascontiguousarray(block).astype('>f4').tobytes())
+        self._f.write(raw)
         self.frames += block.shape[0]
         self._write_header()
         self._f.flush()
@@ -372,14 +403,25 @@ def open_reader(path, sf_module=None):
         f'{", ".join(sorted(_NATIVE_READERS))})')
 
 
-def open_writer(path, *, rate: int, channels: int, sf_module=None):
-    """Open a sequential writer, dispatched like :func:`open_reader`."""
+def open_writer(path, *, rate: int, channels: int, subtype: str = 'float32',
+                sf_module=None):
+    """Open a sequential writer, dispatched like :func:`open_reader`.
+
+    ``subtype`` selects the sample encoding where the container supports a
+    choice: WAV accepts ``float32``/``pcm16``/``mulaw``/``alaw``/``adpcm``,
+    AU accepts ``float32``/``pcm16``/``mulaw``/``alaw``; AIFF and
+    libsndfile targets use their writers' defaults."""
     import os
     if str(path) == os.devnull:      # discard target (the default path)
         return wavio.WavWriter(path, rate=rate, channels=channels)
     ext = pathlib.Path(path).suffix.lower()
     cls = _NATIVE_WRITERS.get(ext)
     if cls is not None:
+        if cls in (wavio.WavWriter, AuWriter):
+            return cls(path, rate=rate, channels=channels, subtype=subtype)
+        if subtype != 'float32':
+            raise SoundFileError(
+                f'{path}: subtype {subtype!r} not supported for {ext!r}')
         return cls(path, rate=rate, channels=channels)
     sf = sf_module if sf_module is not None else _soundfile()
     if sf is not None:

@@ -1,0 +1,221 @@
+"""G.711 mu-law/A-law and IMA ADPCM codecs + WAV/AU container support.
+
+The G.711 coders are bit-compatible with the CCITT reference
+implementation; where the stdlib ``audioop`` module is importable (it is
+on Python <= 3.12) encode/decode are checked byte-for-byte against it.
+The JAX implementations must match the numpy ones exactly — the same
+bytes a file writer produces are what a device-side stream encoder
+fetches over the host link.
+"""
+
+import numpy as np
+import pytest
+
+from signals_tpu.runtime import codecs, sndfile, wavio
+
+
+def _signal(n=20000, channels=1, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n, dtype=np.float32)[:, None]
+    f = 110.0 * (1 + np.arange(channels, dtype=np.float32))[None, :]
+    x = 0.6 * np.sin(2 * np.pi * f * t / 44100.0)
+    x = x * np.linspace(0.01, 1.0, n, dtype=np.float32)[:, None]
+    x = x + 0.05 * rng.standard_normal((n, channels)).astype(np.float32)
+    return np.clip(x, -1.0, 1.0).astype(np.float32)
+
+
+def _audioop():
+    try:
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            import audioop
+        return audioop
+    except ImportError:          # removed in Python 3.13
+        return None
+
+
+class TestG711:
+
+    def test_mulaw_round_trip_error_bound(self):
+        x = _signal()
+        dec = codecs.mulaw_decode(np, codecs.mulaw_encode(np, x))
+        # mu-law: logarithmic companding — error proportional to the
+        # sample magnitude (top segment steps are 1/32 of full scale)
+        err = np.abs(dec.reshape(-1) - x.reshape(-1))
+        assert np.all(err <= np.abs(x.reshape(-1)) / 12 + 0.005)
+        snr = 10 * np.log10(np.mean(x ** 2) / np.mean(err ** 2))
+        assert snr > 30.0
+        assert err.mean() < 5e-3
+
+    def test_alaw_round_trip_error_bound(self):
+        x = _signal(seed=1)
+        dec = codecs.alaw_decode(np, codecs.alaw_encode(np, x))
+        err = np.abs(dec.reshape(-1) - x.reshape(-1))
+        snr = 10 * np.log10(np.mean(x ** 2) / np.mean(err ** 2))
+        assert snr > 30.0
+        assert err.mean() < 5e-3
+
+    @pytest.mark.skipif(_audioop() is None, reason='audioop removed')
+    def test_mulaw_matches_audioop_bit_exact(self):
+        audioop = _audioop()
+        pcm = np.arange(-32768, 32768, dtype='<i2')
+        x = pcm.astype(np.float32) / 32768.0
+        ref = np.frombuffer(audioop.lin2ulaw(pcm.tobytes(), 2),
+                            dtype=np.uint8)
+        assert np.array_equal(codecs.mulaw_encode(np, x), ref)
+        codes = np.arange(256, dtype=np.uint8)
+        ref_d = np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2),
+                              dtype='<i2').astype(np.int32)
+        got_d = (codecs.mulaw_decode(np, codes) * 32768.0).astype(np.int32)
+        assert np.array_equal(got_d, ref_d)
+
+    @pytest.mark.skipif(_audioop() is None, reason='audioop removed')
+    def test_alaw_matches_audioop_bit_exact(self):
+        audioop = _audioop()
+        pcm = np.arange(-32768, 32768, dtype='<i2')
+        x = pcm.astype(np.float32) / 32768.0
+        ref = np.frombuffer(audioop.lin2alaw(pcm.tobytes(), 2),
+                            dtype=np.uint8)
+        assert np.array_equal(codecs.alaw_encode(np, x), ref)
+        codes = np.arange(256, dtype=np.uint8)
+        ref_d = np.frombuffer(audioop.alaw2lin(codes.tobytes(), 2),
+                              dtype='<i2').astype(np.int32)
+        got_d = (codecs.alaw_decode(np, codes) * 32768.0).astype(np.int32)
+        assert np.array_equal(got_d, ref_d)
+
+    def test_jax_matches_numpy(self):
+        import jax.numpy as jnp
+        x = _signal(seed=2).reshape(-1)
+        xj = jnp.asarray(x)
+        assert np.array_equal(np.asarray(codecs.mulaw_encode(jnp, xj)),
+                              codecs.mulaw_encode(np, x))
+        assert np.array_equal(np.asarray(codecs.alaw_encode(jnp, xj)),
+                              codecs.alaw_encode(np, x))
+        u = codecs.mulaw_encode(np, x)
+        assert np.array_equal(
+            np.asarray(codecs.mulaw_decode(jnp, jnp.asarray(u))),
+            codecs.mulaw_decode(np, u))
+
+
+class TestImaAdpcm:
+
+    @pytest.mark.parametrize('channels', [1, 2])
+    def test_round_trip_snr(self, channels):
+        x = _signal(channels=channels, seed=3)
+        payload, ba = codecs.ima_encode_np(x, samples_per_block=505)
+        dec = codecs.ima_decode_np(payload, channels=channels,
+                                   block_align=ba, frames=x.shape[0])
+        assert dec.shape == x.shape
+        err = dec - x
+        snr = 10 * np.log10(np.mean(x ** 2) / np.mean(err ** 2))
+        assert snr > 24.0, f'ADPCM SNR too low: {snr:.1f} dB'
+
+    def test_jax_encoder_byte_identical(self):
+        import jax
+        import jax.numpy as jnp
+        x = _signal(seed=4)
+        ref, ba = codecs.ima_encode_np(x, samples_per_block=505)
+        got = jax.jit(
+            lambda s: codecs.ima_encode_jax(s, samples_per_block=505))(
+                jnp.asarray(x))
+        assert np.array_equal(np.asarray(got), ref)
+
+    def test_partial_final_block_padding(self):
+        x = _signal(n=505 * 2 + 100, seed=5)
+        payload, ba = codecs.ima_encode_np(x, samples_per_block=505)
+        assert payload.shape[0] == 3 * ba
+        dec = codecs.ima_decode_np(payload, channels=1, block_align=ba,
+                                   frames=x.shape[0])
+        assert dec.shape[0] == x.shape[0]
+
+
+class TestWavContainers:
+
+    @pytest.mark.parametrize('subtype', ['mulaw', 'alaw', 'adpcm'])
+    def test_wav_round_trip(self, tmp_path, subtype):
+        x = _signal(seed=6)
+        p = tmp_path / f'{subtype}.wav'
+        w = wavio.WavWriter(p, rate=44100, channels=1, subtype=subtype)
+        w.write(x[:9999])           # deliberately not block-aligned
+        w.write(x[9999:])
+        w.close()
+        r = wavio.WavReader(p)
+        assert r.rate == 44100 and r.channels == 1
+        assert r.frames == x.shape[0]
+        dec = r.read(0, r.frames)
+        r.close()
+        err = dec - x
+        snr = 10 * np.log10(np.mean(x ** 2) / np.mean(err ** 2))
+        assert snr > (24.0 if subtype == 'adpcm' else 30.0)
+
+    def test_wav_adpcm_random_access(self, tmp_path):
+        x = _signal(seed=7)
+        p = tmp_path / 'ra.wav'
+        w = wavio.WavWriter(p, rate=44100, channels=1, subtype='adpcm')
+        w.write(x)
+        w.close()
+        r = wavio.WavReader(p)
+        whole = r.read(0, r.frames)
+        # mid-file random read must equal the same slice of a full read
+        got = r.read(5000, 3000)
+        assert np.array_equal(got, whole[5000:8000])
+        # reads straddling EOF zero-fill
+        tail = r.read(r.frames - 10, 20)
+        assert np.array_equal(tail[:10], whole[-10:])
+        assert not tail[10:].any()
+        r.close()
+
+    @pytest.mark.parametrize('subtype', ['mulaw', 'alaw', 'adpcm'])
+    def test_soundfile_cross_reads_our_wav(self, tmp_path, subtype):
+        sf = sndfile._soundfile()
+        if sf is None:
+            pytest.skip('soundfile not installed')
+        x = _signal(seed=8)
+        p = tmp_path / f'x{subtype}.wav'
+        w = wavio.WavWriter(p, rate=44100, channels=1, subtype=subtype)
+        w.write(x)
+        w.close()
+        data, rate = sf.read(str(p), dtype='float32', always_2d=True)
+        assert rate == 44100
+        assert data.shape[0] == x.shape[0]
+        err = data - x
+        snr = 10 * np.log10(np.mean(x ** 2) / np.mean(err ** 2))
+        assert snr > (24.0 if subtype == 'adpcm' else 30.0)
+
+    @pytest.mark.parametrize('subtype', ['mulaw', 'alaw'])
+    def test_au_round_trip(self, tmp_path, subtype):
+        x = _signal(seed=9)
+        p = tmp_path / f'{subtype}.au'
+        w = sndfile.AuWriter(p, rate=8000, channels=1, subtype=subtype)
+        w.write(x)
+        w.close()
+        r = sndfile.AuReader(p)
+        assert r.frames == x.shape[0] and r.rate == 8000
+        dec = r.read(0, r.frames)
+        r.close()
+        err = dec - x
+        snr = 10 * np.log10(np.mean(x ** 2) / np.mean(err ** 2))
+        assert snr > 30.0
+
+    def test_file_writer_node_subtype(self, tmp_path):
+        from signals_tpu.nodes.files import FileWriter
+        from signals_tpu.nodes.fixed import Fixed
+        from signals_tpu.core import BlockLoc, Request, Shape
+        x = _signal(seed=10)
+        src = Fixed()
+        src.get_state().value = np.asarray([[0.25]], dtype=np.float32)
+        fw = FileWriter()
+        st = fw.get_state()
+        st.path = str(tmp_path / 'node.wav')
+        st.subtype = 'mulaw'
+        fw.set_state(st)
+        fw.input = src
+        loc = BlockLoc(position=0, rate=44100, shape=Shape(1024, 1))
+        fw.respond(Request(requestor=None, port='t', loc=loc))
+        fw.destroy()
+        r = wavio.WavReader(tmp_path / 'node.wav')
+        assert r.fmt_code == wavio._FMT_MULAW
+        dec = r.read(0, r.frames)
+        r.close()
+        assert np.abs(dec - 0.25).max() < 0.01
