@@ -750,6 +750,7 @@ class CompiledPatch:
         self._step_core = step_core
         self.step = jax.jit(step_core, donate_argnums=(1,))
         self._render_cache: dict[int, typing.Any] = {}
+        self._encoded_cache: dict[tuple, typing.Any] = {}
 
     def _collect_host_spec(self, compiler: _Compiler) -> list[tuple]:
         """(node, window, key) for every host-fed input discovered in the
@@ -963,6 +964,71 @@ class CompiledPatch:
                             arr[i], position + i * self.block_frames,
                             self.rate)
         return audio, carry2
+
+    def render_encoded(self, *, position: int = 0, n_blocks: int = 1,
+                       carry: typing.Optional[dict] = None,
+                       subtype: str = 'mulaw', deliver_taps: bool = True):
+        """Like :meth:`render`, but the sample encoding runs **on device**
+        and raw payload bytes are fetched: 1 byte/sample (mu-law/A-law),
+        2 (PCM16) or ~0.5 (IMA ADPCM) instead of 4-byte floats.  The host
+        link — not the render rate — bounds bounce/stream throughput, so
+        device-side encoding is the production path for long bounces.
+
+        Returns ``(payload: np.ndarray, frames, carry')`` where payload is
+        uint8 (int16 for ``'pcm16'``) in exactly the WAV ``data``-chunk
+        layout for the subtype (:mod:`signals_tpu.runtime.codecs`).
+        """
+        import jax
+        params = self.params()
+        if carry is None:
+            carry = jax.tree.map(lambda x: x, self.carry0)
+        host = self.stage_host(position, n_blocks)
+        fn = self._encoded_fn(n_blocks, subtype)
+        payload, carry2, taps = fn(params, carry, position, host)
+        frames = n_blocks * self.block_frames
+        if deliver_taps:
+            for uid, node in self.tap_nodes.items():
+                if not node.get_state().enabled:
+                    continue
+                if uid in taps:
+                    arr = np.asarray(taps[uid])
+                    for i in range(n_blocks):
+                        node.consume_tap(
+                            arr[i], position + i * self.block_frames,
+                            self.rate)
+        return np.asarray(payload), frames, carry2
+
+    def _encoded_fn(self, n_blocks: int, subtype: str):
+        import jax
+        import jax.numpy as jnp
+        from signals_tpu.runtime import codecs
+        key = (n_blocks, subtype)
+        if key in self._encoded_cache:
+            return self._encoded_cache[key]
+        inner = self.render_fn(n_blocks)
+        F = self.block_frames
+        ch = self.channels
+
+        def encode(mix):
+            if subtype == 'pcm16':
+                return jnp.clip(jnp.round(mix * np.float32(32767.0)),
+                                -32768, 32767).astype(jnp.int16)
+            if subtype == 'mulaw':
+                return codecs.mulaw_encode(jnp, mix)
+            if subtype == 'alaw':
+                return codecs.alaw_encode(jnp, mix)
+            if subtype == 'adpcm':
+                return codecs.ima_encode_jax(mix)
+            raise ValueError(f'unsupported device encoding {subtype!r}')
+
+        @jax.jit
+        def run(params, carry, position, host):
+            blocks, carry2, taps = inner(params, carry, position, host)
+            mix = blocks.reshape(n_blocks * F, ch)
+            return encode(mix), carry2, taps
+
+        self._encoded_cache[key] = run
+        return run
 
 
 _compile_cache: dict[str, CompiledPatch] = {}

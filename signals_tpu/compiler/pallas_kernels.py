@@ -543,6 +543,35 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
     x = jnp.broadcast_to(x, (T, chx))
     coeffs = jnp.broadcast_to(coeffs, (n_segments, nsec, chx, 11))
 
+    if chx < 128:
+        # lane packing: Mosaic DMA lanes come in 128s, so a 64-channel
+        # patch would waste half of every vector op and every DMA byte on
+        # zero padding.  Instead pack k = 128/chx *segment streams* into
+        # the lane dim: stream j covers segments [j*S, (j+1)*S) and its
+        # timeline is the plain slice x[j*S*F : j*S*F + C + S*F] — the
+        # packed input is k slices concatenated on lanes, the kernel runs
+        # at full width on S segments, and the output unpacks with a
+        # lane-split + segment-axis concat.  Bit-exact: identical math
+        # per lane, only the lane assignment changes.
+        k = 128 // chx
+        S = -(-n_segments // k)
+        F_, C_ = seg_frames, context
+        T_need = C_ + k * S * F_
+        if T_need > T:
+            x = jnp.pad(x, ((0, T_need - T), (0, 0)))
+        xp_ = jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(x, j * S * F_, C_ + S * F_)
+             for j in range(k)], axis=1)         # (C + S*F, 128)
+        cpad = jnp.pad(coeffs, ((0, k * S - n_segments), (0, 0), (0, 0),
+                                (0, 0)))
+        cpk = jnp.concatenate(
+            [cpad[j * S:(j + 1) * S] for j in range(k)], axis=2)
+        y = sosfilt_segments(cpk, xp_, n_segments=S, seg_frames=F_,
+                             context=C_, interpret=interpret)
+        y = jnp.concatenate(
+            [y[:, :, j * chx:(j + 1) * chx] for j in range(k)], axis=0)
+        return y[:n_segments]
+
     # Mosaic DMA slices must be 128-lane aligned on hardware: pad the
     # channel dim up to a full tile (zero lanes carry zero coefficients)
     vpad = _round_up(chx, 128)

@@ -605,14 +605,20 @@ class CommandSet:
                 print(line, file=controller.stdout)
 
     class Bounce(LineCommand):
-        """Offline render: ``bounce <sink_at> <path.wav> [seconds]`` —
-        renders the patch feeding a sink deterministically through the
-        compiled engine and writes a WAV (no reference counterpart; the
-        reference can only record in real time via FileWriter)."""
+        """Offline render: ``bounce <sink_at> <path.wav> [seconds]
+        [subtype]`` — renders the patch feeding a sink deterministically
+        through the compiled engine and writes a WAV (no reference
+        counterpart; the reference can only record in real time via
+        FileWriter).  ``subtype`` in {float32, pcm16, mulaw, alaw, adpcm}
+        picks the sample encoding; the non-float32 encodings run **on the
+        accelerator** and only the encoded payload crosses the host link
+        (2-8x fewer bytes — the link, not the render, bounds long
+        bounces)."""
 
         at: Coordinates
         path: pathlib.Path
         seconds: float
+        subtype: str
 
         @classmethod
         def name(cls) -> str:
@@ -624,6 +630,9 @@ class CommandSet:
             parser.add_argument('path', type=pathlib.Path)
             parser.add_argument('seconds', type=float, nargs='?',
                                 default=1.0)
+            parser.add_argument(
+                'subtype', nargs='?', default='float32',
+                choices=['float32', 'pcm16', 'mulaw', 'alaw', 'adpcm'])
 
         def affect(self, controller: 'Controller') -> None:
             from signals_tpu.runtime.wavio import write_wav
@@ -631,6 +640,22 @@ class CommandSet:
             if not isinstance(sink, dev.SinkDevice):
                 from signals_tpu.map import BadPlaybackTarget
                 raise BadPlaybackTarget(self.at, sink)
+            if self.subtype != 'float32':
+                from signals_tpu.runtime import sndfile
+                payload, frames = sink.render_offline_encoded(
+                    seconds=self.seconds, subtype=self.subtype)
+                w = sndfile.open_writer(
+                    self.path, rate=sink.rate,
+                    channels=sink.get_state().channels,
+                    subtype=self.subtype)
+                try:
+                    w.write_encoded(payload, frames)
+                finally:
+                    w.close()
+                print(f'wrote {self.path}: {frames} frames '
+                      f'({self.subtype}, device-encoded)',
+                      file=controller.stdout)
+                return
             audio = sink.render_offline(seconds=self.seconds)
             write_wav(self.path, audio, sink.rate)
             print(f'wrote {self.path}: {audio.shape[0]} frames '

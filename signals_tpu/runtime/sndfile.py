@@ -287,6 +287,19 @@ class AuWriter:
         self._write_header()
         self._f.flush()
 
+    def write_encoded(self, payload: np.ndarray, frames: int) -> None:
+        """Append pre-encoded G.711 payload bytes (mu-law/A-law are
+        byte-order free, so device-encoded bytes are the file bytes)."""
+        if self.subtype not in ('mulaw', 'alaw'):
+            raise SoundFileError(
+                'write_encoded supports mulaw/alaw AU subtypes only')
+        self._f.seek(0, 2)
+        self._f.write(np.ascontiguousarray(payload)
+                      .astype(np.uint8).tobytes())
+        self.frames += int(frames)
+        self._write_header()
+        self._f.flush()
+
     def close(self) -> None:
         self._write_header()
         self._f.close()

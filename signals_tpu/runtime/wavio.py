@@ -261,6 +261,30 @@ class WavWriter:
         self._write_header()
         self._f.flush()
 
+    def write_encoded(self, payload: np.ndarray, frames: int) -> None:
+        """Append pre-encoded payload (the device-side encoding path:
+        :meth:`signals_tpu.compiler.CompiledPatch.render_encoded` produces
+        exactly this subtype's ``data``-chunk bytes on the TPU, so a
+        bounce fetches 1-2 bytes/sample instead of 4-byte floats)."""
+        if self.subtype == 'float32':
+            raise WavError('write_encoded requires an encoded subtype')
+        if self.subtype == 'pcm16':
+            raw = np.ascontiguousarray(payload).astype('<i2').tobytes()
+        else:
+            raw = np.ascontiguousarray(payload).astype(np.uint8).tobytes()
+        if self.subtype == 'adpcm':
+            if self._pending.shape[0]:
+                raise WavError(
+                    'cannot mix write() and write_encoded() on one file')
+            if len(raw) % self._block_align:
+                raise WavError('adpcm payload must be whole blocks')
+            self._data_bytes += len(raw)
+        self._f.seek(0, 2)
+        self._f.write(raw)
+        self.frames += int(frames)
+        self._write_header()
+        self._f.flush()
+
     def close(self) -> None:
         if self.subtype == 'adpcm':
             self._flush_adpcm(final=True)

@@ -219,3 +219,56 @@ class TestWavContainers:
         dec = r.read(0, r.frames)
         r.close()
         assert np.abs(dec - 0.25).max() < 0.01
+
+
+class TestDeviceEncodedBounce:
+    """render_encoded applies the codec on device; its payload must be
+    byte-identical to encoding the float32 render on the host."""
+
+    def _patch(self):
+        from signals_tpu.nodes.fixed import Fixed
+        from signals_tpu.nodes.osc import Sine
+        hz = Fixed()
+        hz.get_state().value = np.asarray([[330.0]], dtype=np.float32)
+        osc = Sine()
+        osc.hertz = hz
+        return osc
+
+    @pytest.mark.parametrize('subtype', ['pcm16', 'mulaw', 'alaw', 'adpcm'])
+    def test_payload_matches_host_encoding(self, subtype):
+        from signals_tpu.compiler import compile_node
+        root = self._patch()
+        compiled = compile_node(root, block_frames=256, rate=44100,
+                                channels=1)
+        audio, _ = compiled.render(n_blocks=8, deliver_taps=False)
+        payload, frames, _ = compiled.render_encoded(
+            n_blocks=8, subtype=subtype, deliver_taps=False)
+        assert frames == 8 * 256
+        if subtype == 'pcm16':
+            ref = np.clip(np.round(audio * 32767.0), -32768,
+                          32767).astype(np.int16).reshape(-1)
+        elif subtype == 'mulaw':
+            ref = codecs.mulaw_encode(np, audio).reshape(-1)
+        elif subtype == 'alaw':
+            ref = codecs.alaw_encode(np, audio).reshape(-1)
+        else:
+            ref, _ = codecs.ima_encode_np(audio)
+        assert np.array_equal(payload.reshape(-1), ref)
+
+    def test_bounce_command_device_encoded(self, tmp_path):
+        from signals_tpu.map.control import Controller
+        c = Controller(interactive=False)
+        c.onecmd('sink 7a default')
+        c.onecmd('+ 1a signals.chain.fixed.Fixed value=[[220.0]]')
+        c.onecmd('+ 2a signals.chain.osc.Sine')
+        c.onecmd('> 1a 2a.hertz')
+        c.onecmd('> 2a 7a.input')
+        out = tmp_path / 'bounced.wav'
+        c.onecmd(f'bounce 7a {out} 0.25 mulaw')
+        r = wavio.WavReader(out)
+        assert r.fmt_code == wavio._FMT_MULAW
+        dec = r.read(0, r.frames)
+        r.close()
+        spec = np.abs(np.fft.rfft(dec[:, 0]))
+        peak = np.argmax(spec) * 44100 / dec.shape[0]
+        assert abs(peak - 220.0) < 8
