@@ -114,6 +114,28 @@ def _is_host_source(node) -> bool:
     return getattr(node, 'is_host_source', False)
 
 
+def _subgraph_streamable(node) -> bool:
+    """Whether ``node``'s upstream closure can lower at arbitrary
+    block-aligned sub-windows of a mega window: every node is either plain
+    stateless or grid-stateless (pure functions of absolute frames), and
+    none is a tap (taps register their output at the *main* window only —
+    lowering them solely at stream sub-windows would drop their feed)."""
+    seen: set = set()
+
+    def walk(n) -> bool:
+        if id(n) in seen:
+            return True
+        seen.add(id(n))
+        if _is_delay(n) or _is_host_source(n) or _is_tap(n):
+            return False
+        if _is_stateful(n) and not _is_grid_stateless(n):
+            return False
+        return all(walk(p.sig) for p in getattr(n, '_ports', {}).values()
+                   if p.sig is not None)
+
+    return walk(node)
+
+
 class _GraphIndex:
     """Stable node numbering + the canonical structural hash."""
 
@@ -392,6 +414,45 @@ class LowerCtx(KernelCtx):
     def in_channels(self, name: PortName) -> typing.Optional[int]:
         inp = self._input(name)
         return None if inp is None else inp.channels
+
+    def in_packed_streams(self, name: PortName, k: int, stream_frames: int,
+                          context_frames: int, width: int):
+        """Lower the input as ``k`` time-shifted stream windows packed on
+        the channel axis: column block ``j`` holds the input over window
+        ``[j*stream_frames - context_frames, (j+1)*stream_frames)`` (window
+        coordinates), each stream broadcast to ``width`` channels —
+        ``(context + stream_frames, k*width)`` total.
+
+        Each stream is an *independently traced* expression, so XLA fuses
+        the producers straight into the packed concat: the packed timeline
+        materializes in one HBM write with no separate unpacked array and
+        no copy pass (a materialize-then-concat pack of the same data
+        measured 13.9 ms/2.7 GB on v5e — a full memory pass).  Streams
+        past the mega range lower to the timeline's true continuation
+        (callers drop the padded segments' output).
+
+        Returns ``None`` when the input subgraph cannot lower at
+        sub-windows (stateful/delay/host-fed/tap nodes) — callers fall
+        back to packing a materialized window.
+        """
+        import jax.numpy as jnp
+        inp = self._input(name)
+        if inp is None:
+            return None
+        if not _subgraph_streamable(inp):
+            return None
+        L = context_frames + stream_frames
+        cols = []
+        for j in range(k):
+            off = self.window.offset + j * stream_frames - context_frames
+            seg = self.compiler.lower(inp, Window(off, L))
+            seg = jnp.broadcast_to(seg, (L, width))
+            # pre-timeline context frames are zero (reference clamps them
+            # away; same rule as in_context)
+            idx = (self.compiler.position + jnp.int32(off)
+                   + jnp.arange(L, dtype=jnp.int32).reshape(-1, 1))
+            cols.append(jnp.where(idx >= 0, seg, F32(0.0)))
+        return jnp.concatenate(cols, axis=1)
 
     def param(self, name: str):
         return self.compiler.node_param(self.node, name)

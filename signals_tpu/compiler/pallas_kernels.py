@@ -111,6 +111,66 @@ LANE_GROUP = 1024          # lanes per kernel instance, viewed as (8, 128)
 ROW_CHUNK = 512            # frames streamed per grid step (sweep winner;
 #                            VMEM: 4 double-buffered (512,8,128) f32 = 8 MB)
 ROW_UNROLL = 8             # rows per fori iteration (loop-overhead amortizer)
+SEG_DMA_PARTS = 8          # concurrent row-part DMAs per transfer (engine
+#                            parallelism; single 2 MB copies run ~75 GB/s)
+SEG_SLOTS = 2              # in/out buffer slots (prefetch depth slots-1)
+
+
+def _make_powers(params, nsec):
+    """Per-section powers of the pole rotation, ``A^d`` for d = 1..8, as
+    (8, 128) vreg pairs.  Loop-invariant: callers compute these once per
+    grid step, outside the row loop."""
+    powers = []
+    for s in range(nsec):
+        prc, prs = params[s][0], params[s][1]
+        pcs, pss = [prc], [prs]
+        for _ in range(7):
+            pcs.append(prc * pcs[-1] - prs * pss[-1])
+            pss.append(prs * pcs[-2] + prc * pss[-1])
+        powers.append((pcs, pss))
+    return powers
+
+
+def _chunk8_cascade(v, state, params, powers, nsec):
+    """Eight rows of the biquad cascade as causal combinations.
+
+    The per-row recurrence has a ~4-op serial dependence between
+    consecutive rows, which makes the row loop *latency*-bound on the VPU
+    (~34 cycles/row measured on v5e, vs ~7 ops of real work).  Expanding
+    the state over an 8-row window removes the chain:
+
+        s[k] = sum_{d=0..k} A^d e x[k-d]  +  A^(k+1) s_prev
+
+    where ``A`` is the section's scaled-rotation transition — every term
+    is an independent FMA on precomputed powers of ``A`` (``powers``,
+    from :func:`_make_powers`); the only serial edge is ``s_prev``
+    between chunks.  ~2x the FLOPs of the serial form, but throughput-
+    bound instead of latency-bound.
+
+    ``v``: list of 8 input vregs; returns ``(outputs, new_state)``.
+    """
+    st = list(state)
+    for s in range(nsec):
+        _prc, _prs, d0, d1, d2 = params[s]
+        pcs, pss = powers[s]
+        s1p, s2p = st[2 * s], st[2 * s + 1]
+        y = []
+        c1p, c2p = s1p, s2p                # state after row k-1
+        for k in range(8):
+            y.append(d0 * v[k] + d1 * c1p + d2 * c2p)
+            s1 = v[k]
+            s2 = None
+            for d in range(1, k + 1):
+                s1 = s1 + pcs[d - 1] * v[k - d]
+                t = pss[d - 1] * v[k - d]
+                s2 = t if s2 is None else s2 + t
+            s1 = s1 + (pcs[k] * s1p - pss[k] * s2p)
+            t = pcs[k] * s2p + pss[k] * s1p
+            s2 = t if s2 is None else s2 + t
+            c1p, c2p = s1, s2
+        st[2 * s], st[2 * s + 1] = c1p, c2p
+        v = y
+    return v, tuple(st)
 
 
 def _batch_kernel(coef_ref, x_ref, out_ref, state_ref, *, nsec: int,
@@ -155,11 +215,22 @@ def _batch_kernel(coef_ref, x_ref, out_ref, state_ref, *, nsec: int,
         out_ref[r, 0] = v
         return tuple(st)
 
-    def body(i, state):
-        r0 = i * unroll
-        for j in range(unroll):
-            state = one_row(r0 + j, state)
-        return state
+    if unroll == 8:
+        powers = _make_powers(params, nsec)
+
+        def body(i, state):
+            r0 = i * 8
+            v = [x_ref[r0 + j, 0] for j in range(8)]
+            y, state = _chunk8_cascade(v, state, params, powers, nsec)
+            for j in range(8):
+                out_ref[r0 + j, 0] = y[j]
+            return state
+    else:
+        def body(i, state):
+            r0 = i * unroll
+            for j in range(unroll):
+                state = one_row(r0 + j, state)
+            return state
 
     state = jax.lax.fori_loop(0, rows // unroll, body, state0)
     for i in range(2 * nsec):
@@ -318,7 +389,7 @@ def sosfilt_pallas(coeffs, x, *, interpret: bool = False):
 def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
                 in_sems, out_sems, *, nsec: int, row_chunk: int,
                 c_chunks: int, seg_frames: int, group: int, v: int,
-                unroll: int):
+                unroll: int, parts: int, slots: int):
     """One (lane_group, row_chunk) grid step.
 
     Lanes are ``group`` consecutive segments x ``v`` channels (group*v =
@@ -326,6 +397,12 @@ def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
     block-major tail output.  ``xbuf``/``ybuf``: (2, row_chunk, 8, 128)
     double buffers; ``state_ref``: (2*nsec, 8, 128) carry across row
     chunks of one lane group.
+
+    When ``group == 1`` (the packed-to-1024-lane layout) each transfer is
+    split into ``parts`` contiguous row-part DMAs in flight concurrently —
+    a single 2 MB copy leaves most of the DMA engines idle (measured 33 ms
+    vs 24 ms for 8 strided per-segment copies on v5e); row-parts keep both
+    endpoints contiguous AND saturate the engines.
     """
     import jax
     import jax.numpy as jnp
@@ -342,58 +419,78 @@ def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
     # callers pad channels to vpad = round_up(chx, 128), so a segment
     # always owns whole sublane rows; x_hbm is (T, subs, 128)
     subs = v // 128
+    part_rows = row_chunk // parts
 
-    def in_dma(slot, lg_, rc_, g):
+    def in_dma(slot, lg_, rc_, g, p):
         seg = lg_ * group + g
-        src_row = seg * seg_frames + rc_ * row_chunk
+        src_row = seg * seg_frames + rc_ * row_chunk + p * part_rows
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(src_row, row_chunk)],
-            xbuf.at[slot, :, g * subs:(g + 1) * subs, :],
-            in_sems.at[slot, g])
+            x_hbm.at[pl.ds(src_row, part_rows)],
+            xbuf.at[slot, pl.ds(p * part_rows, part_rows),
+                    g * subs:(g + 1) * subs, :],
+            in_sems.at[slot, g, p])
 
     def start_in(slot, step_):
         lg_ = step_ // n_rc
         rc_ = step_ % n_rc
         for g in range(group):
-            in_dma(slot, lg_, rc_, g).start()
+            for p in range(parts):
+                in_dma(slot, lg_, rc_, g, p).start()
 
     def wait_in(slot, step_):
         lg_ = step_ // n_rc
         rc_ = step_ % n_rc
         for g in range(group):
-            in_dma(slot, lg_, rc_, g).wait()
+            for p in range(parts):
+                in_dma(slot, lg_, rc_, g, p).wait()
+
+    def out_dma_p(slot_, lg_, rc_, g, p):
+        seg = lg_ * group + g
+        dst_row = rc_ * row_chunk - c_chunks * row_chunk + p * part_rows
+        return pltpu.make_async_copy(
+            ybuf.at[slot_, pl.ds(p * part_rows, part_rows),
+                    g * subs:(g + 1) * subs, :],
+            out_hbm.at[seg, pl.ds(dst_row, part_rows)],
+            out_sems.at[slot_, g, p])
 
     def out_dma(slot_, lg_, rc_, g):
-        seg = lg_ * group + g
-        dst_row = rc_ * row_chunk - c_chunks * row_chunk
-        return pltpu.make_async_copy(
-            ybuf.at[slot_, :, g * subs:(g + 1) * subs, :],
-            out_hbm.at[seg, pl.ds(dst_row, row_chunk)],
-            out_sems.at[slot_, g])
+        class _Batch:
+            def start(self):
+                for p in range(parts):
+                    out_dma_p(slot_, lg_, rc_, g, p).start()
 
-    slot = step % 2
+            def wait(self):
+                for p in range(parts):
+                    out_dma_p(slot_, lg_, rc_, g, p).wait()
+        return _Batch()
 
+    slot = step % slots
+    n_steps = pl.num_programs(0) * n_rc
+
+    # prefetch depth = slots - 1: step 0 fills slots 0..slots-2, then each
+    # step keeps the pipeline slots-1 transfers ahead
     @pl.when(step == 0)
     def _():
-        start_in(0, 0)
+        for s_ in range(slots - 1):
+            start_in(s_, s_)
 
-    @pl.when(step + 1 < pl.num_programs(0) * n_rc)
+    @pl.when(step + slots - 1 < n_steps)
     def _():
-        start_in((step + 1) % 2, step + 1)
+        start_in((step + slots - 1) % slots, step + slots - 1)
 
     wait_in(slot, step)
 
     # out DMAs of the step that last used this ybuf slot must complete
     # before the compute below overwrites it
-    @pl.when(step >= 2)
+    @pl.when(step >= slots)
     def _():
-        prev = step - 2
+        prev = step - slots
         prc = prev % n_rc
 
         @pl.when(prc >= c_chunks)
         def _():
             for g in range(group):
-                out_dma(prev % 2, prev // n_rc, prc, g).wait()
+                out_dma(prev % slots, prev // n_rc, prc, g).wait()
 
     @pl.when(rc == 0)
     def _():
@@ -418,11 +515,22 @@ def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
         ybuf[slot, r] = val
         return tuple(st)
 
-    def body(i, state):
-        r0 = i * unroll
-        for j in range(unroll):
-            state = one_row(r0 + j, state)
-        return state
+    if unroll == 8:
+        powers = _make_powers(params, nsec)
+
+        def body(i, state):
+            r0 = i * 8
+            v = [xbuf[slot, r0 + j] for j in range(8)]
+            y, state = _chunk8_cascade(v, state, params, powers, nsec)
+            for j in range(8):
+                ybuf[slot, r0 + j] = y[j]
+            return state
+    else:
+        def body(i, state):
+            r0 = i * unroll
+            for j in range(unroll):
+                state = one_row(r0 + j, state)
+            return state
 
     state = jax.lax.fori_loop(0, row_chunk // unroll, body, load_state())
     for i in range(2 * nsec):
@@ -433,21 +541,20 @@ def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
         for g in range(group):
             out_dma(slot, lg, rc, g).start()
 
-    # drain: the final step waits for its own output DMAs (and the
-    # second-to-last step's, handled by the step+2 wait above except for
-    # the last two steps)
+    # drain: the final step waits for the last ``slots`` steps' output
+    # DMAs (earlier ones were waited by the step >= slots rule)
     last = pl.num_programs(0) * n_rc - 1
 
     @pl.when(step == last)
     def _():
-        for back in (1, 0):
+        for back in range(slots - 1, -1, -1):
             prev = step - back
             prc = prev % n_rc
 
             @pl.when((prev >= 0) & (prc >= c_chunks))
             def _(prev=prev, prc=prc):
                 for g in range(group):
-                    out_dma(prev % 2, prev // n_rc, prc, g).wait()
+                    out_dma(prev % slots, prev // n_rc, prc, g).wait()
 
 
 @functools.lru_cache(maxsize=32)
@@ -470,9 +577,13 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
     c_chunks = context // row_chunk
     tail = seg_frames
     unroll = ROW_UNROLL if row_chunk % ROW_UNROLL == 0 else 1
+    parts = (SEG_DMA_PARTS if group == 1 and row_chunk % SEG_DMA_PARTS == 0
+             else 1)
+    slots = SEG_SLOTS
     kernel = functools.partial(
         _seg_kernel, nsec=nsec, row_chunk=row_chunk, c_chunks=c_chunks,
-        seg_frames=seg_frames, group=group, v=v, unroll=unroll)
+        seg_frames=seg_frames, group=group, v=v, unroll=unroll,
+        parts=parts, slots=slots)
 
     out_dims = (n_seg_pad, tail, v // 128, 128)
 
@@ -491,11 +602,11 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             out_shape=jax.ShapeDtypeStruct(out_dims, np.float32),
             scratch_shapes=[
-                pltpu.VMEM((2, row_chunk, 8, 128), np.float32),
-                pltpu.VMEM((2, row_chunk, 8, 128), np.float32),
+                pltpu.VMEM((slots, row_chunk, 8, 128), np.float32),
+                pltpu.VMEM((slots, row_chunk, 8, 128), np.float32),
                 pltpu.VMEM((2 * nsec, 8, 128), np.float32),
-                pltpu.SemaphoreType.DMA((2, group)),
-                pltpu.SemaphoreType.DMA((2, group)),
+                pltpu.SemaphoreType.DMA((slots, group, parts)),
+                pltpu.SemaphoreType.DMA((slots, group, parts)),
             ],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
@@ -552,7 +663,13 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
         # packed input is k slices concatenated on lanes, the kernel runs
         # at full width on S segments, and the output unpacks with a
         # lane-split + segment-axis concat.  Bit-exact: identical math
-        # per lane, only the lane assignment changes.
+        # per lane, only the lane assignment changes.  (Packing further,
+        # to the full 1024-lane group, is *worse* here: the k-way minor-
+        # dim concat is an unfused HBM pass whose cost grows with k —
+        # 13.9 ms at k=16 vs ~5 ms at k=2 on v5e for a 2.7 GB pack.  The
+        # fx mega path avoids the pack pass entirely by lowering the
+        # producer per stream window — see ``LowerCtx.in_packed_streams``
+        # — and passes 1024-lane input straight in.)
         k = 128 // chx
         S = -(-n_segments // k)
         F_, C_ = seg_frames, context

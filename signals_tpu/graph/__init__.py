@@ -242,6 +242,13 @@ class KernelCtx(abc.ABC):
         in the pull engine they are simply absent (reference clamping) —
         equivalent through a zero-initial-state filter."""
 
+    def in_packed_streams(self, name: PortName, k: int, stream_frames: int,
+                          context_frames: int, width: int):
+        """Input lowered as ``k`` time-shifted stream windows packed on the
+        channel axis (compiled mega engine only — see
+        ``compiler.LowerCtx.in_packed_streams``).  Default: unavailable."""
+        return None
+
     @abc.abstractmethod
     def in_channels(self, name: PortName) -> typing.Optional[int]:
         """Static channel count of the connected input (None if unplugged)."""

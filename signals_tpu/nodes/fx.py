@@ -331,21 +331,50 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
                                          nyquist)          # (nsec, nb*chs, 11)
         nsec = coeffs.shape[0]
         coeffs = coeffs.reshape(nsec, nb, chs, 11).transpose(1, 0, 2, 3)
-        # input over [-C, N) — context shared with the window itself
-        x = ctx.in_context('input', C)                     # (C+N, ch)
         if _filters.resolve_mega_impl() == 'pallas':
             from signals_tpu.compiler.pallas_kernels import (
-                sosfilt_batch, sosfilt_segments)
-            chx = max(x.shape[1], chs)
+                LANE_GROUP, sosfilt_batch, sosfilt_segments)
+            ch_in = ctx.in_channels('input') or 1
+            chx = max(ch_in, chs)
             if (C % F_ == 0 and chx >= 32
                     and (128 % chx == 0 or chx % 128 == 0)):
                 # fully DMA-driven: the kernel reads the raw timeline from
                 # HBM (overlapping segment windows BlockSpecs can't
                 # express) and writes its tail output block-major — no
                 # segment materialization, no transposes
+                k = LANE_GROUP // chx
+                if k > 1:
+                    # pack k timeline streams into the kernel's full
+                    # 1024-lane group, with the producers lowered *per
+                    # stream window* so the packed input materializes in
+                    # one fused write (no unpacked timeline, no copy
+                    # pass); see LowerCtx.in_packed_streams
+                    S = -(-nb // k)
+                    xp_ = ctx.in_packed_streams('input', k, S * F_, C,
+                                                chx)
+                    if xp_ is not None:
+                        cpad = jnp.pad(coeffs, ((0, k * S - nb), (0, 0),
+                                                (0, 0), (0, 0)))
+                        # align coeff lanes with the packed input lanes
+                        # (chs is 1 or chx by construction)
+                        cpad = jnp.broadcast_to(
+                            cpad, (k * S, nsec, chx, 11))
+                        cpk = jnp.concatenate(
+                            [cpad[j * S:(j + 1) * S] for j in range(k)],
+                            axis=2)                # (S, nsec, k*chx, 11)
+                        y = sosfilt_segments(cpk, xp_, n_segments=S,
+                                             seg_frames=F_, context=C)
+                        # unpack stream-major: block j*S + s lives at lane
+                        # block j of segment s — one transpose, not a
+                        # k-operand slice concat (XLA's transpose emitter
+                        # is a single coalesced pass)
+                        y = y.reshape(S, F_, k, chx).transpose(2, 0, 1, 3)
+                        return y.reshape(k * S * F_, chx)[:nb * F_]
+                x = ctx.in_context('input', C)             # (C+N, ch)
                 y = sosfilt_segments(coeffs, x, n_segments=nb,
                                      seg_frames=F_, context=C)
                 return y.reshape(nb * F_, y.shape[-1])
+            x = ctx.in_context('input', C)                 # (C+N, ch)
             # assemble the kernel's frames-major lane layout
             # xt[r, b] = x[b*F + r]; write back only the tail F rows per
             # block — context rows warm up state inside VMEM
@@ -365,6 +394,7 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
                 xt = x[idx_t]                              # (C+F, nb, ch)
             yt = sosfilt_batch(coeffs, xt, tail=F_)        # (F, nb, ch')
             return yt.transpose(1, 0, 2).reshape(nb * F_, yt.shape[-1])
+        x = ctx.in_context('input', C)                     # (C+N, ch)
         idx = (jnp.arange(nb)[:, None] * F_
                + jnp.arange(C + F_)[None, :])              # (nb, C+F)
         xb = x[idx]                                        # (nb, C+F, ch)
