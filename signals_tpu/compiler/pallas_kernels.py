@@ -114,6 +114,14 @@ ROW_UNROLL = 8             # rows per fori iteration (loop-overhead amortizer)
 SEG_DMA_PARTS = 8          # concurrent row-part DMAs per transfer (engine
 #                            parallelism; single 2 MB copies run ~75 GB/s)
 SEG_SLOTS = 2              # in/out buffer slots (prefetch depth slots-1)
+SEG_CONTEXT_REUSE = False  # chunk-ring xbuf: fetch each timeline chunk once
+#                            (consecutive windows overlap by the context).
+#                            Correct in interpret mode and in minimal
+#                            hardware reproductions, but the full kernel
+#                            currently wedges the v5e (FailedPrecondition +
+#                            several-minute device recovery) — parked until
+#                            the faulting construct is isolated; the win is
+#                            ~1.35 GB of input DMA on the 64-voice bench.
 
 
 def _make_powers(params, nsec):
@@ -557,6 +565,173 @@ def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
                     out_dma(prev % slots, prev // n_rc, prc, g).wait()
 
 
+def _seg_kernel_reuse(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
+                      in_sems, out_sems, *, nsec: int, row_chunk: int,
+                      c_chunks: int, seg_frames: int, unroll: int,
+                      parts: int, total_chunks: int):
+    """Context-reusing variant of :func:`_seg_kernel` for ``group == 1``
+    (the packed 1024-lane layout).
+
+    Consecutive lane groups' windows overlap by the context rows: with
+    context = F, plain double-buffering DMAs every timeline row twice.
+    Here ``xbuf`` is a ring indexed by *absolute* timeline chunk
+    (``slot = chunk % w``, ``w`` = chunks per window): each chunk is
+    fetched exactly once; the next group's leading (context) chunks are
+    already resident from the previous group's tail.  Refill rule: the
+    last consumer of chunk ``a`` is step ``(a//t, a%t)`` (``t`` = tail
+    chunks per group), which — after its compute — issues the DMA for
+    chunk ``a + w`` into the slot it just vacated; first use of a fetched
+    chunk (``rc >= w - t``, or every step of group 0) waits its
+    semaphore.  Input DMA traffic drops 2x (context = F).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lg = pl.program_id(0)
+    rc = pl.program_id(1)
+    n_rc = pl.num_programs(1)
+    step = lg * n_rc + rc
+    part_rows = row_chunk // parts
+    w = n_rc                          # chunks per window
+    t = w - c_chunks                  # tail (new) chunks per group
+    a_cur = lg * t + rc               # absolute chunk consumed this step
+
+    def chunk_dma(a, p):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(a * row_chunk + p * part_rows, part_rows)],
+            xbuf.at[a % w, pl.ds(p * part_rows, part_rows), :, :],
+            in_sems.at[a % w, p])
+
+    @pl.when(step == 0)
+    def _():
+        for a0 in range(min(w, total_chunks)):
+            for p in range(parts):
+                chunk_dma(a0, p).start()
+
+    # refill: the previous step was the last consumer of its chunk when
+    # its rc < t; its slot now takes the chunk one window ahead.  Issued
+    # at the *top* of the following step so the DMA has a full grid step
+    # of slack behind the vacating reader (same slack as the plain
+    # double-buffer pattern).
+    prev = step - 1
+    prc_prev = prev % n_rc
+    a_prev = (prev // n_rc) * t + prc_prev
+
+    @pl.when((step >= 1) & (prc_prev < t) & (a_prev + w < total_chunks))
+    def _():
+        for p in range(parts):
+            chunk_dma(a_prev + w, p).start()
+
+    # first use of a freshly fetched chunk: wait its DMA.  (Group 0's
+    # chunks all arrive from the prologue; later groups' leading w - t
+    # chunks are already resident and already waited.)
+    @pl.when((rc >= w - t) | (lg == 0))
+    def _():
+        for p in range(parts):
+            chunk_dma(a_cur, p).wait()
+
+    # ybuf: plain double buffer over *output* steps
+    yslot = step % 2
+
+    @pl.when(step >= 2)
+    def _():
+        prev = step - 2
+        prc = prev % n_rc
+
+        @pl.when(prc >= c_chunks)
+        def _():
+            for p in range(parts):
+                _seg_out_dma(out_hbm, ybuf, out_sems, prev % 2,
+                             prev // n_rc, prc, p, row_chunk, part_rows,
+                             c_chunks, pl, pltpu).wait()
+
+    @pl.when(rc == 0)
+    def _():
+        state_ref[...] = jnp.zeros_like(state_ref)
+
+    params = [tuple(coef_ref[s, k, 0] for k in range(5))
+              for s in range(nsec)]
+
+    def load_state():
+        return tuple(state_ref[i] for i in range(2 * nsec))
+
+    xslot = a_cur % w
+
+    def one_row(r, state):
+        val = xbuf[xslot, r]
+        st = list(state)
+        for s in range(nsec):
+            prc_, prs_, d0, d1, d2 = params[s]
+            s1, s2 = st[2 * s], st[2 * s + 1]
+            y = d0 * val + d1 * s1 + d2 * s2
+            st[2 * s] = prc_ * s1 - prs_ * s2 + val
+            st[2 * s + 1] = prs_ * s1 + prc_ * s2
+            val = y
+        ybuf[yslot, r] = val
+        return tuple(st)
+
+    if unroll == 8:
+        powers = _make_powers(params, nsec)
+
+        def body(i, state):
+            r0 = i * 8
+            v = [xbuf[xslot, r0 + j] for j in range(8)]
+            y, state = _chunk8_cascade(v, state, params, powers, nsec)
+            for j in range(8):
+                ybuf[yslot, r0 + j] = y[j]
+            return state
+    else:
+        def body(i, state):
+            r0 = i * unroll
+            for j in range(unroll):
+                state = one_row(r0 + j, state)
+            return state
+
+    state = jax.lax.fori_loop(0, row_chunk // unroll, body, load_state())
+    for i in range(2 * nsec):
+        state_ref[i] = state[i]
+
+    @pl.when(rc >= c_chunks)
+    def _():
+        for p in range(parts):
+            _seg_out_dma(out_hbm, ybuf, out_sems, yslot, lg, rc, p,
+                         row_chunk, part_rows, c_chunks, pl, pltpu).start()
+
+    # refill: this step was chunk a_cur's last consumer (rc < t); reuse its
+    # slot for chunk a_cur + w (first needed w/t groups later)
+    @pl.when((rc < t) & (a_cur + w < total_chunks))
+    def _():
+        for p in range(parts):
+            chunk_dma(a_cur + w, p).start()
+
+    last = pl.num_programs(0) * n_rc - 1
+
+    @pl.when(step == last)
+    def _():
+        for back in (1, 0):
+            prev = step - back
+            prc = prev % n_rc
+
+            @pl.when((prev >= 0) & (prc >= c_chunks))
+            def _(prev=prev, prc=prc):
+                for p in range(parts):
+                    _seg_out_dma(out_hbm, ybuf, out_sems, prev % 2,
+                                 prev // n_rc, prc, p, row_chunk,
+                                 part_rows, c_chunks, pl, pltpu).wait()
+
+
+def _seg_out_dma(out_hbm, ybuf, out_sems, yslot, lg_, rc_, p, row_chunk,
+                 part_rows, c_chunks, pl, pltpu):
+    """Output DMA of one row part (group == 1: a segment is a lane group)."""
+    dst_row = rc_ * row_chunk - c_chunks * row_chunk + p * part_rows
+    return pltpu.make_async_copy(
+        ybuf.at[yslot, pl.ds(p * part_rows, part_rows), :, :],
+        out_hbm.at[lg_, pl.ds(dst_row, part_rows)],
+        out_sems.at[yslot, p])
+
+
 @functools.lru_cache(maxsize=32)
 def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
                     seg_frames: int, context: int, interpret: bool):
@@ -580,10 +755,23 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
     parts = (SEG_DMA_PARTS if group == 1 and row_chunk % SEG_DMA_PARTS == 0
              else 1)
     slots = SEG_SLOTS
-    kernel = functools.partial(
-        _seg_kernel, nsec=nsec, row_chunk=row_chunk, c_chunks=c_chunks,
-        seg_frames=seg_frames, group=group, v=v, unroll=unroll,
-        parts=parts, slots=slots)
+    w = chunks_per_seg
+    t_chunks = w - c_chunks
+    reuse = (SEG_CONTEXT_REUSE and group == 1 and c_chunks >= 1
+             and t_chunks >= 1 and w <= 6)
+    if reuse:
+        total_chunks = (lane_groups - 1) * t_chunks + w
+        kernel = functools.partial(
+            _seg_kernel_reuse, nsec=nsec, row_chunk=row_chunk,
+            c_chunks=c_chunks, seg_frames=seg_frames, unroll=unroll,
+            parts=parts, total_chunks=total_chunks)
+        x_slots, y_slots = w, 2
+    else:
+        kernel = functools.partial(
+            _seg_kernel, nsec=nsec, row_chunk=row_chunk,
+            c_chunks=c_chunks, seg_frames=seg_frames, group=group, v=v,
+            unroll=unroll, parts=parts, slots=slots)
+        x_slots = y_slots = slots
 
     out_dims = (n_seg_pad, tail, v // 128, 128)
 
@@ -602,11 +790,15 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             out_shape=jax.ShapeDtypeStruct(out_dims, np.float32),
             scratch_shapes=[
-                pltpu.VMEM((slots, row_chunk, 8, 128), np.float32),
-                pltpu.VMEM((slots, row_chunk, 8, 128), np.float32),
+                pltpu.VMEM((x_slots, row_chunk, 8, 128), np.float32),
+                pltpu.VMEM((y_slots, row_chunk, 8, 128), np.float32),
                 pltpu.VMEM((2 * nsec, 8, 128), np.float32),
-                pltpu.SemaphoreType.DMA((slots, group, parts)),
-                pltpu.SemaphoreType.DMA((slots, group, parts)),
+                pltpu.SemaphoreType.DMA((x_slots, group, parts)
+                                        if not reuse
+                                        else (x_slots, parts)),
+                pltpu.SemaphoreType.DMA((y_slots, group, parts)
+                                        if not reuse
+                                        else (y_slots, parts)),
             ],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
