@@ -415,6 +415,26 @@ class LowerCtx(KernelCtx):
         inp = self._input(name)
         return None if inp is None else inp.channels
 
+    @property
+    def packed_family(self) -> typing.Optional[tuple]:
+        """``(k, stream_frames)`` when the whole patch is being lowered as
+        ``k`` packed timeline streams (:meth:`CompiledPatch.
+        packed_mega_streams`), else None.  Filter kernels key off it to
+        run ONE packed cascade for the whole family and serve each stream
+        window a lane slice of it."""
+        return getattr(self.compiler, 'packed_family', None)
+
+    def at_window(self, offset: int, frames: int) -> 'LowerCtx':
+        """A sibling ctx for the same node at another (window-coordinate)
+        window — for kernels that coordinate work across a packed stream
+        family."""
+        return LowerCtx(self.compiler, self.node, Window(offset, frames))
+
+    @property
+    def family_memo(self) -> dict:
+        """Per-trace scratch dict for family-wide memoization."""
+        return self.compiler._memo
+
     def in_packed_streams(self, name: PortName, k: int, stream_frames: int,
                           context_frames: int, width: int):
         """Lower the input as ``k`` time-shifted stream windows packed on
@@ -494,6 +514,9 @@ class _Compiler:
         #: (block_frames, n_blocks) when tracing one mega window over the
         #: whole batch (LowerCtx.block_grid keys off it)
         self.mega: typing.Optional[tuple] = None
+        #: (k, stream_frames) when the batch is lowered as k packed
+        #: timeline streams (CompiledPatch.packed_mega_streams)
+        self.packed_family: typing.Optional[tuple] = None
 
     # -- window collection --------------------------------------------------
 
@@ -944,6 +967,86 @@ class CompiledPatch:
             return block.reshape(n_blocks, F, channels), comp.carry_out, taps
 
         return many
+
+    def packed_mega_streams(self, n_blocks: int):
+        """Stream-packed mega render plan, or ``None`` when ineligible.
+
+        Splits the batch into ``k = 1024 // channels`` timeline *streams*
+        and lowers the WHOLE patch once per stream window, side by side:
+        stream ``j`` covers blocks ``[j*S, (j+1)*S)``.  Every elementwise
+        node fuses per stream as usual, and a context filter lowers as ONE
+        packed Pallas cascade serving each stream a lane slice
+        (``CritFilter._family_kernel``) — so the filter's output is
+        consumed *in packed layout* by its stream's downstream chain, and
+        the (n*F, ch) block-major result is never materialized.  The
+        caller reduces each stream (e.g. the polyphony master mix) and
+        concatenates only the skinny reductions — on the 64-voice bench
+        this removes the 2.7 GB unpack transpose entirely.
+
+        Eligible when the patch is mega-compatible, carry-free, fully
+        stream-lowerable (no stateful/delay/host/tap nodes), the voice
+        width divides the 1024-lane kernel group, and every context
+        filter's packed lane count fits the segment kernel.
+
+        Returns ``(many, k, S)`` with
+        ``many(params, carry, position0, host) -> (streams, carry')``,
+        ``streams`` a length-``k`` list of ``(S*F, channels)`` arrays
+        (blocks beyond ``n_blocks`` are the timeline's true continuation —
+        drop them after reducing).
+        """
+        from signals_tpu.compiler.pallas_kernels import LANE_GROUP
+        V = self.channels
+        if V < 1 or LANE_GROUP % V or LANE_GROUP // V <= 1:
+            return None
+        k = LANE_GROUP // V
+        # short batches would mostly render padding (the family covers
+        # k*ceil(n/k) blocks): require <= ~25% waste
+        if self.carry0 or not self._use_mega or n_blocks < 4 * k:
+            return None
+        if not _subgraph_streamable(self.root):
+            return None
+        F = self.block_frames
+        from signals_tpu.nodes.fx import CritFilter
+        for node in self.index.order:
+            if not isinstance(node, CritFilter):
+                continue
+            C = node.context_frames()
+            inp = node._ports['input'].sig
+            ch_in = 1 if inp is None else inp.channels
+            chs = 1
+            for pname in node.port_names():
+                if pname == 'input':
+                    continue
+                sig = node._ports[pname].sig
+                if sig is not None:
+                    chs = max(chs, sig.channels)
+            chx = max(ch_in, chs)
+            pk_ch = chx * k
+            if (C % F or chx not in (1, V)
+                    or pk_ch < 32 or (128 % pk_ch and pk_ch % 128)):
+                return None
+        S = -(-n_blocks // k)
+        index = self.index
+        root = self.root
+        channels = V
+
+        def many(params, carry, position0, host_staged):
+            import jax.numpy as jnp
+            comp = _Compiler(index)
+            comp.mega = (F, S)
+            comp.packed_family = (k, S * F)
+            comp.params = params
+            comp.carry_in = carry
+            comp.position = jnp.int32(position0)
+            comp.host = {}
+            outs = []
+            for j in range(k):
+                r = comp.lower(root, Window(j * S * F, S * F))
+                outs.append(jnp.broadcast_to(r, (S * F, channels)))
+            comp.passthrough_carry()
+            return outs, comp.carry_out
+
+        return many, k, S
 
     def render_fn(self, n_blocks: int):
         """Jitted ``(params, carry, position0, host_staged) ->

@@ -115,13 +115,16 @@ SEG_DMA_PARTS = 8          # concurrent row-part DMAs per transfer (engine
 #                            parallelism; single 2 MB copies run ~75 GB/s)
 SEG_SLOTS = 2              # in/out buffer slots (prefetch depth slots-1)
 SEG_CONTEXT_REUSE = False  # chunk-ring xbuf: fetch each timeline chunk once
-#                            (consecutive windows overlap by the context).
-#                            Correct in interpret mode and in minimal
-#                            hardware reproductions, but the full kernel
-#                            currently wedges the v5e (FailedPrecondition +
-#                            several-minute device recovery) — parked until
-#                            the faulting construct is isolated; the win is
-#                            ~1.35 GB of input DMA on the 64-voice bench.
+#                            (consecutive windows overlap by the context);
+#                            would save ~1.35 GB of input DMA on the
+#                            64-voice bench.  Parked: the kernel faults
+#                            NONDETERMINISTICALLY on v5e (same binary
+#                            passes some runs, FailedPrecondition others;
+#                            serial rows / parts=1 / unroll=1 all
+#                            reproduce it) — a cross-grid-step hazard the
+#                            remote tunnel gives no diagnostics for.
+#                            Correct under interpret mode; re-attempt on
+#                            hardware with local diagnostics.
 
 
 def _make_powers(params, nsec):
@@ -672,22 +675,16 @@ def _seg_kernel_reuse(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
         ybuf[yslot, r] = val
         return tuple(st)
 
-    if unroll == 8:
-        powers = _make_powers(params, nsec)
-
-        def body(i, state):
-            r0 = i * 8
-            v = [xbuf[xslot, r0 + j] for j in range(8)]
-            y, state = _chunk8_cascade(v, state, params, powers, nsec)
-            for j in range(8):
-                ybuf[yslot, r0 + j] = y[j]
-            return state
-    else:
-        def body(i, state):
-            r0 = i * unroll
-            for j in range(unroll):
-                state = one_row(r0 + j, state)
-            return state
+    # serial rows only: the 8-row causal-combination cascade
+    # (_chunk8_cascade) wedges the device when combined with the chunk
+    # ring (bisected on hardware: serial+ring and chunk8+double-buffer
+    # both run clean; chunk8+ring faults).  The kernel is DMA-bound, so
+    # the combination math bought nothing anyway.
+    def body(i, state):
+        r0 = i * unroll
+        for j in range(unroll):
+            state = one_row(r0 + j, state)
+        return state
 
     state = jax.lax.fori_loop(0, row_chunk // unroll, body, load_state())
     for i in range(2 * nsec):
@@ -761,9 +758,16 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
              and t_chunks >= 1 and w <= 6)
     if reuse:
         total_chunks = (lane_groups - 1) * t_chunks + w
+        # parts=1: the ring issues each chunk several steps ahead of its
+        # first use, so single whole-chunk DMAs are fully latency-hidden;
+        # multi-part splits make the w-deep prologue burst 4x8 = 32
+        # outstanding DMAs, which faults the device *intermittently*
+        # (hardware-observed; plain double-buffering keeps ~16 and is
+        # fine).  Same reasoning for the serial row loop (see kernel).
+        parts = 1
         kernel = functools.partial(
             _seg_kernel_reuse, nsec=nsec, row_chunk=row_chunk,
-            c_chunks=c_chunks, seg_frames=seg_frames, unroll=unroll,
+            c_chunks=c_chunks, seg_frames=seg_frames, unroll=1,
             parts=parts, total_chunks=total_chunks)
         x_slots, y_slots = w, 2
     else:

@@ -311,6 +311,70 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         y = ctx.sosfilt(coeffs, x)
         return y[-ctx.nframes:]
 
+    def _family_kernel(self, ctx, grid, nyquist, fam):
+        """Stream-family lowering (``CompiledPatch.packed_mega_streams``):
+        the patch is being lowered as ``k`` packed timeline streams and
+        this window is one of them.  Run ONE packed cascade for the whole
+        family (memoized on the trace) and serve this stream its lane
+        slice — downstream nodes then consume the filter output in packed
+        layout and the block-major unpack never materializes.
+
+        Returns None (caller falls back to per-window lowering) when the
+        packed lane count doesn't fit the segment kernel or the input
+        isn't stream-lowerable.
+        """
+        import jax.numpy as jnp
+        F_, nb_s = grid                    # blocks per stream (= S)
+        k, sf = fam
+        w = ctx.window
+        if w.frames != sf or w.offset % sf or not (0 <= w.offset // sf < k):
+            return None
+        j = w.offset // sf
+        C = self.context_frames()
+        if C % F_ or _filters.resolve_mega_impl() != 'pallas':
+            return None
+        ch_in = ctx.in_channels('input') or 1
+        sib0 = ctx.at_window(0, sf)
+        grids0 = self._crits_grid(sib0)
+        chs = max(g.shape[1] for g in grids0)
+        chx = max(ch_in, chs)
+        pk_ch = chx * k
+        if pk_ch < 32 or (128 % pk_ch and pk_ch % 128):
+            return None
+        memo = ctx.family_memo
+        mkey = (id(self), 'packed_family')
+        if mkey not in memo:
+            memo[mkey] = self._family_compute(ctx, k, sf, F_, nb_s, C,
+                                              chx, chs, nyquist)
+        if memo[mkey] is None:
+            return None
+        return memo[mkey][:, :, j * chx:(j + 1) * chx].reshape(sf, chx)
+
+    def _family_compute(self, ctx, k, sf, F_, nb_s, C, chx, chs, nyquist):
+        import jax.numpy as jnp
+        from signals_tpu.compiler.pallas_kernels import sosfilt_segments
+        sib0 = ctx.at_window(0, sf)
+        xp_ = sib0.in_packed_streams('input', k, sf, C, chx)
+        if xp_ is None:
+            return None
+        # per-stream crit grids stacked as (S, k, chs) -> flat channel dim
+        per_stream = [self._crits_grid(ctx.at_window(jj * sf, sf))
+                      for jj in range(k)]
+        crits = []
+        for p_i in range(len(per_stream[0])):
+            g = jnp.stack([jnp.broadcast_to(per_stream[jj][p_i],
+                                            (nb_s, chs))
+                           for jj in range(k)], axis=1)    # (S, k, chs)
+            crits.append(g.reshape(1, -1))
+        coeffs = _filters.design_coupled(jnp, self.type_code(),
+                                         tuple(crits), nyquist)
+        nsec = coeffs.shape[0]
+        co = coeffs.reshape(nsec, nb_s, k, chs, 11).transpose(1, 0, 2, 3, 4)
+        co = jnp.broadcast_to(co, (nb_s, nsec, k, chx, 11))
+        co = co.reshape(nb_s, nsec, k * chx, 11)
+        return sosfilt_segments(co, xp_, n_segments=nb_s, seg_frames=F_,
+                                context=C)                 # (S, F, k*chx)
+
     def _mega_kernel(self, ctx, grid, nyquist):
         """Mega-window lowering: the window spans many blocks.  The input is
         evaluated ONCE over the whole window (+one leading context), then
@@ -320,6 +384,11 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         import jax
         import jax.numpy as jnp
         F_, nb = grid
+        fam = getattr(ctx, 'packed_family', None)
+        if fam is not None:
+            out = self._family_kernel(ctx, grid, nyquist, fam)
+            if out is not None:
+                return out
         C = self.context_frames()
         # per-block coefficients from per-block control samples (aligned to
         # a common channel count before flattening)

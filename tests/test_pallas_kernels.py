@@ -277,3 +277,108 @@ def test_sosfilt_segments_wide_channels():
         seg = x[b * F:b * F + C + F, c].astype(np.float64)
         y = scipy.signal.sosfilt(co[b, :, c, :6].astype(np.float64), seg)
         assert np.abs(got[b, :, c] - y[-F:]).max() <= 1e-5
+
+
+def test_packed_mega_streams_matches_plain_mega():
+    """The stream-packed mega render (whole patch lowered as k packed
+    timeline streams; one family-wide filter cascade; per-stream mixes)
+    equals the plain mega path on a 32-voice subtractive patch."""
+    import jax.numpy as jnp
+
+    import signals_tpu.compiler as C
+    from signals_tpu.nodes.fx import Gain, LowPass, Mix, RingMod
+    from signals_tpu.nodes.osc import Sawtooth, Sine, Square
+    from signals_tpu.nodes.env import ADSR
+    from signals_tpu.parallel import PolyPatch
+    from tests.conftest import fixed
+
+    def build():
+        hz = fixed(110.0)
+        saw = Sawtooth()
+        saw.hertz = hz
+        lfo = Sine()
+        lfo.hertz = fixed(1.0)
+        d = Gain()
+        d.left = lfo
+        d.right = fixed(700.0)
+        cut = Mix()
+        cut.left = d
+        cut.right = fixed(1800.0)
+        cut.mix = fixed(0.5)
+        lp = LowPass()
+        lp.input = saw
+        lp.cutoff = cut
+        gate = Square()
+        gate.hertz = fixed(2.0)
+        env = ADSR()
+        env.gate = gate
+        st = env.get_state()
+        st.attack, st.decay, st.sustain, st.release = 0.01, 0.05, 0.6, 0.1
+        voiced = RingMod()
+        voiced.left = lp
+        voiced.right = env
+        out = Gain()
+        out.left = voiced
+        out.right = fixed(1.0 / 32)
+        return out, hz
+
+    freqs = np.linspace(100, 700, 32).astype(np.float32)
+    nb = 130              # k = 1024/32 = 32 streams -> S = 5, 30 pad blocks
+
+    def render(force_plain):
+        from signals_tpu.compiler import filters as _filters
+        old = _filters.MEGA_FILTER_IMPL
+        # force the pallas impl so the family path (one packed cascade
+        # serving lane slices) is what runs, in interpret mode
+        _filters.MEGA_FILTER_IMPL = 'pallas'
+        try:
+            root, hz = build()
+            poly = PolyPatch(root, n_voices=32,
+                             overrides={(hz, 'value'): freqs},
+                             block_frames=256, rate=44100,
+                             layout='channels')
+            plan = poly.compiled.packed_mega_streams(nb)
+            if force_plain:
+                poly.compiled.packed_mega_streams = lambda n: None
+            else:
+                assert plan is not None, \
+                    'packed-streams plan should be eligible'
+            audio, _ = poly.render(n_blocks=nb)
+            return audio
+        finally:
+            _filters.MEGA_FILTER_IMPL = old
+
+    plain = render(True)
+    packed = render(False)
+    assert plain.shape == packed.shape == (nb * 256, 1)
+    assert np.abs(plain - packed).max() <= 2e-5
+
+
+def test_packed_mega_streams_position_offset():
+    """Stream-packed rendering at position > 0 equals a continuation of
+    the position-0 render (absolute-time lowering is window-invariant)."""
+    from signals_tpu.nodes.fx import Gain, LowPass
+    from signals_tpu.nodes.osc import Sawtooth
+    from signals_tpu.parallel import PolyPatch
+    from tests.conftest import fixed
+
+    def build():
+        hz = fixed(110.0)
+        saw = Sawtooth()
+        saw.hertz = hz
+        lp = LowPass()
+        lp.input = saw
+        lp.cutoff = fixed(1500.0)
+        g = Gain()
+        g.left = lp
+        g.right = fixed(1.0 / 32)
+        return g, hz
+
+    freqs = np.linspace(100, 700, 32).astype(np.float32)
+    root, hz = build()
+    poly = PolyPatch(root, n_voices=32, overrides={(hz, 'value'): freqs},
+                     block_frames=256, rate=44100, layout='channels')
+    assert poly.compiled.packed_mega_streams(128) is not None
+    a0, _ = poly.render(n_blocks=128)
+    a1, _ = poly.render(position=64 * 256, n_blocks=128)
+    assert np.abs(a1[:64 * 256] - a0[64 * 256:]).max() <= 1e-6
