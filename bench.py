@@ -174,7 +174,7 @@ def time_render(render_once, *, min_seconds=2.0, min_iters=3):
     return float(np.median(times))
 
 
-def time_render_pipelined(launch, *, n_outstanding=8, rounds=2):
+def time_render_pipelined(launch, *, n_outstanding=8, rounds=4):
     """Sustained wall time per call with ``n_outstanding`` async dispatches
     in flight — hides the host↔device round-trip of a single call.
     ``launch(i)`` must return an (unblocked) device array.
