@@ -454,6 +454,14 @@ class LowerCtx(KernelCtx):
         Returns ``None`` when the input subgraph cannot lower at
         sub-windows (stateful/delay/host-fed/tap nodes) — callers fall
         back to packing a materialized window.
+
+        Fan-out note: the per-stream windows share nothing with a
+        main-window lowering of the same input (the memo is keyed by
+        window), so an input that also feeds another consumer is
+        *computed* twice.  That is the intended trade: producer compute
+        fuses and is nearly free on this workload (a full 64-voice
+        osc/env chain is ~5 ms/120 s), while the copy pass this avoids
+        is a full HBM read+write.
         """
         import jax.numpy as jnp
         inp = self._input(name)
@@ -1008,22 +1016,8 @@ class CompiledPatch:
         F = self.block_frames
         from signals_tpu.nodes.fx import CritFilter
         for node in self.index.order:
-            if not isinstance(node, CritFilter):
-                continue
-            C = node.context_frames()
-            inp = node._ports['input'].sig
-            ch_in = 1 if inp is None else inp.channels
-            chs = 1
-            for pname in node.port_names():
-                if pname == 'input':
-                    continue
-                sig = node._ports[pname].sig
-                if sig is not None:
-                    chs = max(chs, sig.channels)
-            chx = max(ch_in, chs)
-            pk_ch = chx * k
-            if (C % F or chx not in (1, V)
-                    or pk_ch < 32 or (128 % pk_ch and pk_ch % 128)):
+            if (isinstance(node, CritFilter)
+                    and node.packed_lane_fit(k, F) is None):
                 return None
         S = -(-n_blocks // k)
         index = self.index

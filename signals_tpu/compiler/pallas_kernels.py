@@ -114,17 +114,15 @@ ROW_UNROLL = 8             # rows per fori iteration (loop-overhead amortizer)
 SEG_DMA_PARTS = 8          # concurrent row-part DMAs per transfer (engine
 #                            parallelism; single 2 MB copies run ~75 GB/s)
 SEG_SLOTS = 2              # in/out buffer slots (prefetch depth slots-1)
-SEG_CONTEXT_REUSE = False  # chunk-ring xbuf: fetch each timeline chunk once
+SEG_CONTEXT_REUSE = True   # chunk-ring xbuf: fetch each timeline chunk once
 #                            (consecutive windows overlap by the context);
-#                            would save ~1.35 GB of input DMA on the
-#                            64-voice bench.  Parked: the kernel faults
-#                            NONDETERMINISTICALLY on v5e (same binary
-#                            passes some runs, FailedPrecondition others;
-#                            serial rows / parts=1 / unroll=1 all
-#                            reproduce it) — a cross-grid-step hazard the
-#                            remote tunnel gives no diagnostics for.
-#                            Correct under interpret mode; re-attempt on
-#                            hardware with local diagnostics.
+#                            ~1.35 GB less input DMA on the 64-voice
+#                            bench.  (An earlier draft started each
+#                            refill DMA twice on a semaphore waited once
+#                            — a count leak that faulted the device
+#                            NONDETERMINISTICALLY and cost a day of
+#                            hardware bisection; interpret mode executes
+#                            DMAs synchronously and hid it completely.)
 
 
 def _make_powers(params, nsec):
@@ -405,9 +403,10 @@ def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
 
     Lanes are ``group`` consecutive segments x ``v`` channels (group*v =
     1024).  ``x_hbm``: (T, v) timeline; ``out_hbm``: (n_segments_pad, F, v)
-    block-major tail output.  ``xbuf``/``ybuf``: (2, row_chunk, 8, 128)
-    double buffers; ``state_ref``: (2*nsec, 8, 128) carry across row
-    chunks of one lane group.
+    block-major tail output.  ``xbuf``/``ybuf``: (slots, row_chunk, 8,
+    128) revolving buffers (prefetch depth ``slots - 1``); ``in_sems``/
+    ``out_sems``: (slots, group, parts) DMA semaphores; ``state_ref``:
+    (2*nsec, 8, 128) carry across row chunks of one lane group.
 
     When ``group == 1`` (the packed-to-1024-lane layout) each transfer is
     split into ``parts`` contiguous row-part DMAs in flight concurrently —
@@ -675,11 +674,10 @@ def _seg_kernel_reuse(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
         ybuf[yslot, r] = val
         return tuple(st)
 
-    # serial rows only: the 8-row causal-combination cascade
-    # (_chunk8_cascade) wedges the device when combined with the chunk
-    # ring (bisected on hardware: serial+ring and chunk8+double-buffer
-    # both run clean; chunk8+ring faults).  The kernel is DMA-bound, so
-    # the combination math bought nothing anyway.
+    # serial rows only: the kernel is DMA-bound (pass-through compute
+    # measures the same as the full cascade), so the 8-row combination
+    # cascade buys nothing here and the simple loop keeps register
+    # pressure minimal.
     def body(i, state):
         r0 = i * unroll
         for j in range(unroll):
@@ -696,12 +694,10 @@ def _seg_kernel_reuse(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
             _seg_out_dma(out_hbm, ybuf, out_sems, yslot, lg, rc, p,
                          row_chunk, part_rows, c_chunks, pl, pltpu).start()
 
-    # refill: this step was chunk a_cur's last consumer (rc < t); reuse its
-    # slot for chunk a_cur + w (first needed w/t groups later)
-    @pl.when((rc < t) & (a_cur + w < total_chunks))
-    def _():
-        for p in range(parts):
-            chunk_dma(a_cur + w, p).start()
+    # (the refill for the slot this step vacates is issued at the TOP of
+    # the next step — see above; issuing it here as well would start the
+    # same DMA twice on a semaphore waited once, leaking a count that a
+    # later chunk sharing the slot consumes before its data lands)
 
     last = pl.num_programs(0) * n_rc - 1
 
@@ -731,10 +727,23 @@ def _seg_out_dma(out_hbm, ybuf, out_sems, yslot, lg_, rc_, p, row_chunk,
 
 @functools.lru_cache(maxsize=32)
 def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
-                    seg_frames: int, context: int, interpret: bool):
+                    seg_frames: int, context: int, interpret: bool,
+                    reuse_flag: bool = None, dma_parts: int = None,
+                    slots_flag: int = None):
+    """``reuse_flag``/``dma_parts``/``slots_flag`` default to the module
+    flags; they are explicit cache-key arguments so flipping a flag at
+    runtime (tests, hardware bisections) cannot silently serve a kernel
+    built under the previous configuration."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if reuse_flag is None:
+        reuse_flag = SEG_CONTEXT_REUSE
+    if dma_parts is None:
+        dma_parts = SEG_DMA_PARTS
+    if slots_flag is None:
+        slots_flag = SEG_SLOTS
 
     group = LANE_GROUP // v           # segments per lane group
     n_seg_pad = _round_up(n_segments, group)
@@ -749,21 +758,19 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
     c_chunks = context // row_chunk
     tail = seg_frames
     unroll = ROW_UNROLL if row_chunk % ROW_UNROLL == 0 else 1
-    parts = (SEG_DMA_PARTS if group == 1 and row_chunk % SEG_DMA_PARTS == 0
+    parts = (dma_parts if group == 1 and row_chunk % dma_parts == 0
              else 1)
-    slots = SEG_SLOTS
+    slots = slots_flag
     w = chunks_per_seg
     t_chunks = w - c_chunks
-    reuse = (SEG_CONTEXT_REUSE and group == 1 and c_chunks >= 1
+    reuse = (reuse_flag and group == 1 and c_chunks >= 1
              and t_chunks >= 1 and w <= 6)
     if reuse:
         total_chunks = (lane_groups - 1) * t_chunks + w
-        # parts=1: the ring issues each chunk several steps ahead of its
-        # first use, so single whole-chunk DMAs are fully latency-hidden;
-        # multi-part splits make the w-deep prologue burst 4x8 = 32
-        # outstanding DMAs, which faults the device *intermittently*
-        # (hardware-observed; plain double-buffering keeps ~16 and is
-        # fine).  Same reasoning for the serial row loop (see kernel).
+        # parts=1: the ring issues each chunk several steps ahead of
+        # its first use, so single whole-chunk DMAs are fully latency-
+        # hidden and part-splitting buys nothing (measured neutral on
+        # the double-buffered kernel too).
         parts = 1
         kernel = functools.partial(
             _seg_kernel_reuse, nsec=nsec, row_chunk=row_chunk,
@@ -912,7 +919,8 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
 
     x = x.reshape(x.shape[0], vpad // 128, 128)
     call = _build_seg_call(int(x.shape[0]), vpad, nsec, n_segments,
-                           seg_frames, context, interpret)
+                           seg_frames, context, interpret,
+                           SEG_CONTEXT_REUSE, SEG_DMA_PARTS, SEG_SLOTS)
     y = call(sel, x)
     y = y.reshape(y.shape[0], y.shape[1], vpad)   # (n_seg_pad, F, vpad)
     return y[:n_segments, :, :chx]

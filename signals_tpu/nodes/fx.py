@@ -192,6 +192,37 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
     def context_frames(self) -> int:
         return 0 if self._state.streaming else self._state.context
 
+    def packed_lane_fit(self, k: int, block_frames: int):
+        """Static packed lane width (``chx``) this filter would use in a
+        ``k``-stream packed family, or None when the packed cascade can't
+        run (context not block-aligned, or the packed lane count doesn't
+        fit the segment kernel).  The single source of truth shared by
+        ``CompiledPatch.packed_mega_streams`` (the plan) and
+        :meth:`_family_kernel` (the lowering) — if these drifted, the
+        plan could commit to k streams whose filters silently fall back
+        to k separate cascades."""
+        if self._state.streaming:
+            return None
+        C = self.context_frames()
+        if C < 1 or C % block_frames:
+            return None
+        inp = self._ports['input'].sig
+        ch_in = 1 if inp is None else inp.channels
+        chs = 1
+        for pname in self.port_names():
+            if pname == 'input':
+                continue
+            sig = self._ports[pname].sig
+            if sig is not None:
+                chs = max(chs, sig.channels)
+        chx = max(ch_in, chs)
+        pk_ch = chx * k
+        from signals_tpu.compiler.pallas_kernels import LANE_GROUP
+        if (pk_ch < 32 or pk_ch > LANE_GROUP
+                or (128 % pk_ch and pk_ch % 128)):
+            return None
+        return chx
+
     @property
     def supports_mega_step(self) -> bool:
         """Streaming (exact carried-state) single-section filters render a
@@ -331,16 +362,14 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
             return None
         j = w.offset // sf
         C = self.context_frames()
-        if C % F_ or _filters.resolve_mega_impl() != 'pallas':
+        if _filters.resolve_mega_impl() != 'pallas':
             return None
-        ch_in = ctx.in_channels('input') or 1
+        chx = self.packed_lane_fit(k, F_)
+        if chx is None:
+            return None
         sib0 = ctx.at_window(0, sf)
         grids0 = self._crits_grid(sib0)
         chs = max(g.shape[1] for g in grids0)
-        chx = max(ch_in, chs)
-        pk_ch = chx * k
-        if pk_ch < 32 or (128 % pk_ch and pk_ch % 128):
-            return None
         memo = ctx.family_memo
         mkey = (id(self), 'packed_family')
         if mkey not in memo:
@@ -412,12 +441,15 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
                 # express) and writes its tail output block-major — no
                 # segment materialization, no transposes
                 k = LANE_GROUP // chx
-                if k > 1:
+                if k > 1 and nb >= 4 * k:
                     # pack k timeline streams into the kernel's full
                     # 1024-lane group, with the producers lowered *per
                     # stream window* so the packed input materializes in
                     # one fused write (no unpacked timeline, no copy
-                    # pass); see LowerCtx.in_packed_streams
+                    # pass); see LowerCtx.in_packed_streams.  Short
+                    # batches (nb < 4k) would render mostly padding —
+                    # e.g. the 8-block realtime render-ahead call — and
+                    # take the materialized path below instead.
                     S = -(-nb // k)
                     xp_ = ctx.in_packed_streams('input', k, S * F_, C,
                                                 chx)

@@ -382,3 +382,30 @@ def test_packed_mega_streams_position_offset():
     a0, _ = poly.render(n_blocks=128)
     a1, _ = poly.render(position=64 * 256, n_blocks=128)
     assert np.abs(a1[:64 * 256] - a0[64 * 256:]).max() <= 1e-6
+
+
+def test_context_reuse_ring_matches_double_buffer():
+    """The chunk-ring segment kernel (fetch each timeline chunk once)
+    produces identical output to the plain double-buffered kernel.
+    Locks in the ring index math (slot = chunk % window-chunks, first-use
+    waits, next-step refills) in interpret mode."""
+    import signals_tpu.compiler.pallas_kernels as pk
+    rng = np.random.default_rng(31)
+    F, C, nb, ch = 512, 512, 9, 128     # group == 1: the ring-eligible case
+    T = C + nb * F
+    x = rng.standard_normal((T, ch)).astype(np.float32)
+    cuts = rng.uniform(300.0, 8000.0, (nb, ch)).astype(np.float32)
+    co = np.stack([design_coupled(np, 'lp', [cuts[b:b + 1]], NYQ)
+                   for b in range(nb)], axis=0)
+
+    old = pk.SEG_CONTEXT_REUSE
+    try:
+        pk.SEG_CONTEXT_REUSE = True
+        ring = np.asarray(pk.sosfilt_segments(
+            co, x, n_segments=nb, seg_frames=F, context=C, interpret=True))
+        pk.SEG_CONTEXT_REUSE = False
+        plain = np.asarray(pk.sosfilt_segments(
+            co, x, n_segments=nb, seg_frames=F, context=C, interpret=True))
+    finally:
+        pk.SEG_CONTEXT_REUSE = old
+    np.testing.assert_array_equal(ring, plain)
