@@ -167,19 +167,27 @@ def _chunk8_cascade(v, state, params, powers, nsec):
         c1p, c2p = s1p, s2p                # state after row k-1
         for k in range(8):
             y.append(d0 * v[k] + d1 * c1p + d2 * c2p)
-            s1 = v[k]
-            s2 = None
-            for d in range(1, k + 1):
-                s1 = s1 + pcs[d - 1] * v[k - d]
-                t = pss[d - 1] * v[k - d]
-                s2 = t if s2 is None else s2 + t
-            s1 = s1 + (pcs[k] * s1p - pss[k] * s2p)
-            t = pcs[k] * s2p + pss[k] * s1p
-            s2 = t if s2 is None else s2 + t
-            c1p, c2p = s1, s2
+            # balanced-tree sums: left-associated accumulation would be
+            # a k-deep serial add chain per row — the whole point here
+            # is breaking dependence chains
+            t1 = [v[k]] + [pcs[d - 1] * v[k - d] for d in range(1, k + 1)]
+            t1.append(pcs[k] * s1p - pss[k] * s2p)
+            t2 = [pss[d - 1] * v[k - d] for d in range(1, k + 1)]
+            t2.append(pcs[k] * s2p + pss[k] * s1p)
+            c1p = _tree_sum(t1)
+            c2p = _tree_sum(t2)
         st[2 * s], st[2 * s + 1] = c1p, c2p
         v = y
     return v, tuple(st)
+
+
+def _tree_sum(terms):
+    while len(terms) > 1:
+        nxt = [terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
 
 
 def _batch_kernel(coef_ref, x_ref, out_ref, state_ref, *, nsec: int,
@@ -674,15 +682,26 @@ def _seg_kernel_reuse(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
         ybuf[yslot, r] = val
         return tuple(st)
 
-    # serial rows only: the kernel is DMA-bound (pass-through compute
-    # measures the same as the full cascade), so the 8-row combination
-    # cascade buys nothing here and the simple loop keeps register
-    # pressure minimal.
-    def body(i, state):
-        r0 = i * unroll
-        for j in range(unroll):
-            state = one_row(r0 + j, state)
-        return state
+    # with input DMA halved by the ring, the serial recurrence's
+    # dependence chain (~23 cycles/row measured) becomes the floor — the
+    # 8-row causal-combination cascade breaks it (2x the FLOPs, no
+    # serial edge within a chunk)
+    if unroll == 8:
+        powers = _make_powers(params, nsec)
+
+        def body(i, state):
+            r0 = i * 8
+            v = [xbuf[xslot, r0 + j] for j in range(8)]
+            y, state = _chunk8_cascade(v, state, params, powers, nsec)
+            for j in range(8):
+                ybuf[yslot, r0 + j] = y[j]
+            return state
+    else:
+        def body(i, state):
+            r0 = i * unroll
+            for j in range(unroll):
+                state = one_row(r0 + j, state)
+            return state
 
     state = jax.lax.fori_loop(0, row_chunk // unroll, body, load_state())
     for i in range(2 * nsec):
@@ -774,7 +793,7 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
         parts = 1
         kernel = functools.partial(
             _seg_kernel_reuse, nsec=nsec, row_chunk=row_chunk,
-            c_chunks=c_chunks, seg_frames=seg_frames, unroll=1,
+            c_chunks=c_chunks, seg_frames=seg_frames, unroll=unroll,
             parts=parts, total_chunks=total_chunks)
         x_slots, y_slots = w, 2
     else:
