@@ -747,22 +747,15 @@ def _seg_out_dma(out_hbm, ybuf, out_sems, yslot, lg_, rc_, p, row_chunk,
 @functools.lru_cache(maxsize=32)
 def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
                     seg_frames: int, context: int, interpret: bool,
-                    reuse_flag: bool = None, dma_parts: int = None,
-                    slots_flag: int = None):
-    """``reuse_flag``/``dma_parts``/``slots_flag`` default to the module
-    flags; they are explicit cache-key arguments so flipping a flag at
-    runtime (tests, hardware bisections) cannot silently serve a kernel
-    built under the previous configuration."""
+                    reuse_flag: bool, dma_parts: int, slots_flag: int):
+    """``reuse_flag``/``dma_parts``/``slots_flag`` are the SEG_* module
+    flags, required arguments so they participate in the lru_cache key —
+    flipping a flag at runtime (tests, hardware bisections) can then
+    never silently serve a kernel built under the previous
+    configuration."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-
-    if reuse_flag is None:
-        reuse_flag = SEG_CONTEXT_REUSE
-    if dma_parts is None:
-        dma_parts = SEG_DMA_PARTS
-    if slots_flag is None:
-        slots_flag = SEG_SLOTS
 
     group = LANE_GROUP // v           # segments per lane group
     n_seg_pad = _round_up(n_segments, group)

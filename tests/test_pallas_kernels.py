@@ -391,7 +391,10 @@ def test_context_reuse_ring_matches_double_buffer():
     waits, next-step refills) in interpret mode."""
     import signals_tpu.compiler.pallas_kernels as pk
     rng = np.random.default_rng(31)
-    F, C, nb, ch = 512, 512, 9, 128     # group == 1: the ring-eligible case
+    F, C, nb, ch = 512, 512, 9, 1024    # full lane group -> group == 1,
+    #                                       the ring-eligible case (narrower
+    #                                       widths pack into group > 1 and
+    #                                       take the plain kernel)
     T = C + nb * F
     x = rng.standard_normal((T, ch)).astype(np.float32)
     cuts = rng.uniform(300.0, 8000.0, (nb, ch)).astype(np.float32)
