@@ -177,3 +177,32 @@ def test_set_override_updates_mesh_channels_render():
                     block_frames=F, rate=RATE, layout='channels')
     r, _ = ref.render(n_blocks=2)
     assert np.abs(b - r).max() <= 1e-5
+
+
+def test_mesh_sharded_packed_streams_matches_single_device():
+    """The stream-packed mega render under shard_map (per-device packed
+    stream windows + psum master mix) equals the single-device render.
+    128 voices over 8 devices -> 16 voice lanes per device, k = 64
+    streams; n_blocks = 260 >= 4k engages the packed plan inside every
+    device's program."""
+    freqs = np.linspace(100.0, 800.0, 128).astype(np.float32)
+    nb = 260
+
+    root_a, hz_a, _ = _voice()
+    single = PolyPatch(root_a, n_voices=128,
+                       overrides={(hz_a, 'value'): freqs},
+                       block_frames=128, rate=RATE, layout='channels')
+    # 128 lanes on one device: k = 8 streams, plan eligible there too
+    ref, _ = single.render(n_blocks=nb)
+
+    mesh = voice_mesh(8)
+    root_b, hz_b, _ = _voice()
+    sharded = PolyPatch(root_b, n_voices=128,
+                        overrides={(hz_b, 'value'): freqs},
+                        block_frames=128, rate=RATE, layout='channels',
+                        mesh=mesh)
+    assert sharded.compiled.packed_mega_streams(nb) is not None, \
+        'per-device packed plan should be eligible'
+    out, _ = sharded.render(n_blocks=nb)
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() <= 2e-5
