@@ -459,6 +459,13 @@ def main(argv=None):
         guard('c4_poly256_device_resident',
               lambda: bench_poly_device(voice4c, hz4c, 256,
                                         seconds=seconds))
+        # 8x: the best per-voice throughput point (512 x 876x realtime
+        # ~ 448k voice-realtime units/chip measured)
+        progress('bench: config 4d (poly-512 device-resident)...')
+        voice4d, hz4d = build_subtractive_voice()
+        guard('c4_poly512_device_resident',
+              lambda: bench_poly_device(voice4d, hz4d, 512,
+                                        seconds=seconds / 2))
 
     # config 5: FM + delay feedback + spectral tap
     progress('bench: config 5 (fm+delay)...')
