@@ -36,8 +36,12 @@ _CLIP = 32635
 
 
 def _to_int16(xp, x):
-    """float32 in [-1, 1] -> int16 full scale (round-half-away like the
-    PCM16 writers in :mod:`signals_tpu.runtime.wavio`)."""
+    """float32 in [-1, 1] -> int16 full scale.
+
+    Quantizes at 32768 full scale with round-half-even (``xp.round``) —
+    the CCITT-compatible quantization the G.711 coders expect.  Note this
+    is deliberately *not* the same as the PCM16 file writers
+    (:mod:`signals_tpu.runtime.wavio`), which scale by 32767."""
     q = xp.clip(xp.round(x * F32(32768.0)), -32768, 32767)
     return q.astype(xp.int32)
 
@@ -126,6 +130,19 @@ def ima_samples_per_block(block_align: int, channels: int) -> int:
     return (block_align - 4 * channels) * 2 // channels + 1
 
 
+def _ima_index_estimate_np(s: np.ndarray) -> np.ndarray:
+    """Per-block starting step index estimated from the first inter-sample
+    delta: the largest index whose step does not exceed it.  Block-parallel
+    (no cross-block chaining) yet close to what a carried encoder would
+    reach, killing the periodic error transient a hard index-0 restart
+    causes at every block boundary.  ``s`` is (nb, spb, ch) int32."""
+    if s.shape[1] < 2:
+        return np.zeros(s[:, 0, :].shape, dtype=np.int32)
+    d = np.abs(s[:, 1, :] - s[:, 0, :])
+    return np.clip(np.searchsorted(_IMA_STEPS, d, side='right') - 1,
+                   0, 88).astype(np.int32)
+
+
 def ima_encode_np(x: np.ndarray, *, samples_per_block: int = 1017
                   ) -> typing.Tuple[np.ndarray, int]:
     """float32 (frames, channels) -> WAV IMA-ADPCM ``data`` payload bytes.
@@ -152,7 +169,8 @@ def ima_encode_np(x: np.ndarray, *, samples_per_block: int = 1017
     s = pcm.reshape(nb, spb, ch)                         # (nb, spb, ch)
 
     pred = s[:, 0, :].copy()                             # (nb, ch)
-    index = np.zeros((nb, ch), dtype=np.int32)
+    index = _ima_index_estimate_np(s)
+    index0 = index.copy()
     codes = np.zeros((nb, spb - 1, ch), dtype=np.uint8)
     for k in range(1, spb):
         step = _IMA_STEPS[index]
@@ -174,14 +192,16 @@ def ima_encode_np(x: np.ndarray, *, samples_per_block: int = 1017
 
     # layout per block: for each channel a 4-byte header
     # [pred:int16le, initial-index:u8, 0] (the initial index is the state
-    # before sample 1 — our block-parallel encoder always starts at 0),
+    # before sample 1 — estimated per block from the first inter-sample
+    # delta, which stays block-parallel while avoiding the ~30x error
+    # transient a hard index-0 restart causes at every block boundary),
     # then the channels' nibble words interleaved 4 bytes at a time
     lo = codes[:, 0::2, :]
     hi = codes[:, 1::2, :]
     packed = (lo | (hi << 4)).astype(np.uint8)           # (nb, (spb-1)/2, ch)
     p0 = s[:, 0, :]
     hdr = np.stack([p0 & 0xFF, (p0 >> 8) & 0xFF,
-                    np.zeros_like(p0), np.zeros_like(p0)],
+                    index0, np.zeros_like(p0)],
                    axis=-1).astype(np.uint8)             # (nb, ch, 4)
     body = packed.transpose(0, 2, 1).reshape(nb, ch, -1, 4)
     body = body.transpose(0, 2, 1, 3).reshape(nb, -1)
@@ -273,7 +293,16 @@ def ima_encode_jax(x, *, samples_per_block: int = 1017):
         index = jnp.clip(index + jnp.take(itab, code & 7), 0, 88)
         return (pred, index), code.astype(jnp.uint8)
 
-    init = (s[:, 0, :], jnp.zeros((nb, ch), dtype=jnp.int32))
+    # per-block starting index from the first delta (see
+    # _ima_index_estimate_np) — byte-identical to the numpy encoder
+    if spb < 2:
+        index0 = jnp.zeros((nb, ch), dtype=jnp.int32)
+    else:
+        d0 = jnp.abs(s[:, 1, :] - s[:, 0, :])
+        index0 = jnp.clip(
+            jnp.searchsorted(steps, d0, side='right') - 1, 0, 88
+        ).astype(jnp.int32)
+    init = (s[:, 0, :], index0)
     _, codes = jax.lax.scan(step_fn, init, s[:, 1:, :].transpose(1, 0, 2))
     codes = codes.transpose(1, 0, 2)                     # (nb, spb-1, ch)
 
@@ -282,7 +311,7 @@ def ima_encode_jax(x, *, samples_per_block: int = 1017):
     packed = (lo | (hi << 4)).astype(jnp.uint8)
     p0 = s[:, 0, :]
     hdr = jnp.stack([(p0 & 0xFF), ((p0 >> 8) & 0xFF),
-                     jnp.zeros_like(p0), jnp.zeros_like(p0)],
+                     index0, jnp.zeros_like(p0)],
                     axis=-1).astype(jnp.uint8)           # (nb, ch, 4)
     body = packed.transpose(0, 2, 1).reshape(nb, ch, -1, 4)
     body = body.transpose(0, 2, 1, 3).reshape(nb, -1)

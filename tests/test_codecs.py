@@ -129,6 +129,25 @@ class TestImaAdpcm:
                                    frames=x.shape[0])
         assert dec.shape[0] == x.shape[0]
 
+    def test_no_block_boundary_transient(self):
+        """The per-block starting step index (header byte 3) must be
+        estimated, not reset to 0: a reset makes the first ~32 samples of
+        every block ~30x noisier than the rest — a periodic ~43 Hz
+        artifact in a production bounce format."""
+        t = np.arange(44100) / 44100.0
+        x = (0.5 * np.sin(2 * np.pi * 440.0 * t)
+             ).astype(np.float32).reshape(-1, 1)
+        payload, ba = codecs.ima_encode_np(x)
+        spb = codecs.ima_samples_per_block(ba, 1)
+        dec = codecs.ima_decode_np(payload, channels=1, block_align=ba,
+                                   frames=x.shape[0])
+        err = np.abs(dec - x)
+        nb = err.shape[0] // spb
+        errb = err[:nb * spb].reshape(nb, spb)
+        head = errb[:, :32].mean()
+        rest = errb[:, 32:].mean()
+        assert head < 3.0 * rest, (head, rest)
+
 
 class TestWavContainers:
 
