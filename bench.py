@@ -258,9 +258,11 @@ def bench_poly(root, hz_node, n_voices, *, seconds=1.0, label='',
                             -32768, 32767).astype(jnp.int16)
         if fetch == 'mulaw':
             return codecs.mulaw_encode(jnp, mix)
+        if fetch == 'alaw':
+            return codecs.alaw_encode(jnp, mix)
         if fetch == 'adpcm':
             return codecs.ima_encode_jax(mix)
-        return mix
+        raise ValueError(f'unknown fetch encoding {fetch!r}')
 
     if fetch == 'f32':
         def run(params, carry, position, host):
@@ -316,6 +318,43 @@ def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0,
     samples = loops * n_blocks * BLOCK
     return {'label': f'poly-{n_voices}-device', 'n_voices': n_voices,
             'loops_per_dispatch': loops,
+            'x_realtime': samples / RATE / t,
+            'samples_per_sec': samples / t, 'wall_per_call_s': t}
+
+
+def bench_single_device(root, *, seconds=60.0, loops=8, label='',
+                        channels=1):
+    """Device-resident single-patch throughput: ``loops`` consecutive
+    ``seconds``-long batches per dispatch with the carry chained through
+    (a true production offline render loop — stateful patches advance
+    their delay/filter state), fetching only a scalar reduction."""
+    import jax
+    import jax.numpy as jnp
+    from signals_tpu.compiler import compile_node
+    compiled = compile_node(root, block_frames=BLOCK, rate=RATE,
+                            channels=channels)
+    n_blocks = int(round(seconds * RATE / BLOCK))
+    params = compiled.params()
+    fn = compiled.render_fn(n_blocks)
+    carry0 = compiled.carry0
+
+    @jax.jit
+    def reduced(params, carry, position0):
+        def body(i, st):
+            c, acc = st
+            blocks, c2, _taps = fn(
+                params, c, position0 + i * n_blocks * BLOCK, {})
+            return (c2, acc + jnp.mean(jnp.abs(blocks)))
+        _, acc = jax.lax.fori_loop(
+            0, loops, body, (carry, jnp.float32(0.0)))
+        return acc
+
+    def launch(i):
+        return reduced(params, jax.tree.map(jnp.asarray, carry0), 0)
+
+    t = time_render_pipelined(launch, n_outstanding=4)
+    samples = loops * n_blocks * BLOCK
+    return {'label': label, 'loops_per_dispatch': loops,
             'x_realtime': samples / RATE / t,
             'samples_per_sec': samples / t, 'wall_per_call_s': t}
 
@@ -408,6 +447,9 @@ def main(argv=None):
     guard('c3_subtractive',
           lambda: bench_single(voice3, seconds=seconds,
                                label='subtractive-voice'))
+    guard('c3_subtractive_device_resident',
+          lambda: bench_single_device(voice3, seconds=seconds,
+                                      label='subtractive-voice-device'))
     try:
         lat1, lat8 = bench_block_latency(voice3)
         extra['p50_block_latency_ms'] = lat1 * 1e3
@@ -466,6 +508,18 @@ def main(argv=None):
         guard('c4_poly512_device_resident',
               lambda: bench_poly_device(voice4d, hz4d, 512,
                                         seconds=seconds / 2))
+        # 16x / 32x: find the voice-scaling knee (batches shrink to keep
+        # the mega window's voices x seconds working set inside HBM)
+        progress('bench: config 4e (poly-1024 device-resident)...')
+        voice4e, hz4e = build_subtractive_voice()
+        guard('c4_poly1024_device_resident',
+              lambda: bench_poly_device(voice4e, hz4e, 1024,
+                                        seconds=seconds / 4))
+        progress('bench: config 4f (poly-2048 device-resident)...')
+        voice4f2, hz4f2 = build_subtractive_voice()
+        guard('c4_poly2048_device_resident',
+              lambda: bench_poly_device(voice4f2, hz4f2, 2048,
+                                        seconds=seconds / 8))
 
     # config 5: FM + delay feedback + spectral tap
     progress('bench: config 5 (fm+delay)...')
@@ -473,6 +527,9 @@ def main(argv=None):
     parity['fm_delay'] = check_parity(c5, n_blocks=n_blocks)
     guard('c5_fm_delay',
           lambda: bench_single(c5, seconds=seconds, label='fm+delay+spec'))
+    guard('c5_fm_delay_device_resident',
+          lambda: bench_single_device(c5, seconds=seconds,
+                                      label='fm+delay-device'))
 
     extra['parity_max_abs_err'] = parity
     extra['parity_ok'] = all(v <= TOL for v in parity.values())
@@ -495,15 +552,46 @@ def main(argv=None):
     if headline is None:
         headline = 0.0
         metric += ' [ALL 64-voice fetch configs failed this run]'
-    result = {
+
+    # The driver archives only the LAST ~2000 chars of stdout: print a
+    # compact headline-first line (x_realtime only, rounded) so every
+    # config's number survives in the record, and write the full-precision
+    # detail to BENCH_full.json alongside.
+    full = {
         'metric': metric,
         'value': round(headline, 1),
         'unit': 'x_realtime',
         'vs_baseline': round(headline / 1000.0, 3),
         'extra': extra,
     }
-    print(json.dumps(result))
-    return result
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'BENCH_full.json'), 'w') as f:
+        json.dump(full, f, indent=1)
+
+    def compact_val(v):
+        if isinstance(v, dict):
+            if 'error' in v:
+                return {'error': str(v['error'])[:60]}
+            if 'x_realtime' in v:
+                return round(v['x_realtime'], 1)
+            return {k: compact_val(x) for k, x in v.items()}
+        if isinstance(v, float):
+            return float(f'{v:.3g}')
+        return v
+
+    result = {
+        'metric': metric,
+        'value': round(headline, 1),
+        'unit': 'x_realtime',
+        'vs_baseline': round(headline / 1000.0, 3),
+        'extra': {k: compact_val(v) for k, v in extra.items()},
+    }
+    line = json.dumps(result)
+    if len(line) > 1900:                 # keep the whole line in the tail
+        result['extra'] = {'truncated': 'see BENCH_full.json'}
+        line = json.dumps(result)
+    print(line)
+    return full
 
 
 if __name__ == '__main__':
