@@ -232,8 +232,14 @@ class _CollectCtx(KernelCtx):
     def in_block_rate(self, name: PortName):
         inp = self._input(name)
         if inp is not None:
-            self.compiler.collect(inp, Window(self.window.offset, 1))
-        return self._dummy(inp, 1)
+            if self.window.stride > 1:
+                # mirrors LowerCtx.in_block_rate: a grid-sampled node
+                # samples its block-rate inputs at the same grid
+                self.compiler.collect(inp, self.window)
+            else:
+                self.compiler.collect(inp, Window(self.window.offset, 1))
+        return self._dummy(inp, 1 if self.window.stride == 1
+                           else self.window.frames)
 
     def in_context(self, name: PortName, context_frames: int):
         inp = self._input(name)
@@ -360,6 +366,15 @@ class LowerCtx(KernelCtx):
             F, n_blocks = grid
             g = self.in_block_rate_grid(name)
             return jnp.repeat(g, F, axis=0)
+        if self.window.stride > 1:
+            # this node is itself being sampled at a grid of positions
+            # (a nested block-rate chain — e.g. an FM operator's phase
+            # input — under a mega window): its block-rate inputs must be
+            # sampled at the SAME grid, one value per grid position,
+            # exactly as per-block rendering samples them at each block
+            # start.  A single sample at the window offset here silently
+            # froze every downstream modulator at its first-block value.
+            return self.compiler.lower(inp, self.window)
         return self.compiler.lower(inp, Window(self.window.offset, 1))
 
     def in_block_rate_grid(self, name: PortName):
@@ -525,6 +540,14 @@ class _Compiler:
         #: (k, stream_frames) when the batch is lowered as k packed
         #: timeline streams (CompiledPatch.packed_mega_streams)
         self.packed_family: typing.Optional[tuple] = None
+        #: id(delay) -> full input timeline ``concat(buf, u)`` covering
+        #: frames [-B, total) — set by the delay-mega solver
+        #: (CompiledPatch.delay_mega_core); _lower_delay serves windows
+        #: from it instead of the per-block carry read
+        self.delay_solved: dict[int, typing.Any] = {}
+        #: id(delay) -> float: substitute this delay's output with a
+        #: constant (the g/h extraction traces of the affine loop solver)
+        self.delay_const: dict[int, float] = {}
 
     # -- window collection --------------------------------------------------
 
@@ -684,10 +707,11 @@ class _Compiler:
             full = jnp.concatenate([hist, cur], axis=0)
             base = hist.shape[0]
         start = base + window.offset
-        if start < 0 or start + window.frames > full.shape[0]:
+        span = (window.frames - 1) * window.stride + 1
+        if start < 0 or start + span > full.shape[0]:
             raise CompileError(
                 f'{node.cls_name()} history too short for window {window}')
-        return full[start:start + window.frames]
+        return full[start:start + span:window.stride]
 
     def _lower_stateful(self, node: StatefulEmitter, window: Window):
         import jax.numpy as jnp
@@ -743,13 +767,36 @@ class _Compiler:
     def _lower_delay(self, node, window: Window):
         """Delay output is a pure read of the input-history ring; the input
         itself is lowered lazily at the main window (possibly *after* nodes
-        that consume this output — that is what breaks feedback cycles)."""
+        that consume this output — that is what breaks feedback cycles).
+
+        Two additional modes serve the loop-free delay solver
+        (:meth:`CompiledPatch.delay_mega_core`): a *substituted* delay
+        lowers to a constant (the affine g/h extraction traces), and a
+        *solved* delay serves any window as a slice of its precomputed
+        full input timeline."""
         import jax.numpy as jnp
+        const = self.delay_const.get(id(node))
+        if const is not None:
+            return jnp.full((1, 1), F32(const))
+        D = node.delay_frames(self.rate)
+        solved = self.delay_solved.get(id(node))
+        if solved is not None:
+            # solved covers input frames [-B, total); output[t] = input[t-D]
+            B = solved.shape[0] - (self.mega[0] * self.mega[1]
+                                   if self.mega else self.block_frames)
+            start = B - D + window.offset
+            if start < 0:
+                raise CompileError(
+                    f'{node.cls_name()}: delay history too short for '
+                    f'{window}')
+            span = (window.frames - 1) * window.stride + 1
+            out = solved[start:start + span:window.stride]
+            enabled = self.node_param(node, 'enabled')
+            return jnp.where(enabled, out, F32(0.0))
         info = self.index.info(node)
         uid = info.uid
         buf = self.carry_in[uid]['buf']          # (B, ch): frames [pos-B, pos)
         B = buf.shape[0]
-        D = node.delay_frames(self.rate)
         if D < window.end:
             raise CompileError(
                 f'{node.cls_name()}: delay of {D} frames is shorter than '
@@ -759,7 +806,8 @@ class _Compiler:
         if start < 0:
             raise CompileError(
                 f'{node.cls_name()}: delay buffer too short for {window}')
-        out = buf[start:start + window.frames]
+        span = (window.frames - 1) * window.stride + 1
+        out = buf[start:start + span:window.stride]
         self._delays_pending.add(id(node))
         enabled = self.node_param(node, 'enabled')
         return jnp.where(enabled, out, F32(0.0))
@@ -915,15 +963,21 @@ class CompiledPatch:
     #: per-block associative scan.  Set False to force per-block rendering.
     enable_mega = True
 
-    #: mega only engages at this channel width or above: narrow patches
-    #: lay frames-major (N, ch<8) arrays across mostly-idle VPU lanes,
-    #: where the per-block vmapped path tiles better (measured on v5e)
+    #: plain (non-packed) mega only engages at this channel width or above
+    #: for *stateless* patches: narrow frames-major (N, ch<8) arrays lay
+    #: across mostly-idle VPU lanes, where the per-block vmapped path
+    #: tiles better (measured on v5e).  Narrow stateless patches instead
+    #: take the stream-packed path (:meth:`packed_mega_streams`, adaptive
+    #: lane packing); stateful mega-steppable patches always prefer mega —
+    #: their alternative is a sequential block scan, worse at any width.
     mega_min_channels = 8
 
     @property
     def _use_mega(self) -> bool:
-        return (self.enable_mega and self.mega_compatible
-                and self.channels >= self.mega_min_channels)
+        if not (self.enable_mega and self.mega_compatible):
+            return False
+        return (self.channels >= self.mega_min_channels
+                or bool(self.carry0))
 
     @property
     def mega_compatible(self) -> bool:
@@ -976,6 +1030,127 @@ class CompiledPatch:
 
         return many
 
+    def delay_mega_plan(self):
+        """The patch's :class:`~signals_tpu.compiler.feedback.DelayPlan`
+        (cached), or None when its delay feedback cannot be solved
+        loop-free.  See :mod:`signals_tpu.compiler.feedback`."""
+        if not self.enable_mega:
+            return None
+        if not hasattr(self, '_delay_plan'):
+            from signals_tpu.compiler import feedback
+            self._delay_plan = feedback.plan_delays(
+                self.index, self.block_frames, self.rate)
+        return self._delay_plan
+
+    def delay_mega_core(self, n_blocks: int, plan):
+        """Un-jitted loop-free render of a delay/feedback patch: the whole
+        batch is ONE mega window; each delay line is *solved* up front —
+        out-of-cycle delays read their (already lowered) input timeline
+        shifted, in-cycle delays solve the affine recurrence
+        ``u[t] = g[t] u[t-D] + h[t]`` with one associative scan over
+        D-frame segments (``g``/``h`` extracted by lowering the loop
+        expression with the delay output substituted by 0 and 1 — sound
+        because :func:`~signals_tpu.compiler.feedback.plan_delays` proved
+        the loop frame-local affine).  Everything downstream then lowers
+        exactly like :meth:`mega_core`.
+
+        Semantics preserved from the per-block engine: block-quantized
+        feedback (delay >= one block), buffer carry-in/out, ``enabled``
+        gating on the delay output (buffer still advances while
+        disabled), zero pre-timeline context.
+        """
+        import jax
+        import jax.numpy as jnp
+        index = self.index
+        root = self.root
+        channels = self.channels
+        F = self.block_frames
+        rate = self.rate
+        total = n_blocks * F
+        main = Window(0, total)
+
+        def sub_trace(comp, inp, delay, const):
+            """Lower ``inp`` at the main window with ``delay``'s output
+            substituted by ``const`` (fresh memo: every value downstream
+            of the substitution differs between traces; XLA CSEs the
+            shared off-cycle subexpressions)."""
+            sub = _Compiler(index)
+            sub.mega = comp.mega
+            sub.params = comp.params
+            sub.carry_in = comp.carry_in
+            sub.position = comp.position
+            sub.host = comp.host
+            sub.delay_solved = comp.delay_solved
+            sub.delay_const = {id(delay): const}
+            return sub.lower(inp, main)
+
+        def many(params, carry, position0, host_staged):
+            comp = _Compiler(index)
+            comp.mega = (F, n_blocks)
+            comp.params = params
+            comp.carry_in = carry
+            comp.position = jnp.int32(position0)
+            comp.host = {}
+            for node in plan.order:
+                uid = index.info(node).uid
+                inp = node._ports['input'].sig
+                D = node.delay_frames(rate)
+                buf = jnp.asarray(carry[uid]['buf'], dtype=F32)
+                B = buf.shape[0]
+                ch = node.channels
+                if inp is None:
+                    u = jnp.zeros((total, ch), dtype=F32)
+                elif not plan.cyclic[id(node)]:
+                    u = jnp.broadcast_to(comp.lower(inp, main), (total, ch))
+                else:
+                    h = jnp.broadcast_to(
+                        sub_trace(comp, inp, node, 0.0), (total, ch))
+                    g = jnp.broadcast_to(
+                        sub_trace(comp, inp, node, 1.0), (total, ch)) - h
+                    # a disabled delay outputs zeros (g drops out) but its
+                    # buffer still advances with the input
+                    enabled = comp.node_param(node, 'enabled')
+                    g = jnp.where(enabled, g, F32(0.0))
+                    pre = buf[B - D:]              # last D input frames
+                    n_seg = -(-total // D)
+                    pad = n_seg * D - total
+                    gp = jnp.pad(g, ((0, pad), (0, 0))).reshape(
+                        n_seg, D, ch)
+                    hp = jnp.pad(h, ((0, pad), (0, 0))).reshape(
+                        n_seg, D, ch)
+
+                    def combine(older, newer):
+                        oa, ob = older
+                        na, nb_ = newer
+                        return (na * oa, na * ob + nb_)
+
+                    A, Bc = jax.lax.associative_scan(
+                        combine, (gp, hp), axis=0)
+                    u = (A * pre[None] + Bc).reshape(n_seg * D, ch)[:total]
+                    if inp.channels == ch:
+                        # SSA: downstream consumers of the loop node reuse
+                        # the solved timeline instead of recomputing it
+                        comp._memo[(id(inp), main)] = u
+                in_full = jnp.concatenate([buf, u], axis=0)
+                comp.delay_solved[id(node)] = in_full
+                comp.carry_out[uid] = {'buf': in_full[-B:]}
+            block = comp.lower(root, main)
+            block = jnp.broadcast_to(block, (total, channels))
+            # memo injection can cut taps / stateful nodes off the root
+            # walk — force them so tap feeds and carries are produced
+            for node in index.order:
+                if _is_tap(node) or (
+                        _is_stateful(node)
+                        and not _is_grid_stateless(node)
+                        and not _is_delay(node)):
+                    comp.lower(node, main)
+            comp.passthrough_carry()
+            taps = {uid: t.reshape(n_blocks, F, -1)
+                    for uid, t in comp.taps.items()}
+            return block.reshape(n_blocks, F, channels), comp.carry_out, taps
+
+        return many
+
     def packed_mega_streams(self, n_blocks: int):
         """Stream-packed mega render plan, or ``None`` when ineligible.
 
@@ -1004,21 +1179,54 @@ class CompiledPatch:
         """
         from signals_tpu.compiler.pallas_kernels import LANE_GROUP
         V = self.channels
-        if V < 1 or LANE_GROUP % V or LANE_GROUP // V <= 1:
-            return None
-        k = LANE_GROUP // V
-        # short batches would mostly render padding (the family covers
-        # k*ceil(n/k) blocks): require <= ~25% waste
-        if self.carry0 or not self._use_mega or n_blocks < 4 * k:
+        if (V < 1 or self.carry0 or not self.enable_mega
+                or not self.mega_compatible or n_blocks < 2):
             return None
         if not _subgraph_streamable(self.root):
             return None
         F = self.block_frames
         from signals_tpu.nodes.fx import CritFilter
-        for node in self.index.order:
-            if (isinstance(node, CritFilter)
-                    and node.packed_lane_fit(k, F) is None):
-                return None
+        filters = [n for n in self.index.order
+                   if isinstance(n, CritFilter)]
+        # adaptive stream count: any k with k*V a sane lane width and
+        # n_blocks >= k qualifies; cost = blocks actually rendered
+        # (covered = k*ceil(n/k) — padding streams render the timeline's
+        # continuation and are dropped), with a bonus for the full
+        # 1024-lane group where the context-reuse ring kernel halves the
+        # cascade's input DMA.  This is what lets narrow (mono) patches
+        # lane-pack (k = 32, the segment kernel's minimum lane width)
+        # instead of being locked out by a fixed k = 1024 // V.  k is
+        # capped at 32 because every stream is an independently traced
+        # copy of the whole patch — the price of the copy-free pack —
+        # and hundreds of copies explode compile time.
+        from signals_tpu.compiler import filters as _filters
+        # non-Pallas backends run each stream's filter as its own
+        # associative scan — 32 traced copies of those compile for
+        # minutes on CPU, so cap lower there (narrow patches then fall
+        # back to the vmapped per-block path, which CPU prefers anyway)
+        kmax = 32 if _filters.resolve_mega_impl() == 'pallas' else 8
+        best_k = None
+        best_cost = None
+        pk = LANE_GROUP
+        while pk >= 32:
+            if pk % V == 0:
+                k = pk // V
+                # floor: short batches (the 8-block realtime render-ahead
+                # call) keep the per-block vmap path — packing there buys
+                # nothing and would break its bit-stability across batch
+                # sizes
+                if (2 <= k <= kmax and n_blocks >= max(16, 2 * k)
+                        and all(f.packed_lane_fit(k, F) is not None
+                                for f in filters)):
+                    covered = k * (-(-n_blocks // k))
+                    cost = covered * (0.85 if pk == LANE_GROUP else 1.0)
+                    if covered <= 2 * n_blocks and (
+                            best_cost is None or cost < best_cost):
+                        best_k, best_cost = k, cost
+            pk //= 2
+        if best_k is None:
+            return None
+        k = best_k
         S = -(-n_blocks // k)
         index = self.index
         root = self.root
@@ -1065,8 +1273,27 @@ class CompiledPatch:
             return (jnp.int32(position0)
                     + jnp.int32(F) * jnp.arange(n_blocks, dtype=jnp.int32))
 
-        if self._use_mega and n_blocks > 1:
+        packed = (self.packed_mega_streams(n_blocks)
+                  if n_blocks > 1 else None)
+        delay_plan = (self.delay_mega_plan() if n_blocks > 1 else None)
+        if packed is not None:
+            # stream-packed mega render: the whole patch lowers as k
+            # packed timeline streams (narrow patches lane-pack with an
+            # adaptive k); block-major output assembles with one
+            # stack+reshape (a single coalesced write)
+            many_s, k, S = packed
+            ch = self.channels
+
+            def many(params, carry, position0, host_staged):
+                outs, carry2 = many_s(params, carry, position0,
+                                      host_staged)    # k x (S*F, ch)
+                blocks = jnp.stack(outs).reshape(
+                    k * S * F, ch)[:n_blocks * F]
+                return blocks.reshape(n_blocks, F, ch), carry2, {}
+        elif self._use_mega and n_blocks > 1:
             many = self.mega_core(n_blocks)
+        elif delay_plan is not None:
+            many = self.delay_mega_core(n_blocks, delay_plan)
         elif stateless:
             def many(params, carry, position0, host_staged):
                 def one(pos, host):

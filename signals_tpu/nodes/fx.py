@@ -225,13 +225,15 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
 
     @property
     def supports_mega_step(self) -> bool:
-        """Streaming (exact carried-state) single-section filters render a
-        whole mega window loop-free: per-block zero-state filtering + an
-        associative affine scan of the 2-state transitions over blocks +
-        a data-parallel initial-state correction.  Band filters cascade
-        two sections whose corrections interact — they keep the per-block
-        scan."""
-        return self._state.streaming and self.n_sections == 1
+        """Streaming (exact carried-state) filters render a whole mega
+        window loop-free: per-block zero-state filtering + an associative
+        affine scan of the 2-state transitions over blocks + a
+        data-parallel initial-state correction.  Band filters cascade two
+        sections — each section's map is affine in its own state, so the
+        cascade is simply the single-section algorithm applied twice in
+        sequence (section 2 consumes section 1's fully corrected
+        output)."""
+        return self._state.streaming
 
     def mega_step(self, ctx: KernelCtx, carry: dict):
         """Exact streaming IIR over a whole mega window, no block loop.
@@ -244,25 +246,42 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         evaluated in closed form (the coupled-form transition is a scaled
         rotation: ``A^k = rho^k Rot(k theta)``), with the powers computed
         in float64 so large ``k theta`` angles stay accurate at any
-        cutoff.
+        cutoff.  Multi-section (band) filters run the algorithm once per
+        section, feeding each section the previous one's corrected
+        output.
         """
-        import jax
         import jax.numpy as jnp
         F_, nb = ctx.block_grid
-        xp = ctx.xp
         nyquist = ctx.rate_f32 * F32(0.5)
         grids = self._crits_grid(ctx)                      # each (nb, ch_i)
         chs = max(g.shape[1] for g in grids)
         crits = tuple(jnp.broadcast_to(g, (nb, chs)).reshape(1, -1)
                       for g in grids)
         coeffs = _filters.design_coupled(jnp, self.type_code(), crits,
-                                         nyquist)          # (1, nb*chs, 11)
-        co = coeffs.reshape(1, nb, chs, 11).transpose(1, 0, 2, 3)
+                                         nyquist)       # (nsec, nb*chs, 11)
+        nsec = coeffs.shape[0]
 
         x = ctx.in_('input')                               # (nb*F, ch)
         ch = max(x.shape[1], chs)
-        xb = jnp.broadcast_to(x, (nb * F_, ch)).reshape(nb, F_, ch)
-        co = jnp.broadcast_to(co, (nb, 1, ch, 11))
+        y = jnp.broadcast_to(x, (nb * F_, ch)).reshape(nb, F_, ch)
+        zfs = []
+        for s in range(nsec):
+            co = coeffs[s].reshape(1, nb, chs, 11).transpose(1, 0, 2, 3)
+            co = jnp.broadcast_to(co, (nb, 1, ch, 11))
+            y, zf_s = self._mega_step_section(ctx, co, y, carry['zi'][s],
+                                              F_, nb, ch)
+            zfs.append(zf_s)
+        return (y.reshape(nb * F_, ch),
+                {'zi': jnp.stack(zfs, axis=0)})
+
+    @staticmethod
+    def _mega_step_section(ctx, co, xb, zi_s, F_, nb, ch):
+        """One section of :meth:`mega_step`: ``xb`` (nb, F, ch) input
+        blocks, ``co`` (nb, 1, ch, 11) per-block coefficients, ``zi_s``
+        (2, ch0) incoming coupled-form state.  Returns ``(y (nb, F, ch),
+        zf (2, ch))``."""
+        import jax
+        import jax.numpy as jnp
 
         # 1. zero-state filtering per block (+ per-block final states)
         zi0 = jnp.zeros((1, 2, ch), dtype=F32)
@@ -297,8 +316,8 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
 
         Pc, Ps, D1, D2 = jax.lax.associative_scan(
             combine, (pc, ps, zf[:, 0, 0, :], zf[:, 0, 1, :]), axis=0)
-        zi1 = jnp.broadcast_to(carry['zi'][0, 0], (ch,))
-        zi2 = jnp.broadcast_to(carry['zi'][0, 1], (ch,))
+        zi1 = jnp.broadcast_to(zi_s[0], (ch,))
+        zi2 = jnp.broadcast_to(zi_s[1], (ch,))
         Z1 = Pc * zi1 - Ps * zi2 + D1                      # (nb, ch)
         Z2 = Ps * zi1 + Pc * zi2 + D2
         z_in1 = jnp.concatenate([zi1[None], Z1[:-1]], axis=0)
@@ -318,9 +337,7 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         s1m = ck * z_in1[:, None, :] - sk * z_in2[:, None, :]
         s2m = sk * z_in1[:, None, :] + ck * z_in2[:, None, :]
         y = y0 + d1[:, None, :] * s1m + d2[:, None, :] * s2m
-
-        zf_out = jnp.stack([Z1[-1], Z2[-1]], axis=0)[None]  # (1, 2, ch)
-        return y.reshape(nb * F_, ch), {'zi': zf_out}
+        return y, jnp.stack([Z1[-1], Z2[-1]], axis=0)
 
     @abc.abstractmethod
     def type_code(self) -> str:

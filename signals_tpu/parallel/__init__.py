@@ -267,37 +267,45 @@ class PolyPatch:
 
         stateless = not compiled.carry0
 
+        packed = (compiled.packed_mega_streams(n_blocks)
+                  if n_blocks > 1 else None)
+        if packed is not None:
+            # stream-packed mega: the patch lowers as k timeline
+            # streams side by side; the filter runs one packed
+            # cascade and each stream's downstream chain (and this
+            # master mix) consumes its lane slice — only the skinny
+            # per-stream mixes are ever concatenated
+            many_s, k, S = packed
+
+            def mega_packed(params, carry, position0, host_staged):
+                outs, carry2 = many_s(params, carry, position0,
+                                      host_staged)  # k x (S*F, V)
+                mixes = [o.sum(axis=1, keepdims=True) for o in outs]
+                mix = jnp.concatenate(mixes, axis=0)[:n_blocks * F]
+                mix = mix.reshape(n_blocks, F, 1)
+                return (jnp.broadcast_to(mix, (n_blocks, F, out_ch)),
+                        carry2)
+
+            return self._finalize_channels(mega_packed)
+
+        whole = None
         if compiled._use_mega and n_blocks > 1:
-            packed = compiled.packed_mega_streams(n_blocks)
-            if packed is not None:
-                # stream-packed mega: the patch lowers as k timeline
-                # streams side by side; the filter runs one packed
-                # cascade and each stream's downstream chain (and this
-                # master mix) consumes its lane slice — only the skinny
-                # per-stream mixes are ever concatenated
-                many_s, k, S = packed
-
-                def mega_packed(params, carry, position0, host_staged):
-                    outs, carry2 = many_s(params, carry, position0,
-                                          host_staged)  # k x (S*F, V)
-                    mixes = [o.sum(axis=1, keepdims=True) for o in outs]
-                    mix = jnp.concatenate(mixes, axis=0)[:n_blocks * F]
-                    mix = mix.reshape(n_blocks, F, 1)
-                    return (jnp.broadcast_to(mix, (n_blocks, F, out_ch)),
-                            carry2)
-
-                return self._finalize_channels(mega_packed)
-
             # mega window: the whole voice batch renders as one traced
             # window (context dedup + the batched VMEM-resident filter),
             # then mixes down over the voice/channel lanes; carried state
             # (e.g. streaming filters) propagates via associative scans
             # inside the window, not a block loop
-            mega = compiled.mega_core(n_blocks)
-
+            whole = compiled.mega_core(n_blocks)
+        elif n_blocks > 1:
+            plan = compiled.delay_mega_plan()
+            if plan is not None:
+                # delay/feedback voices: solve the loops (affine segment
+                # scan), then the same window-wide mixdown
+                whole = compiled.delay_mega_core(n_blocks, plan)
+        if whole is not None:
             def mega_many(params, carry, position0, host_staged):
-                blocks, carry2, _taps = mega(params, carry, position0,
-                                             host_staged)    # (n, F, V)
+                blocks, carry2, _taps = whole(params, carry, position0,
+                                              host_staged)    # (n, F, V)
                 mix = blocks.sum(axis=2, keepdims=True)
                 return jnp.broadcast_to(mix, (n_blocks, F, out_ch)), carry2
 

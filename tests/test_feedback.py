@@ -1,0 +1,311 @@
+"""Loop-free delay/feedback rendering (``compiler/feedback.py``).
+
+The affine delay-loop solver must be sample-equivalent to the per-block
+scan engine (and the numpy pull oracle) for every supported structure —
+and must *decline* (plan None, falling back to the scan) for structures
+it cannot solve.  Reference behavior preserved throughout: block-quantized
+feedback through :class:`~signals_tpu.nodes.delay.Delay`
+(``src/signals/__init__.py:28-29`` declares CYCLIC; the delay semantics
+are this framework's, SURVEY §7 hard part 4).
+"""
+
+import numpy as np
+import pytest
+
+from conftest import pull_blocks
+
+import signals_tpu.compiler as C
+from signals_tpu.compiler import compile_node
+from signals_tpu.nodes.delay import Delay
+from signals_tpu.nodes.fixed import Fixed
+from signals_tpu.nodes.fx import Drive, Gain, Mix, RingMod
+from signals_tpu.nodes.osc import Sine
+
+F = 512
+RATE = 44100
+
+
+def fixed(v):
+    f = Fixed()
+    f.get_state().value = np.atleast_2d(np.asarray(v, dtype=np.float32))
+    return f
+
+
+def echo_patch(*, delay_frames=3 * F + 17, feedback=0.45):
+    """sine -> mix <- gain <- delay <- mix (the classic feedback echo)."""
+    osc = Sine()
+    osc.hertz = fixed(110.0)
+    mix = Mix()
+    d = Delay()
+    d.get_state().frames = delay_frames
+    fb = Gain()
+    fb.left = d
+    fb.right = fixed(feedback)
+    mix.left = osc
+    mix.right = fb
+    mix.mix = fixed(0.6)
+    d.input = mix
+    return mix, d
+
+
+def render_both(root, n_blocks, *, position=0, channels=1):
+    """(loop-free render, forced per-block scan render)."""
+    a = compile_node(root, block_frames=F, rate=RATE,
+                     channels=channels)
+    fast, _ = a.render(position=position, n_blocks=n_blocks,
+                       deliver_taps=False)
+    C._compile_cache.clear()
+    b = compile_node(root, block_frames=F, rate=RATE, channels=channels)
+    b.enable_mega = False
+    slow, _ = b.render(position=position, n_blocks=n_blocks,
+                       deliver_taps=False)
+    C._compile_cache.clear()
+    return fast, slow
+
+
+class TestAffineCycle:
+
+    def test_plan_recognized(self):
+        root, d = echo_patch()
+        c = compile_node(root, block_frames=F, rate=RATE, channels=1)
+        plan = c.delay_mega_plan()
+        assert plan is not None
+        assert plan.cyclic[id(d)]
+        C._compile_cache.clear()
+
+    def test_matches_scan_and_oracle(self):
+        root, _ = echo_patch()
+        fast, slow = render_both(root, 17)
+        assert np.abs(fast - slow).max() < 1e-6
+        oracle = pull_blocks(root, 17, block_frames=F, rate=RATE)
+        assert np.abs(fast - oracle).max() < 1e-6
+
+    def test_carry_continuation(self):
+        root, _ = echo_patch()
+        c = compile_node(root, block_frames=F, rate=RATE, channels=1)
+        a, carry = c.render(position=0, n_blocks=9, deliver_taps=False)
+        b, _ = c.render(position=9 * F, n_blocks=5, carry=carry,
+                        deliver_taps=False)
+        oracle = pull_blocks(root, 14, block_frames=F, rate=RATE)
+        got = np.concatenate([a, b])
+        assert np.abs(got - oracle).max() < 1e-6
+        C._compile_cache.clear()
+
+    def test_block_multiple_delay(self):
+        root, _ = echo_patch(delay_frames=4 * F)
+        fast, slow = render_both(root, 13)
+        assert np.abs(fast - slow).max() < 1e-6
+
+    def test_high_feedback_stability(self):
+        # |g| close to 1: the segment scan's reassociation must not blow
+        # up the error relative to the sequential evaluation
+        root, _ = echo_patch(feedback=0.95)
+        fast, slow = render_both(root, 25)
+        assert np.abs(fast - slow).max() < 1e-5
+
+    def test_disabled_delay_outputs_dry(self):
+        root, d = echo_patch()
+        d.get_state().enabled = False
+        fast, slow = render_both(root, 9)
+        assert np.abs(fast - slow).max() < 1e-6
+        # disabled feedback = pure dry path
+        osc = Sine()
+        osc.hertz = fixed(110.0)
+        g = Gain()
+        g.left = osc
+        g.right = fixed(0.6)
+        dry = pull_blocks(g, 9, block_frames=F, rate=RATE)
+        assert np.abs(fast - dry).max() < 1e-6
+
+    def test_ringmod_on_cycle(self):
+        # d * lfo is affine in d (lfo off-cycle)
+        osc = Sine()
+        osc.hertz = fixed(220.0)
+        lfo = Sine()
+        lfo.hertz = fixed(2.0)
+        mix = Mix()
+        d = Delay()
+        d.get_state().frames = 2 * F
+        rm = RingMod()
+        rm.left = d
+        rm.right = lfo
+        mix.left = osc
+        mix.right = rm
+        mix.mix = fixed(0.5)
+        d.input = mix
+        c = compile_node(mix, block_frames=F, rate=RATE, channels=1)
+        assert c.delay_mega_plan() is not None
+        C._compile_cache.clear()
+        fast, slow = render_both(mix, 11)
+        assert np.abs(fast - slow).max() < 1e-6
+
+
+class TestNonCyclic:
+
+    def test_shifted_read(self):
+        # echo send without feedback: delay input independent of output
+        osc = Sine()
+        osc.hertz = fixed(330.0)
+        d = Delay()
+        d.get_state().frames = 2 * F + 5
+        d.input = osc
+        out = Mix()
+        out.left = osc
+        out.right = d
+        out.mix = fixed(0.7)
+        c = compile_node(out, block_frames=F, rate=RATE, channels=1)
+        plan = c.delay_mega_plan()
+        assert plan is not None and not plan.cyclic[id(d)]
+        C._compile_cache.clear()
+        fast, slow = render_both(out, 9)
+        assert np.abs(fast - slow).max() < 1e-6
+
+    def test_delay_chain(self):
+        # d1 feeds d2 (no cycles): solves in dependency order
+        osc = Sine()
+        osc.hertz = fixed(110.0)
+        d1 = Delay()
+        d1.get_state().frames = F
+        d1.input = osc
+        d2 = Delay()
+        d2.get_state().frames = 2 * F
+        d2.input = d1
+        out = Mix()
+        out.left = d1
+        out.right = d2
+        out.mix = fixed(0.5)
+        c = compile_node(out, block_frames=F, rate=RATE, channels=1)
+        plan = c.delay_mega_plan()
+        assert plan is not None
+        assert [n for n in plan.order] == [d1, d2]
+        C._compile_cache.clear()
+        fast, slow = render_both(out, 8)
+        assert np.abs(fast - slow).max() < 1e-6
+
+
+class TestFallback:
+
+    def test_nonlinear_loop_declines(self):
+        # Drive (tanh) on the feedback path: not affine -> per-block scan
+        osc = Sine()
+        osc.hertz = fixed(110.0)
+        mix = Mix()
+        d = Delay()
+        d.get_state().frames = 2 * F
+        shaper = Drive()
+        shaper.input = d
+        shaper.drive = fixed(2.0)
+        mix.left = osc
+        mix.right = shaper
+        mix.mix = fixed(0.5)
+        d.input = mix
+        c = compile_node(mix, block_frames=F, rate=RATE, channels=1)
+        assert c.delay_mega_plan() is None
+        # and the scan path still renders it correctly vs the oracle
+        got, _ = c.render(position=0, n_blocks=7, deliver_taps=False)
+        oracle = pull_blocks(mix, 7, block_frames=F, rate=RATE)
+        assert np.abs(got - oracle).max() < 1e-6
+        C._compile_cache.clear()
+
+    def test_coupled_delays_decline(self):
+        # two delays feeding each other: a 2-state system, scan path
+        d1 = Delay()
+        d1.get_state().frames = F
+        d2 = Delay()
+        d2.get_state().frames = F
+        g1 = Gain()
+        g1.left = d2
+        g1.right = fixed(0.5)
+        g2 = Gain()
+        g2.left = d1
+        g2.right = fixed(0.5)
+        osc = Sine()
+        osc.hertz = fixed(110.0)
+        m1 = Mix()
+        m1.left = osc
+        m1.right = g1
+        m1.mix = fixed(0.5)
+        d1.input = m1
+        m2 = Mix()
+        m2.left = d1
+        m2.right = g2
+        m2.mix = fixed(0.5)
+        d2.input = m2
+        out = Mix()
+        out.left = m1
+        out.right = m2
+        out.mix = fixed(0.5)
+        c = compile_node(out, block_frames=F, rate=RATE, channels=1)
+        assert c.delay_mega_plan() is None
+        C._compile_cache.clear()
+
+    def test_gain_exponent_on_cycle_declines(self):
+        # block-rate port fed from the cycle: not frame-local
+        osc = Sine()
+        osc.hertz = fixed(110.0)
+        mix = Mix()
+        d = Delay()
+        d.get_state().frames = 2 * F
+        g = Gain()
+        g.left = osc
+        g.right = d          # block-rate port on-cycle
+        mix.left = osc
+        mix.right = g
+        mix.mix = fixed(0.5)
+        d.input = mix
+        c = compile_node(mix, block_frames=F, rate=RATE, channels=1)
+        assert c.delay_mega_plan() is None
+        C._compile_cache.clear()
+
+
+class TestFmUnderMega:
+
+    def test_nested_block_rate_chain(self):
+        """FM operator stacks sample each modulator once per block; under
+        a mega window those nested block-rate chains must sample at every
+        grid position (a regression: they froze at the first block)."""
+        op3 = Sine()
+        op3.hertz = fixed(660.0)
+        i3 = Gain()
+        i3.left = op3
+        i3.right = fixed(1.5)
+        op2 = Sine()
+        op2.hertz = fixed(220.0)
+        op2.phase = i3
+        i2 = Gain()
+        i2.left = op2
+        i2.right = fixed(2.0)
+        op1 = Sine()
+        op1.hertz = fixed(110.0)
+        op1.phase = i2
+        mix = Mix()
+        d = Delay()
+        d.get_state().frames = 4 * F
+        fb = Gain()
+        fb.left = d
+        fb.right = fixed(0.45)
+        mix.left = op1
+        mix.right = fb
+        mix.mix = fixed(0.6)
+        d.input = mix
+        fast, slow = render_both(mix, 12)
+        assert np.abs(fast - slow).max() < 1e-6
+        oracle = pull_blocks(mix, 12, block_frames=F, rate=RATE)
+        assert np.abs(fast - oracle).max() < 1e-6
+
+
+class TestTapsThroughSolver:
+
+    def test_vis_tap_feed_preserved(self):
+        from signals_tpu.nodes.vis import Wave
+        root, _ = echo_patch()
+        tap = Wave()
+        tap.input = root
+        c = compile_node(tap, block_frames=F, rate=RATE, channels=1)
+        assert c.delay_mega_plan() is not None
+        audio, _ = c.render(position=0, n_blocks=6, deliver_taps=True)
+        got = tap.drain(6 * F)
+        assert got, 'vis tap received no blocks through the delay solver'
+        fed = np.concatenate([np.broadcast_to(b, (F, 1)) for b in got])
+        assert np.allclose(fed, audio, atol=1e-6)
+        C._compile_cache.clear()

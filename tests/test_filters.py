@@ -148,32 +148,47 @@ def test_streaming_filter_mega_window_is_loop_free_and_exact():
     assert np.abs(got[:, 0] - truth).max() <= 1e-5
 
 
-def test_streaming_band_filter_keeps_scan_path():
-    """Two-section streaming filters are not mega-steppable (section
-    corrections interact); the patch falls back to the block scan."""
+def test_streaming_band_filter_mega_matches_scan():
+    """Two-section streaming filters render mega windows loop-free too:
+    each section's map is affine in its own state, so the single-section
+    algorithm cascades (section 2 consumes section 1's corrected
+    output).  Mega must equal the forced per-block scan and scipy's
+    float64 ground truth."""
     from signals_tpu.compiler import compile_node
     from signals_tpu.nodes.fx import BandPass
-    from signals_tpu.nodes.osc import Sawtooth
     from tests.conftest import fixed, pull_blocks
     import signals_tpu.compiler as C
 
-    saw = Sawtooth()
-    saw.hertz = fixed(110.0)
-    bp = BandPass()
-    bp.input = saw
-    bp.low = fixed(80.0)
-    bp.high = fixed(500.0)
-    bp.get_state().streaming = True
+    def build():
+        bp = BandPass()
+        bp.input = Sawtooth_src()
+        bp.low = fixed(80.0)
+        bp.high = fixed(500.0)
+        bp.get_state().streaming = True
+        return bp
+
     C._compile_cache.clear()
-    c = compile_node(bp, block_frames=512, rate=44100, channels=1)
-    assert not c.mega_compatible
-    got, _ = c.render(n_blocks=10)
+    c = compile_node(build(), block_frames=512, rate=44100, channels=1)
+    assert c.mega_compatible and c._use_mega
+    got, carry = c.render(n_blocks=10)
+    C._compile_cache.clear()
+    c2 = compile_node(build(), block_frames=512, rate=44100, channels=1)
+    c2.enable_mega = False
+    ref, _ = c2.render(n_blocks=10)
+    assert np.abs(got - ref).max() <= 1e-5
+
     saw_sig = pull_blocks(Sawtooth_src(), 10, block_frames=512, channels=1)
     import scipy.signal
     sos = scipy.signal.butter(2, [80.0 / 22050.0, 500.0 / 22050.0],
                               'bandpass', output='sos')
     truth = scipy.signal.sosfilt(sos, saw_sig[:, 0].astype(np.float64))
     assert np.abs(got[:, 0] - truth).max() <= 2e-5
+
+    # carried two-section state round-trips (resume equivalence)
+    a, c1 = c.render(n_blocks=5)
+    b, _ = c.render(position=5 * 512, n_blocks=5, carry=c1)
+    assert np.abs(np.concatenate([a, b]) - got).max() <= 1e-5
+    C._compile_cache.clear()
 
 
 def Sawtooth_src():

@@ -206,3 +206,32 @@ def test_mesh_sharded_packed_streams_matches_single_device():
     out, _ = sharded.render(n_blocks=nb)
     assert out.shape == ref.shape
     assert np.abs(out - ref).max() <= 2e-5
+
+
+def test_adaptive_stream_packing_narrow_voices():
+    """Narrow patches lane-pack with an adaptive stream count instead of
+    being locked out by the old fixed k = 1024 // V rule: 4 voice lanes
+    pick k = 8 streams (32 packed lanes, the segment kernel's minimum)
+    and match the per-block render."""
+    import signals_tpu.compiler as C
+    freqs = np.linspace(100.0, 400.0, 4).astype(np.float32)
+    nb = 24
+
+    root_a, hz_a, _ = _voice()
+    poly = PolyPatch(root_a, n_voices=4,
+                     overrides={(hz_a, 'value'): freqs},
+                     block_frames=128, rate=RATE, layout='channels')
+    plan = poly.compiled.packed_mega_streams(nb)
+    assert plan is not None, 'adaptive packing should engage at V=4'
+    _, k, S = plan
+    assert k * 4 >= 32 and nb >= k
+    got, _ = poly.render(n_blocks=nb)
+
+    C._compile_cache.clear()
+    root_b, hz_b, _ = _voice()
+    ref_poly = PolyPatch(root_b, n_voices=4,
+                         overrides={(hz_b, 'value'): freqs},
+                         block_frames=128, rate=RATE, layout='channels')
+    ref_poly.compiled.enable_mega = False
+    ref, _ = ref_poly.render(n_blocks=nb)
+    assert np.abs(got - ref).max() <= 2e-5
