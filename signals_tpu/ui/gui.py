@@ -53,6 +53,8 @@ class PatcherPresenter:
         self.port_menu: typing.Optional[tuple] = None
         self.message = ''
         self.saved_hash = self.controller.hash()
+        #: current .sigs file (Save reuses it; Revert reloads it)
+        self.path: typing.Optional[str] = None
 
     # --- command plumbing ----------------------------------------------------
 
@@ -68,6 +70,33 @@ class PatcherPresenter:
 
     def mark_saved(self) -> None:
         self.saved_hash = self.controller.hash()
+
+    # --- file actions (reference window.py:39-66: New/Open/Revert/Save/
+    # SaveAs) ---------------------------------------------------------------
+
+    def save(self, path: typing.Optional[str] = None) -> bool:
+        """Save to ``path`` or the current file; False if no path known
+        (the view should then prompt, i.e. behave as Save-As)."""
+        path = path or self.path
+        if path is None:
+            return False
+        self.run(f'save {path}')
+        self.path = path
+        self.mark_saved()
+        return True
+
+    def load(self, path: str) -> None:
+        self.run(f'load {path}')
+        self.path = path
+        self.mark_saved()
+
+    def revert(self) -> None:
+        """Discard edits and reload the current file
+        (reference window.py:44,249-252)."""
+        if self.path is None:
+            self.message = 'no file to revert to'
+            return
+        self.load(self.path)
 
     # --- geometry -------------------------------------------------------------
 
@@ -92,6 +121,13 @@ class PatcherPresenter:
         step = (x1 - x0) / (n + 1)
         return (x0 + step * (idx + 1), y0)
 
+    @classmethod
+    def power_dot(cls, at: Coordinates) -> tuple[float, float]:
+        """The per-node power toggle glyph (reference PowerToggle,
+        ``ui/graph.py:149-164,210-265``): top-left inside the box."""
+        x0, y0, _, _ = cls.node_box(at)
+        return (x0 + 2 * PORT_R, y0 + 2 * PORT_R)
+
     @staticmethod
     def px_to_grid(x: float, y: float) -> Coordinates:
         col = max(1, 1 + int((x - MARGIN) // CELL_W))
@@ -101,19 +137,31 @@ class PatcherPresenter:
 
     # --- scene ------------------------------------------------------------------
 
+    def _all_infos(self) -> list:
+        """Signal AND device infos — devices are first-class patcher
+        nodes (reference draws SinkNode/EmitterNode glyphs for them,
+        ``ui/graph.py:103-147``) even though the map iterates them
+        separately."""
+        m = self.controller.map
+        return (list(m.iter_signals()) + list(m.iter_sources())
+                + list(m.iter_sinks()))
+
     def scene(self) -> dict:
         """Draw list: nodes, ports, cables, pending gesture."""
         nodes, ports, cables = [], [], []
-        infos = {tuple(i.at): i for i in self.controller.map.iter_signals()}
+        infos = {tuple(i.at): i for i in self._all_infos()}
         for info in infos.values():
             at = info.at
             sig = self.controller.map.get(at)
             label = info.cls_name.rsplit('.', 1)[-1]
+            if hasattr(info, 'device'):
+                label = info.device.name
             enabled = bool(getattr(sig.get_state(), 'enabled', True)) \
                 if sig is not None else True
             nodes.append({'at': at, 'box': self.node_box(at), 'label': label,
                           'selected': at == self.selected,
                           'enabled': enabled,
+                          'power': self.power_dot(at),
                           'is_emitter': isinstance(sig, Emitter)})
             if isinstance(sig, Emitter):
                 ports.append({'at': at, 'kind': 'out', 'name': 'out',
@@ -164,10 +212,32 @@ class PatcherPresenter:
             return at
         return None
 
+    def power_hit(self, x: float, y: float) -> typing.Optional[Coordinates]:
+        at = self.px_to_grid(x, y)
+        if self.controller.map.get(at) is None:
+            return None
+        dx, dy = self.power_dot(at)
+        if (x - dx) ** 2 + (y - dy) ** 2 <= (2 * PORT_R) ** 2:
+            return at
+        return None
+
+    def toggle_power(self, at: Coordinates) -> None:
+        """Flip a node's ``enabled`` flag as an undoable edit command."""
+        sig = self.controller.map.get(at)
+        if sig is None:
+            return
+        cur = bool(getattr(sig.get_state(), 'enabled', True))
+        self.run(f'* {at} enabled={"false" if cur else "true"}')
+
     # --- mouse gesture state machine (reference ui/graph.py:300-397) -----------
 
     def press(self, x: float, y: float) -> None:
         self.port_menu = None
+        power = self.power_hit(x, y)
+        if power is not None:
+            self.toggle_power(power)
+            self.drag = None
+            return
         src = self.out_dot_hit(x, y)
         if src is not None:
             self.drag = ('cable', src, (x, y))
@@ -226,7 +296,7 @@ class PatcherPresenter:
         self.selected = at
 
     def free_cell(self) -> Coordinates:
-        taken = {tuple(i.at) for i in self.controller.map.iter_signals()}
+        taken = {tuple(i.at) for i in self._all_infos()}
         for row in range(1, 100):
             for col in range(1, 27):
                 at = Coordinates(row=row, col=CoordinateColumn(col))
@@ -255,6 +325,38 @@ class PatcherPresenter:
 
     def search(self, query: str) -> list[str]:
         return actions.fuzzy_rank(self.controller.library.names, query)
+
+    # --- devices (reference AddDevice dialog, dialog.py:172-266) ------------
+
+    def device_names(self, kind: str) -> list[str]:
+        """Rack device names for ``kind`` in {'source', 'sink'}."""
+        devs = (self.controller.rack.sources() if kind == 'source'
+                else self.controller.rack.sinks())
+        return [d.name for d in devs]
+
+    def bind_device(self, kind: str, device_name: str,
+                    at: typing.Optional[Coordinates] = None) -> None:
+        """Place a source/sink device node (undoable ``source``/``sink``
+        command — the same line the console would run)."""
+        at = at or self.free_cell()
+        self.run(f'{kind} {at} {device_name}')
+        self.selected = at
+
+    # --- vis rack (reference window.py:294-332 auto-adds a canvas per
+    # Vis node) --------------------------------------------------------------
+
+    def vis_entries(self) -> list[tuple[str, typing.Any]]:
+        """(label, node) for every Vis node currently in the patch, in
+        grid order — the view mirrors this list into its vis dock."""
+        from signals_tpu.nodes.vis import Vis
+        out = []
+        for info in sorted(self.controller.map.iter_signals(),
+                           key=lambda i: tuple(i.at)):
+            sig = self.controller.map.get(info.at)
+            if isinstance(sig, Vis):
+                label = info.cls_name.rsplit('.', 1)[-1]
+                out.append((f'{info.at} {label}', sig))
+        return out
 
     def editor_fields(self) -> list[tuple[str, str]]:
         if self.selected is None:
@@ -285,6 +387,13 @@ class TkPatcherView:
                                 bg=self.pal.get('base', '#0b0e11'),
                                 highlightthickness=0)
         self.canvas.pack(fill='both', expand=True)
+        #: vis dock (reference window.py:77-80,294-332): a matplotlib
+        #: canvas embedded under the patcher, one axes per Vis node,
+        #: animated on the reference's 30 ms cadence.  Created lazily on
+        #: the first Vis node; destroyed when the last one goes.
+        self.vis_rack = None
+        self.vis_widget = None
+        self._vis_labels: list[str] = []
         self.log = scrolledtext.ScrolledText(
             self.root, height=6, bg=self.pal.get('window'),
             fg=self.pal.get('text'), insertbackground=self.pal.get('text'))
@@ -305,9 +414,10 @@ class TkPatcherView:
                         ('<Control-x>', lambda e: self._cut()),
                         ('<Control-v>', lambda e: self._paste()),
                         ('<Delete>', lambda e: self._delete()),
-                        ('<Control-s>', lambda e: self.save_dialog())):
+                        ('<Control-s>', lambda e: self.save_action())):
             self.root.bind(seq, fn)
         self.redraw()
+        self._vis_tick()
 
     # -- helpers ---------------------------------------------------------------
 
@@ -354,11 +464,14 @@ class TkPatcherView:
     # -- menus / dialogs ---------------------------------------------------------
 
     def _build_menu(self, tk) -> None:
+        # reference window.py:39-66: File New/Open/Revert/Save/SaveAs/Quit
         bar = tk.Menu(self.root)
         filem = tk.Menu(bar, tearoff=0)
         filem.add_command(label='New', command=lambda: self._run('init'))
         filem.add_command(label='Open...', command=self.open_dialog)
-        filem.add_command(label='Save...', command=self.save_dialog)
+        filem.add_command(label='Revert', command=self.revert_action)
+        filem.add_command(label='Save  (Ctrl-S)', command=self.save_action)
+        filem.add_command(label='Save As...', command=self.save_dialog)
         filem.add_separator()
         filem.add_command(label='Quit', command=self.root.destroy)
         bar.add_cascade(label='File', menu=filem)
@@ -369,6 +482,7 @@ class TkPatcherView:
                           command=lambda: self._run('redo'))
         editm.add_separator()
         editm.add_command(label='Add signal...', command=self.add_dialog)
+        editm.add_command(label='Add device...', command=self.device_dialog)
         editm.add_command(label='Edit state...', command=self.edit_dialog)
         editm.add_command(label='Delete  (Del)', command=self._delete)
         bar.add_cascade(label='Edit', menu=editm)
@@ -379,15 +493,62 @@ class TkPatcherView:
         path = filedialog.askopenfilename(
             filetypes=[('signals patches', '*.sigs')])
         if path:
-            self._run(f'load {path}')
-            self.p.mark_saved()
+            self.p.load(path)
+            self._log(self.p.message)
+            self.redraw()
+
+    def save_action(self) -> None:
+        """Save to the current file, or prompt when there is none."""
+        if self.p.save():
+            self._log(self.p.message)
+            self.redraw()
+        else:
+            self.save_dialog()
 
     def save_dialog(self) -> None:
         from tkinter import filedialog
         path = filedialog.asksaveasfilename(defaultextension='.sigs')
         if path:
-            self._run(f'save {path}')
-            self.p.mark_saved()
+            self.p.save(path)
+            self._log(self.p.message)
+            self.redraw()
+
+    def revert_action(self) -> None:
+        self.p.revert()
+        self._log(self.p.message)
+        self.redraw()
+
+    def device_dialog(self) -> None:
+        """Browse the rack and bind a source/sink
+        (reference AddDevice, dialog.py:172-266)."""
+        import tkinter as tk
+        top = tk.Toplevel(self.root)
+        top.title('Add device')
+        kind = tk.StringVar(value='sink')
+        lb = tk.Listbox(top, height=10, width=48)
+
+        def refresh(*_):
+            lb.delete(0, 'end')
+            for name in self.p.device_names(kind.get()):
+                lb.insert('end', name)
+            lb.selection_set(0)
+
+        for k in ('source', 'sink'):
+            tk.Radiobutton(top, text=k.capitalize(), variable=kind,
+                           value=k, command=refresh).pack(anchor='w')
+        lb.pack(fill='both', expand=True)
+
+        def accept(*_):
+            sel = lb.curselection()
+            if sel:
+                self.p.bind_device(kind.get(), lb.get(sel[0]))
+                self._log(self.p.message)
+                self.redraw()
+            top.destroy()
+
+        lb.bind('<Double-Button-1>', accept)
+        tk.Button(top, text='Bind', command=accept).pack(fill='x')
+        refresh()
 
     def add_dialog(self) -> None:
         """Fuzzy add picker (reference dialog.py:118-169)."""
@@ -482,6 +643,15 @@ class TkPatcherView:
                           if node['enabled'] else self.pal.get('dim_text'))
             c.create_text(x0 + 2, y1 - 7, text=str(node['at']), anchor='w',
                           fill=self.pal.get('dim_text'), font=('', 7))
+        for node in scene['nodes']:
+            # power toggle glyph (reference PowerToggle): filled when on
+            x, y = node['power']
+            on = self.pal.get('port', '#7fd1b9')
+            off = self.pal.get('dim_text', '#555555')
+            c.create_oval(x - PORT_R + 1, y - PORT_R + 1,
+                          x + PORT_R - 1, y + PORT_R - 1,
+                          fill=on if node['enabled'] else '',
+                          outline=on if node['enabled'] else off)
         for port in scene['ports']:
             x, y = port['pos']
             color = self.pal.get('port', '#7fd1b9')
@@ -490,6 +660,60 @@ class TkPatcherView:
                           outline=color)
         title = 'signals_tpu patcher' + (' *' if self.p.dirty else '')
         self.root.title(title)
+        self._sync_vis()
+
+    # -- vis dock ----------------------------------------------------------------
+
+    def _embed_figure(self, figure):
+        """Embed a matplotlib figure as a Tk widget; overridable (tests
+        stub it; a missing TkAgg backend degrades to no dock)."""
+        from matplotlib.backends.backend_tkagg import FigureCanvasTkAgg
+        agg = FigureCanvasTkAgg(figure, master=self.root)
+        widget = agg.get_tk_widget()
+        widget.pack(fill='x')
+        return agg, widget
+
+    def _sync_vis(self) -> None:
+        """Mirror the patch's Vis nodes into the dock (auto-add/remove,
+        reference window.py:294-332)."""
+        entries = self.p.vis_entries()
+        labels = [name for name, _ in entries]
+        if labels == self._vis_labels:
+            return
+        self._vis_labels = labels
+        if self.vis_widget is not None:
+            try:
+                self.vis_widget[1].destroy()
+            except Exception:
+                pass
+            self.vis_widget = None
+            self.vis_rack = None
+        if not entries:
+            return
+        from signals_tpu.ui.vis import VisRack
+        rack = VisRack()
+        for name, node in entries:
+            rack.add(name, node)
+        try:
+            figure = rack._ensure_figure()
+            self.vis_widget = self._embed_figure(figure)
+        except Exception as e:         # headless / no TkAgg: dock disabled
+            self._log(f'vis dock unavailable: {e}')
+            self.vis_rack = None
+            self.vis_widget = None
+            return
+        self.vis_rack = rack
+
+    def _vis_tick(self) -> None:
+        """30 ms animation cadence (reference ui/vis.py:16-52)."""
+        from signals_tpu.ui.vis import REFRESH_MS
+        if self.vis_rack is not None and self.vis_widget is not None:
+            try:
+                self.vis_rack.update()
+                self.vis_widget[0].draw_idle()
+            except Exception:
+                pass
+        self.root.after(REFRESH_MS, self._vis_tick)
 
     def main(self) -> None:
         self.root.mainloop()
@@ -498,8 +722,8 @@ class TkPatcherView:
 def main(argv: typing.Sequence[str] = ()) -> None:
     view = TkPatcherView()
     if argv:
-        view._run(f'load {argv[0]}')
-        view.p.mark_saved()
+        view.p.load(argv[0])
+        view.redraw()
     view.main()
 
 

@@ -56,15 +56,20 @@ class VisRack:
     # --- rendering ----------------------------------------------------------
 
     def _ensure_figure(self):
+        # a bare Figure, NOT pyplot: pyplot binds the process-global GUI
+        # backend (and would try to drive tkinter itself), while an
+        # embedding host — the Tk patcher dock, a headless save — must
+        # own the canvas.  Figure.savefig attaches an Agg canvas on
+        # demand, so headless operation is unchanged.
         import matplotlib
-        import matplotlib.pyplot as plt
+        from matplotlib.figure import Figure
         if self._figure is not None:
             return self._figure
         n = max(len(self._entries), 1)
         with matplotlib.rc_context(self.theme.matplotlib_rc()):
-            self._figure, axes = plt.subplots(
-                1, n, figsize=(4 * n, 3), squeeze=False)
-        self._axes = list(axes[0])
+            self._figure = Figure(figsize=(4 * n, 3))
+            self._axes = [self._figure.add_subplot(1, n, i + 1)
+                          for i in range(n)]
         for (name, _), ax in zip(self._entries, self._axes):
             ax.set_title(name, color=self.theme['text'].hex())
         return self._figure
@@ -87,8 +92,16 @@ class VisRack:
         self._ensure_figure().savefig(path)
 
     def animate(self, interval_ms: int = REFRESH_MS):
-        """Live view (requires an interactive matplotlib backend)."""
+        """Live view.  The figure has no GUI canvas of its own (see
+        ``_ensure_figure``); adopt it into pyplot's interactive backend
+        first, so the animation has a real event source."""
+        import matplotlib.pyplot as plt
         from matplotlib.animation import FuncAnimation
         fig = self._ensure_figure()
+        if getattr(fig.canvas, 'manager', None) is None:
+            # attach the interactive backend's canvas/manager
+            mgr = plt.figure().canvas.manager
+            mgr.canvas.figure = fig
+            fig.set_canvas(mgr.canvas)
         return FuncAnimation(fig, lambda _frame: self.update(),
                              interval=interval_ms, cache_frame_data=False)

@@ -140,3 +140,191 @@ def test_px_grid_round_trip():
         at = Coordinates.parse(s)
         x, y = p.cell_origin(at)
         assert p.px_to_grid(x + 5, y + 5) == at
+
+
+def test_power_toggle_gesture():
+    """Clicking the node's power glyph flips `enabled` as an undoable
+    edit (reference PowerToggle, ui/graph.py:149-164,210-265)."""
+    p = make()
+    p.run('+ 2b signals_tpu.nodes.osc.Sine')
+    at = Coordinates.parse('2b')
+    sig = p.controller.map.get(at)
+    assert sig.get_state().enabled
+    x, y = p.power_dot(at)
+    p.press(x, y)
+    assert not sig.get_state().enabled
+    scene = p.scene()
+    node = next(n for n in scene['nodes'] if n['at'] == at)
+    assert not node['enabled'] and node['power'] == (x, y)
+    p.run('undo')
+    assert sig.get_state().enabled
+    p.press(x, y)
+    p.press(x, y)
+    assert sig.get_state().enabled
+
+
+def test_file_save_revert_cycle(tmp_path):
+    """Save/Save-As/Revert track the current path
+    (reference window.py:39-66)."""
+    p = make()
+    p.run('+ 1a signals_tpu.nodes.osc.Sine')
+    assert not p.save()                       # no path yet -> Save As
+    path = str(tmp_path / 'patch.sigs')
+    assert p.save(path)
+    assert p.path == path and not p.dirty
+    p.run('+ 2a signals_tpu.nodes.osc.Square')
+    assert p.dirty
+    p.revert()
+    assert not p.dirty
+    labels = {n['label'] for n in p.scene()['nodes']}
+    assert labels == {'Sine'}
+    assert p.save()                           # reuses the current path
+
+
+def test_bind_device_from_gui():
+    """The AddDevice flow binds rack devices via the source/sink
+    commands (reference dialog.py:172-266)."""
+    p = make()
+    sinks = p.device_names('sink')
+    sources = p.device_names('source')
+    assert sinks and sources
+    p.bind_device('sink', sinks[0])
+    bound = list(p.controller.map.iter_sinks())
+    assert len(bound) == 1 and bound[0].device.name == sinks[0]
+    # device nodes are first-class scene nodes (SinkNode glyphs)
+    assert any(n['label'] == sinks[0] for n in p.scene()['nodes'])
+    p.run('undo')
+    assert not list(p.controller.map.iter_sinks())
+
+
+def test_vis_entries_track_patch():
+    p = make()
+    assert p.vis_entries() == []
+    p.run('+ 1a signals_tpu.nodes.osc.Sine')
+    p.run('+ 3a signals_tpu.nodes.vis.Wave')
+    p.run('> 1a 3a.input')
+    entries = p.vis_entries()
+    assert len(entries) == 1
+    name, node = entries[0]
+    assert 'Wave' in name and '3a' in name
+    p.run('- 3a')
+    assert p.vis_entries() == []
+
+
+class _FakeWidget:
+    """Records every method call; stands in for any Tk widget."""
+
+    def __init__(self, view, *a, **k):
+        self.view = view
+        self.calls = []
+        self.bindings = {}
+        view.widgets.append(self)
+
+    def bind(self, seq, fn):
+        self.bindings[seq] = fn
+
+    def __getattr__(self, name):
+        def method(*a, **k):
+            self.calls.append((name, a, k))
+            if name in ('get', 'curselection'):
+                return () if name == 'curselection' else ''
+            return None
+        return method
+
+
+class _FakeTk:
+    """Minimal tkinter stand-in: enough for TkPatcherView to build and
+    redraw headlessly (the container has no display)."""
+
+    def __init__(self):
+        self.widgets = []
+        view = self
+
+        class Widget(_FakeWidget):
+            def __init__(self, *a, **k):
+                super().__init__(view, *a, **k)
+
+        class Var:
+            def __init__(self, value=''):
+                self._v = value
+
+            def get(self):
+                return self._v
+
+            def set(self, v):
+                self._v = v
+
+        self.Tk = Widget
+        self.Canvas = Widget
+        self.Menu = Widget
+        self.Entry = Widget
+        self.Toplevel = Widget
+        self.Listbox = Widget
+        self.Label = Widget
+        self.Button = Widget
+        self.Radiobutton = Widget
+        self.StringVar = Var
+
+
+def make_fake_view(monkeypatch):
+    import sys
+    import types
+    from signals_tpu.ui.gui import TkPatcherView
+
+    fake = _FakeTk()
+    mod = types.ModuleType('tkinter')
+    for name in ('Tk', 'Canvas', 'Menu', 'Entry', 'Toplevel', 'Listbox',
+                 'Label', 'Button', 'Radiobutton', 'StringVar'):
+        setattr(mod, name, getattr(fake, name))
+    scrolled = types.ModuleType('tkinter.scrolledtext')
+    scrolled.ScrolledText = fake.Tk
+    mod.scrolledtext = scrolled
+    monkeypatch.setitem(sys.modules, 'tkinter', mod)
+    monkeypatch.setitem(sys.modules, 'tkinter.scrolledtext', scrolled)
+    # vis dock embedding needs a real TkAgg backend; stub it
+    monkeypatch.setattr(TkPatcherView, '_embed_figure',
+                        lambda self, fig: (fake.Tk(), fake.Tk()))
+    view = TkPatcherView(make())
+    return view, fake
+
+
+def test_tk_view_smoke(monkeypatch):
+    """The Tk shell builds, redraws, and runs its menu/console/dialog
+    code paths against a fake tkinter — catches attribute-level rot in
+    the ~300 widget lines this container can never display."""
+    view, fake = make_fake_view(monkeypatch)
+    view._run('+ 1a signals_tpu.nodes.fixed.Fixed value=[[440]]')
+    view._run('+ 2a signals_tpu.nodes.osc.Sine')
+    view._run('> 1a 2a.hertz')
+    canvas = view.canvas
+    drawn = [c for c in canvas.calls if c[0].startswith('create_')]
+    kinds = {c[0] for c in drawn}
+    assert {'create_rectangle', 'create_text',
+            'create_oval', 'create_line'} <= kinds
+    # gesture path through the Tk event shim
+    class E:
+        x, y = view.p.out_dot(Coordinates.parse('1a'))
+    view._gesture('press', E)
+    view._gesture('release', E)
+    # dialogs build without touching a display
+    view.add_dialog()
+    view.edit_dialog()
+    view.device_dialog()
+    # console line entry path
+    view.entry.bindings['<Return>'](None)
+    # clipboard keybindings exist on the root
+    for seq in ('<Control-z>', '<Control-s>', '<Delete>'):
+        assert seq in view.root.bindings
+
+
+def test_tk_view_vis_dock_sync(monkeypatch):
+    """A Vis node added to the patch materializes a dock canvas; removing
+    it tears the dock down (reference window.py:294-332)."""
+    view, fake = make_fake_view(monkeypatch)
+    assert view.vis_rack is None
+    view._run('+ 1a signals_tpu.nodes.osc.Sine')
+    view._run('+ 2a signals_tpu.nodes.vis.Wave')
+    view._run('> 1a 2a.input')
+    assert view.vis_rack is not None and len(view.vis_rack) == 1
+    view._run('- 2a')
+    assert view.vis_rack is None
