@@ -174,22 +174,24 @@ def time_render(render_once, *, min_seconds=2.0, min_iters=3):
     return float(np.median(times))
 
 
-def time_render_pipelined(launch, *, n_outstanding=8, rounds=4):
+def time_render_pipelined(launch, *, n_outstanding=8, rounds=4,
+                          materialize=np.asarray):
     """Sustained wall time per call with ``n_outstanding`` async dispatches
     in flight — hides the host↔device round-trip of a single call.
-    ``launch(i)`` must return an (unblocked) device array.
+    ``launch(i)`` must return an (unblocked) device value;
+    ``materialize`` brings it fully to the host (default np.asarray).
 
-    Timing is to full host materialization (``np.asarray``), not
-    ``block_until_ready``: under the axon tunnel the latter can return
-    before remote execution finishes, producing fantasy numbers.
+    Timing is to full host materialization, not ``block_until_ready``:
+    under the axon tunnel the latter can return before remote execution
+    finishes, producing fantasy numbers.
     """
-    np.asarray(launch(0))               # warmup/compile
+    materialize(launch(0))              # warmup/compile
     best = float('inf')
     for _ in range(rounds):
         t0 = time.perf_counter()
         outs = [launch(i) for i in range(n_outstanding)]
         for o in outs:
-            np.asarray(o)
+            materialize(o)
         best = min(best, (time.perf_counter() - t0) / n_outstanding)
     return best
 
@@ -264,10 +266,24 @@ def bench_poly(root, hz_node, n_voices, *, seconds=1.0, label='',
             return codecs.ima_encode_jax(mix)
         raise ValueError(f'unknown fetch encoding {fetch!r}')
 
+    materialize = np.asarray
     if fetch == 'f32':
         def run(params, carry, position, host):
             mix, _ = fn(params, carry, position, host)
             return mix
+    elif fetch == 'slac':
+        # lossless: device delta+bit-pack of the PCM16 mix; fetch the
+        # 4-byte live length first, then only the compressed bytes.
+        # Bit-exact vs the PCM16 fetch (tests/test_codecs.py).
+        @jax.jit
+        def run(params, carry, position, host):
+            mix, _ = fn(params, carry, position, host)
+            return codecs.slac_encode_jax(
+                mix.reshape(n_blocks * BLOCK, -1))
+
+        def materialize(out):
+            buf, total = out
+            return np.asarray(buf[:int(total)])
     else:
         @jax.jit
         def run(params, carry, position, host):
@@ -277,11 +293,15 @@ def bench_poly(root, hz_node, n_voices, *, seconds=1.0, label='',
     def launch(i):
         return run(params, jax.tree.map(lambda x: x, carry0), 0, host)
 
-    t = time_render_pipelined(launch)
+    t = time_render_pipelined(launch, materialize=materialize)
     samples = n_blocks * BLOCK
-    return {'label': label, 'n_voices': n_voices, 'layout': layout,
-            'fetch': fetch, 'x_realtime': samples / RATE / t,
-            'samples_per_sec': samples / t, 'wall_per_call_s': t}
+    out = {'label': label, 'n_voices': n_voices, 'layout': layout,
+           'fetch': fetch, 'x_realtime': samples / RATE / t,
+           'samples_per_sec': samples / t, 'wall_per_call_s': t}
+    if fetch == 'slac':
+        payload = materialize(launch(0))
+        out['bytes_per_sample'] = payload.shape[0] / samples
+    return out
 
 
 def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0,
@@ -476,6 +496,10 @@ def main(argv=None):
     guard('c4_poly64_adpcm_fetch',
           lambda: bench_poly(voice4a, hz4a, 64, seconds=seconds,
                              label='poly-64-adpcm', fetch='adpcm'))
+    voice4s, hz4s = build_subtractive_voice()
+    guard('c4_poly64_slac_lossless_fetch',
+          lambda: bench_poly(voice4s, hz4s, 64, seconds=seconds,
+                             label='poly-64-slac', fetch='slac'))
     voice4f, hz4f = build_subtractive_voice()
     guard('c4_poly64_f32_fetch',
           lambda: bench_poly(voice4f, hz4f, 64, seconds=seconds,

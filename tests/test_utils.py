@@ -58,7 +58,16 @@ def test_checkpoint_roundtrip(tmp_path):
 
     b, _ = compiled.render(position=loaded['position'], n_blocks=6,
                            carry=loaded['carry'])
-    np.testing.assert_array_equal(np.concatenate([a, b]), full)
+    # the loop-free delay solver composes its affine segment scan per
+    # batch, so different batch splits reassociate within ~1 ulp (same
+    # contract as the streaming-filter mega path); identical splits are
+    # bit-exact
+    np.testing.assert_allclose(np.concatenate([a, b]), full, atol=1e-6,
+                               rtol=0)
+    a2, carry2 = compiled.render(position=0, n_blocks=6)
+    b2, _ = compiled.render(position=6 * F, n_blocks=6, carry=carry2)
+    np.testing.assert_array_equal(np.concatenate([a2, b2]),
+                                  np.concatenate([a, b]))
 
 
 def test_checkpoint_rejects_wrong_graph(tmp_path):
