@@ -1,0 +1,155 @@
+"""Realtime soak: a paced virtual-sink transport under live edits and
+seeks.
+
+Runs the mono subtractive voice through ``SinkDevice`` (realtime=True:
+render thread -> native ring -> sample-rate-paced consumer) for
+``--seconds`` of audio while sweeping the filter cutoff (traced edit,
+every ~2 s, no recompile) and seeking twice, then reports underruns and
+transport counters.  Pass/fail contract (also asserted by
+``tests/test_soak.py``): zero underruns outside seek recovery windows,
+monotonic post-seek progress, stable render latency, finite output.
+
+Usage::
+
+    python scripts/soak.py [--seconds 65]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_voice():
+    from signals_tpu.nodes.env import ADSR
+    from signals_tpu.nodes.fixed import Fixed
+    from signals_tpu.nodes.fx import Gain, LowPass, Mix, RingMod
+    from signals_tpu.nodes.osc import Sawtooth, Sine, Square
+
+    def fixed(v):
+        f = Fixed()
+        f.get_state().value = np.atleast_2d(
+            np.asarray(v, dtype=np.float32))
+        return f
+
+    hz = fixed(110.0)
+    saw = Sawtooth()
+    saw.hertz = hz
+    lfo = Sine()
+    lfo.hertz = fixed(0.5)
+    depth = Gain()
+    depth.left = lfo
+    depth.right = fixed(900.0)
+    base = fixed(2000.0)
+    cutoff = Mix()
+    cutoff.left = depth
+    cutoff.right = base
+    cutoff.mix = fixed(0.5)
+    lp = LowPass()
+    lp.input = saw
+    lp.cutoff = cutoff
+    gate = Square()
+    gate.hertz = fixed(2.0)
+    env = ADSR()
+    env.gate = gate
+    st = env.get_state()
+    st.attack, st.decay, st.sustain, st.release = 0.01, 0.08, 0.6, 0.1
+    out = RingMod()
+    out.left = lp
+    out.right = env
+    g = Gain()
+    g.left = out
+    g.right = fixed(0.5)
+    return g, base
+
+
+def soak(seconds: float = 65.0, *, block: int = 1024,
+         progress=lambda msg: print(msg, file=sys.stderr, flush=True)
+         ) -> dict:
+    from signals_tpu.nodes.dev import Rack, SinkDevice
+
+    rack = Rack()
+    rack.scan()
+    root, cutoff_base = build_voice()
+    sink = SinkDevice(rack.get_sink('null'), block_frames=block,
+                      realtime=True)
+    sink.get_state().channels = 1
+    sink.input = root
+    rate = sink.rate
+
+    seek_times = sorted({seconds * 0.33, seconds * 0.66})
+    seeks_done = []
+    edits = 0
+    underruns_at = []
+
+    sink.start()
+    t0 = time.monotonic()
+    warmup_s = 2.0
+    warm_underruns = None
+    next_edit = warmup_s
+    try:
+        while True:
+            elapsed = time.monotonic() - t0
+            if elapsed >= seconds:
+                break
+            if warm_underruns is None and elapsed >= warmup_s:
+                warm_underruns = sink.underruns
+            if elapsed >= next_edit:
+                # live traced edit: sweep the cutoff base — re-read by the
+                # render loop without recompiling
+                val = 1200.0 + 900.0 * np.sin(elapsed / 3.0)
+                cutoff_base.get_state().value = np.array(
+                    [[val]], dtype=np.float32)
+                edits += 1
+                next_edit += 2.0
+            if seek_times and elapsed >= seek_times[0]:
+                target_block = int((seek_times[0] + 5.0) * rate) // block
+                sink.seek(target_block)
+                seeks_done.append((round(elapsed, 1), target_block))
+                seek_times.pop(0)
+                underruns_at.append(sink.underruns)
+            if sink._transport is not None and sink._transport.error:
+                raise RuntimeError(
+                    f'transport died: {sink._transport.error!r}')
+            time.sleep(0.1)
+        final_underruns = sink.underruns
+        tell = sink.tell()
+        stats = (sink._transport.stats.summary(block, rate)
+                 if sink._transport is not None else {})
+    finally:
+        if sink.is_active:
+            sink.stop()
+        if sink.is_open:
+            sink.close()
+
+    report = {
+        'seconds': seconds,
+        'edits': edits,
+        'seeks': seeks_done,
+        'warmup_underruns': warm_underruns or 0,
+        'final_underruns': final_underruns,
+        'underruns_after_warmup': final_underruns - (warm_underruns or 0),
+        'position_blocks': tell,
+        'latency': stats,
+    }
+    progress(f'soak: {json.dumps(report)}')
+    return report
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--seconds', type=float, default=65.0)
+    parser.add_argument('--block', type=int, default=1024)
+    args = parser.parse_args(argv)
+    report = soak(args.seconds, block=args.block)
+    ok = report['underruns_after_warmup'] == 0
+    print(json.dumps({'ok': ok, **report}))
+    return 0 if ok else 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())
