@@ -1355,9 +1355,11 @@ class CompiledPatch:
                        subtype: str = 'mulaw', deliver_taps: bool = True):
         """Like :meth:`render`, but the sample encoding runs **on device**
         and raw payload bytes are fetched: 1 byte/sample (mu-law/A-law),
-        2 (PCM16) or ~0.5 (IMA ADPCM) instead of 4-byte floats.  The host
-        link — not the render rate — bounds bounce/stream throughput, so
-        device-side encoding is the production path for long bounces.
+        2 (PCM16), ~0.5 (IMA ADPCM) or ~0.5-1.5 **lossless**
+        (``'slac'`` — bit-exact PCM16, signal-dependent) instead of 4-byte
+        floats.  The host link — not the render rate — bounds
+        bounce/stream throughput, so device-side encoding is the
+        production path for long bounces.
 
         Returns ``(payload: np.ndarray, frames, carry')`` where payload is
         uint8 (int16 for ``'pcm16'``) in exactly the WAV ``data``-chunk
@@ -1370,6 +1372,11 @@ class CompiledPatch:
         host = self.stage_host(position, n_blocks)
         fn = self._encoded_fn(n_blocks, subtype)
         payload, carry2, taps = fn(params, carry, position, host)
+        if subtype == 'slac':
+            # (worst-case buffer, live length): fetch the 4-byte length,
+            # then slice so only compressed bytes cross the host link
+            buf, total = payload
+            payload = buf[:int(total)]
         frames = n_blocks * self.block_frames
         if deliver_taps:
             for uid, node in self.tap_nodes.items():
@@ -1404,6 +1411,8 @@ class CompiledPatch:
                 return codecs.alaw_encode(jnp, mix)
             if subtype == 'adpcm':
                 return codecs.ima_encode_jax(mix)
+            if subtype == 'slac':
+                return codecs.slac_encode_jax(mix)
             raise ValueError(f'unsupported device encoding {subtype!r}')
 
         @jax.jit

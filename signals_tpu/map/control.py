@@ -609,11 +609,13 @@ class CommandSet:
         [subtype]`` — renders the patch feeding a sink deterministically
         through the compiled engine and writes a WAV (no reference
         counterpart; the reference can only record in real time via
-        FileWriter).  ``subtype`` in {float32, pcm16, mulaw, alaw, adpcm}
-        picks the sample encoding; the non-float32 encodings run **on the
-        accelerator** and only the encoded payload crosses the host link
-        (2-8x fewer bytes — the link, not the render, bounds long
-        bounces)."""
+        FileWriter).  ``subtype`` in {float32, pcm16, mulaw, alaw, adpcm,
+        slac} picks the sample encoding; the non-float32 encodings run
+        **on the accelerator** and only the encoded payload crosses the
+        host link (2-8x fewer bytes — the link, not the render, bounds
+        long bounces).  ``slac`` is the *lossless* device encoding
+        (bit-exact PCM16, typically 2-4x smaller) and writes the native
+        ``.slac`` container."""
 
         at: Coordinates
         path: pathlib.Path
@@ -632,7 +634,8 @@ class CommandSet:
                                 default=1.0)
             parser.add_argument(
                 'subtype', nargs='?', default='float32',
-                choices=['float32', 'pcm16', 'mulaw', 'alaw', 'adpcm'])
+                choices=['float32', 'pcm16', 'mulaw', 'alaw', 'adpcm',
+                         'slac'])
 
         def affect(self, controller: 'Controller') -> None:
             from signals_tpu.runtime.wavio import write_wav

@@ -305,6 +305,115 @@ class AuWriter:
         self._f.close()
 
 
+# --- SLAC container (native lossless) -----------------------------------------
+#
+# ``.slac`` is this framework's own lossless stream format: the SLAC
+# payload (:mod:`signals_tpu.runtime.codecs` — delta + per-block
+# bit-packed PCM16, device-encodable) in a 24-byte container.  It exists
+# so device-lossless bounces (``bounce <at> <path.slac> <s> slac``) land
+# in a file that round-trips bit-exactly; the closest reference analogue
+# is libsndfile FLAC (``src/signals/chain/files.py:8``).
+
+_SLAC_MAGIC = b'SLAC'
+
+
+class SlacReader:
+    """Seekable reader: the payload decodes once on open (SLAC blocks
+    chain predictors, so random access works off the decoded PCM)."""
+
+    def __init__(self, path):
+        self.path = pathlib.Path(path)
+        with self.path.open('rb') as f:
+            hdr = f.read(24)
+            if len(hdr) < 24 or hdr[:4] != _SLAC_MAGIC:
+                raise SoundFileError(f'{self.path}: not a SLAC file')
+            version, ch, rate, n_flat, plen = struct.unpack(
+                '<BBIQ6s', hdr[4:])
+            plen = int.from_bytes(plen, 'little')
+            if version != 1:
+                raise SoundFileError(
+                    f'{self.path}: unsupported SLAC version {version}')
+            payload = np.frombuffer(f.read(plen), dtype=np.uint8)
+        from signals_tpu.runtime import codecs
+        self.rate = int(rate)
+        self.channels = int(ch)
+        pcm = codecs.slac_decode_np(payload, int(n_flat),
+                                    channels=self.channels)
+        self._audio = pcm.astype(np.float32) / 32767.0
+        self.frames = self._audio.shape[0]
+
+    def read(self, position: int, frames: int) -> np.ndarray:
+        out = np.zeros((frames, self.channels), dtype=np.float32)
+        lo = max(0, position)
+        hi = min(self.frames, position + frames)
+        if hi > lo:
+            out[lo - position:hi - position] = self._audio[lo:hi]
+        return out
+
+    def close(self) -> None:
+        self._audio = None
+
+
+class SlacWriter:
+    """Sequential writer.  Float blocks buffer and encode on close (the
+    predictors chain across the whole stream); device-encoded payloads
+    append via :meth:`write_encoded` without touching the samples."""
+
+    def __init__(self, path, *, rate: int, channels: int,
+                 subtype: str = 'slac'):
+        if subtype not in ('slac', 'float32'):
+            raise SoundFileError(
+                f'unsupported SLAC write subtype {subtype!r}')
+        self.path = pathlib.Path(path)
+        self.rate = int(rate)
+        self.channels = int(channels)
+        self.frames = 0
+        self._blocks: typing.Optional[list] = []
+        self._payloads: list = []
+
+    def write(self, block: np.ndarray) -> None:
+        if self._blocks is None:
+            raise SoundFileError(
+                'cannot mix write() and write_encoded() in one SLAC file')
+        block = np.asarray(block, dtype=np.float32)
+        block = np.broadcast_to(block, (block.shape[0], self.channels))
+        self._blocks.append(np.ascontiguousarray(block))
+        self.frames += block.shape[0]
+
+    def write_encoded(self, payload: np.ndarray, frames: int) -> None:
+        if self._blocks:
+            raise SoundFileError(
+                'cannot mix write() and write_encoded() in one SLAC file')
+        if self._payloads:
+            # predictors chain across block boundaries from stream start;
+            # two independently encoded payloads would decode the second
+            # against the first's tail — corrupt.  One bounce = one call.
+            raise SoundFileError(
+                'a SLAC file holds exactly one encoded payload')
+        self._blocks = None
+        self._payloads.append(np.ascontiguousarray(payload)
+                              .astype(np.uint8))
+        self.frames += int(frames)
+
+    def close(self) -> None:
+        from signals_tpu.runtime import codecs
+        if self._blocks is not None:
+            audio = (np.concatenate(self._blocks, axis=0) if self._blocks
+                     else np.zeros((0, self.channels), np.float32))
+            payload, n_flat = codecs.slac_encode_np(audio)
+        else:
+            payload = (np.concatenate(self._payloads)
+                       if self._payloads else np.zeros(0, np.uint8))
+            n_flat = self.frames * self.channels
+        with self.path.open('wb') as f:
+            f.write(_SLAC_MAGIC)
+            f.write(struct.pack('<BBIQ', 1, self.channels, self.rate,
+                                n_flat))
+            f.write(int(payload.shape[0]).to_bytes(6, 'little'))
+            f.write(payload.tobytes())
+        self._blocks, self._payloads = [], []
+
+
 # --- libsndfile dispatch (optional) ------------------------------------------
 
 
@@ -387,6 +496,7 @@ _NATIVE_READERS = {
     '.aifc': AiffReader,
     '.au': AuReader,
     '.snd': AuReader,
+    '.slac': SlacReader,
 }
 
 _NATIVE_WRITERS = {
@@ -397,6 +507,7 @@ _NATIVE_WRITERS = {
     '.aifc': AiffWriter,
     '.au': AuWriter,
     '.snd': AuWriter,
+    '.slac': SlacWriter,
 }
 
 
@@ -430,7 +541,7 @@ def open_writer(path, *, rate: int, channels: int, subtype: str = 'float32',
     ext = pathlib.Path(path).suffix.lower()
     cls = _NATIVE_WRITERS.get(ext)
     if cls is not None:
-        if cls in (wavio.WavWriter, AuWriter):
+        if cls in (wavio.WavWriter, AuWriter, SlacWriter):
             return cls(path, rate=rate, channels=channels, subtype=subtype)
         if subtype != 'float32':
             raise SoundFileError(

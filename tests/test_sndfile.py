@@ -253,3 +253,74 @@ def test_aifc_compressed_rejected(tmp_path):
         f.write(body)
     with pytest.raises(sndfile.SoundFileError, match='sowt'):
         sndfile.open_reader(path)
+
+
+class TestSlacContainer:
+    """The native .slac lossless container: write/read round trips are
+    bit-exact at PCM16 resolution; device-encoded payloads land
+    unchanged."""
+
+    def _sig(self, n=5000, channels=1):
+        t = np.arange(n) / 44100.0
+        x = (0.5 * np.sin(2 * np.pi * 330.0 * t)).astype(np.float32)
+        return np.stack([x * (1 - 0.4 * c) for c in range(channels)],
+                        axis=1)
+
+    @pytest.mark.parametrize('channels', [1, 2])
+    def test_write_read_round_trip(self, tmp_path, channels):
+        x = self._sig(channels=channels)
+        p = tmp_path / 'take.slac'
+        w = sndfile.open_writer(p, rate=44100, channels=channels,
+                                subtype='slac')
+        w.write(x[:3000])
+        w.write(x[3000:])
+        w.close()
+        r = sndfile.open_reader(p)
+        assert r.rate == 44100 and r.channels == channels
+        assert r.frames == x.shape[0]
+        got = r.read(0, r.frames)
+        r.close()
+        pcm = np.clip(np.round(x * 32767.0), -32768, 32767)
+        assert np.array_equal(
+            np.round(got * 32767.0).astype(np.int32),
+            pcm.astype(np.int32))
+
+    def test_write_encoded_payload(self, tmp_path):
+        from signals_tpu.runtime import codecs
+        x = self._sig()
+        payload, n = codecs.slac_encode_np(x)
+        p = tmp_path / 'bounced.slac'
+        w = sndfile.open_writer(p, rate=48000, channels=1, subtype='slac')
+        w.write_encoded(payload, x.shape[0])
+        w.close()
+        r = sndfile.open_reader(p)
+        assert r.rate == 48000 and r.frames == x.shape[0]
+        got = r.read(0, r.frames)
+        pcm = np.clip(np.round(x * 32767.0), -32768, 32767)
+        assert np.array_equal(np.round(got * 32767.0).astype(np.int32),
+                              pcm.astype(np.int32))
+        # a second payload must be refused (predictors chain from start)
+        w2 = sndfile.open_writer(tmp_path / 'two.slac', rate=44100,
+                                 channels=1, subtype='slac')
+        w2.write_encoded(payload, x.shape[0])
+        with pytest.raises(sndfile.SoundFileError):
+            w2.write_encoded(payload, x.shape[0])
+
+    def test_bounce_command_slac(self, tmp_path):
+        import io
+        from signals_tpu.map.control import Controller
+        c = Controller(interactive=False, stdout=io.StringIO())
+        c.default('+ 1a signals_tpu.nodes.fixed.Fixed value=[[440]]')
+        c.default('+ 2a signals_tpu.nodes.osc.Sine')
+        c.default('> 1a 2a.hertz')
+        c.default('sink 3a null')
+        c.default('> 2a 3a.input')
+        out = tmp_path / 'sine.slac'
+        c.default(f'bounce 3a {out} 0.25 slac')
+        r = sndfile.open_reader(out)
+        audio = r.read(0, r.frames)
+        r.close()
+        assert r.frames >= int(0.25 * 44100 * 0.9)
+        spec = np.abs(np.fft.rfft(audio[:, 0]))
+        freqs = np.fft.rfftfreq(audio.shape[0], 1 / 44100)
+        assert abs(freqs[spec.argmax()] - 440.0) < 5.0
