@@ -1,5 +1,12 @@
 """Render a short melody to WAV: sequencer -> subtractive voice."""
 
+import pathlib
+import sys
+
+# runnable as `python examples/<name>.py` from anywhere: the repo
+# root (the signals_tpu package) is the parent of this directory
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 import jax

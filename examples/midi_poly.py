@@ -6,8 +6,14 @@ voices, and renders the score as ONE fused program.  Point ``main`` at
 your own ``.mid`` to play it instead.
 """
 
-import struct
+import pathlib
 import sys
+
+# runnable as `python examples/<name>.py` from anywhere: the repo
+# root (the signals_tpu package) is the parent of this directory
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import struct
 
 import jax
 

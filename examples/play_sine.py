@@ -6,15 +6,25 @@ Connection is attribute assignment on ports, exactly like the reference's
 programmatic API; rendering goes through the compiled engine.
 """
 
+import pathlib
+import sys
+
+# runnable as `python examples/<name>.py` from anywhere: the repo
+# root (the signals_tpu package) is the parent of this directory
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import time
 
 import numpy as np
 
 import jax
 
-try:                                    # prefer the TPU; fall back to CPU
-    jax.devices()                       # (the axon plugin can be flaky in
-except RuntimeError:                    # fresh subprocesses)
+# CPU by default: probing the accelerator from a demo script can steal
+# (and wedge) a chip another process is using.  Opt in explicitly with
+# SIGNALS_TPU_EXAMPLE_TPU=1.
+import os
+
+if os.environ.get('SIGNALS_TPU_EXAMPLE_TPU') != '1':
     jax.config.update('jax_platforms', 'cpu')
 
 

@@ -1,6 +1,13 @@
 """Bounce a 16-voice chord of subtractive voices to a WAV file — the
 polyphonic (vmapped) path end-to-end."""
 
+import pathlib
+import sys
+
+# runnable as `python examples/<name>.py` from anywhere: the repo
+# root (the signals_tpu package) is the parent of this directory
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 import jax

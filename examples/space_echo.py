@@ -4,7 +4,13 @@ compressor, bounced to a FLAC (if soundfile is installed) or AIFF file.
 Run: python examples/space_echo.py [out.aiff]
 """
 
+import pathlib
 import sys
+
+# runnable as `python examples/<name>.py` from anywhere: the repo
+# root (the signals_tpu package) is the parent of this directory
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 
 import numpy as np
 
