@@ -235,3 +235,55 @@ def test_adaptive_stream_packing_narrow_voices():
     ref_poly.compiled.enable_mega = False
     ref, _ = ref_poly.render(n_blocks=nb)
     assert np.abs(got - ref).max() <= 2e-5
+
+
+def test_poly_delay_voices_loop_free():
+    """Polyphonic feedback-echo voices take the delay-solved mega path in
+    the channels layout and match the forced per-block scan."""
+    import signals_tpu.compiler as C
+    from signals_tpu.nodes.delay import Delay
+    from signals_tpu.nodes.fx import Mix
+
+    def _echo_voice():
+        hz = fixed(110.0)
+        saw = Sawtooth()
+        saw.hertz = hz
+        mix = Mix()
+        d = Delay()
+        # channels layout: explicit-channel nodes carry the voice lanes
+        d.get_state().channels = 4
+        d.get_state().frames = 2 * F
+        fb = Gain()
+        fb.left = d
+        fb.right = fixed(0.4)
+        mix.left = saw
+        mix.right = fb
+        mix.mix = fixed(0.6)
+        d.input = mix
+        g = Gain()
+        g.left = mix
+        g.right = fixed(0.25)
+        return g, hz
+
+    freqs = np.array([110.0, 165.0, 220.0, 330.0], dtype=np.float32)
+    root, hz = _echo_voice()
+    poly = PolyPatch(root, n_voices=4, overrides={(hz, 'value'): freqs},
+                     block_frames=F, rate=RATE, layout='channels')
+    assert poly.compiled.delay_mega_plan() is not None
+    got, carry = poly.render(n_blocks=12)
+
+    C._compile_cache.clear()
+    root2, hz2 = _echo_voice()
+    ref_poly = PolyPatch(root2, n_voices=4,
+                         overrides={(hz2, 'value'): freqs},
+                         block_frames=F, rate=RATE, layout='channels')
+    ref_poly.compiled.enable_mega = False
+    ref, _ = ref_poly.render(n_blocks=12)
+    assert np.abs(got - ref).max() <= 1e-6
+    # carry resumes through the solver
+    b, _ = poly.render(position=12 * F, n_blocks=4, carry=carry)
+    rb, _ = ref_poly.render(position=12 * F, n_blocks=4,
+                            carry=ref_poly.init_carry())
+    # (different carries: ref restarted; just shape/finite sanity here)
+    assert b.shape == rb.shape and np.isfinite(b).all()
+    C._compile_cache.clear()
