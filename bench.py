@@ -272,13 +272,13 @@ def bench_poly(root, hz_node, n_voices, *, seconds=1.0, label='',
             mix, _ = fn(params, carry, position, host)
             return mix
     elif fetch == 'slac':
-        # lossless: device delta+bit-pack of the PCM16 mix; fetch the
-        # 4-byte live length first, then only the compressed bytes.
+        # lossless: device Rice-coding (SLAC v2) of the PCM16 mix; fetch
+        # the 4-byte live length first, then only the compressed bytes.
         # Bit-exact vs the PCM16 fetch (tests/test_codecs.py).
         @jax.jit
         def run(params, carry, position, host):
             mix, _ = fn(params, carry, position, host)
-            return codecs.slac_encode_jax(
+            return codecs.slac2_encode_jax(
                 mix.reshape(n_blocks * BLOCK, -1))
 
         def materialize(out):

@@ -1355,9 +1355,9 @@ class CompiledPatch:
                        subtype: str = 'mulaw', deliver_taps: bool = True):
         """Like :meth:`render`, but the sample encoding runs **on device**
         and raw payload bytes are fetched: 1 byte/sample (mu-law/A-law),
-        2 (PCM16), ~0.5 (IMA ADPCM) or ~0.5-1.5 **lossless**
-        (``'slac'`` — bit-exact PCM16, signal-dependent) instead of 4-byte
-        floats.  The host link — not the render rate — bounds
+        2 (PCM16), ~0.5 (IMA ADPCM) or ~0.4-1.5 **lossless**
+        (``'slac'`` — Rice-coded bit-exact PCM16, signal-dependent)
+        instead of 4-byte floats.  The host link — not the render rate — bounds
         bounce/stream throughput, so device-side encoding is the
         production path for long bounces.
 
@@ -1412,7 +1412,7 @@ class CompiledPatch:
             if subtype == 'adpcm':
                 return codecs.ima_encode_jax(mix)
             if subtype == 'slac':
-                return codecs.slac_encode_jax(mix)
+                return codecs.slac2_encode_jax(mix)
             raise ValueError(f'unsupported device encoding {subtype!r}')
 
         @jax.jit

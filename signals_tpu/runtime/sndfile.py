@@ -308,8 +308,9 @@ class AuWriter:
 # --- SLAC container (native lossless) -----------------------------------------
 #
 # ``.slac`` is this framework's own lossless stream format: the SLAC
-# payload (:mod:`signals_tpu.runtime.codecs` — delta + per-block
-# bit-packed PCM16, device-encodable) in a 24-byte container.  It exists
+# payload (:mod:`signals_tpu.runtime.codecs` — version 1 delta +
+# per-block bit-packed PCM16, version 2 Rice-coded residuals; both
+# device-encodable) in a 24-byte container.  It exists
 # so device-lossless bounces (``bounce <at> <path.slac> <s> slac``) land
 # in a file that round-trips bit-exactly; the closest reference analogue
 # is libsndfile FLAC (``src/signals/chain/files.py:8``).
@@ -330,15 +331,16 @@ class SlacReader:
             version, ch, rate, n_flat, plen = struct.unpack(
                 '<BBIQ6s', hdr[4:])
             plen = int.from_bytes(plen, 'little')
-            if version != 1:
+            if version not in (1, 2):
                 raise SoundFileError(
                     f'{self.path}: unsupported SLAC version {version}')
             payload = np.frombuffer(f.read(plen), dtype=np.uint8)
         from signals_tpu.runtime import codecs
         self.rate = int(rate)
         self.channels = int(ch)
-        pcm = codecs.slac_decode_np(payload, int(n_flat),
-                                    channels=self.channels)
+        decode = (codecs.slac_decode_np if version == 1
+                  else codecs.slac2_decode_np)
+        pcm = decode(payload, int(n_flat), channels=self.channels)
         self._audio = pcm.astype(np.float32) / 32767.0
         self.frames = self._audio.shape[0]
 
@@ -360,13 +362,20 @@ class SlacWriter:
     append via :meth:`write_encoded` without touching the samples."""
 
     def __init__(self, path, *, rate: int, channels: int,
-                 subtype: str = 'slac'):
+                 subtype: str = 'slac',
+                 version: typing.Optional[int] = None):
         if subtype not in ('slac', 'float32'):
             raise SoundFileError(
                 f'unsupported SLAC write subtype {subtype!r}')
+        if version is None:
+            from signals_tpu.runtime import codecs
+            version = codecs.SLAC_STREAM_VERSION
+        if version not in (1, 2):
+            raise SoundFileError(f'unsupported SLAC version {version}')
         self.path = pathlib.Path(path)
         self.rate = int(rate)
         self.channels = int(channels)
+        self.version = int(version)
         self.frames = 0
         self._blocks: typing.Optional[list] = []
         self._payloads: list = []
@@ -380,10 +389,16 @@ class SlacWriter:
         self._blocks.append(np.ascontiguousarray(block))
         self.frames += block.shape[0]
 
-    def write_encoded(self, payload: np.ndarray, frames: int) -> None:
+    def write_encoded(self, payload: np.ndarray, frames: int, *,
+                      version: typing.Optional[int] = None) -> None:
         if self._blocks:
             raise SoundFileError(
                 'cannot mix write() and write_encoded() in one SLAC file')
+        if version is not None:
+            if version not in (1, 2):
+                raise SoundFileError(
+                    f'unsupported SLAC version {version}')
+            self.version = int(version)   # payload dictates the container
         if self._payloads:
             # predictors chain across block boundaries from stream start;
             # two independently encoded payloads would decode the second
@@ -400,15 +415,17 @@ class SlacWriter:
         if self._blocks is not None:
             audio = (np.concatenate(self._blocks, axis=0) if self._blocks
                      else np.zeros((0, self.channels), np.float32))
-            payload, n_flat = codecs.slac_encode_np(audio)
+            encode = (codecs.slac_encode_np if self.version == 1
+                      else codecs.slac2_encode_np)
+            payload, n_flat = encode(audio)
         else:
             payload = (np.concatenate(self._payloads)
                        if self._payloads else np.zeros(0, np.uint8))
             n_flat = self.frames * self.channels
         with self.path.open('wb') as f:
             f.write(_SLAC_MAGIC)
-            f.write(struct.pack('<BBIQ', 1, self.channels, self.rate,
-                                n_flat))
+            f.write(struct.pack('<BBIQ', self.version, self.channels,
+                                self.rate, n_flat))
             f.write(int(payload.shape[0]).to_bytes(6, 'little'))
             f.write(payload.tobytes())
         self._blocks, self._payloads = [], []

@@ -285,13 +285,16 @@ class TestSlacContainer:
             np.round(got * 32767.0).astype(np.int32),
             pcm.astype(np.int32))
 
-    def test_write_encoded_payload(self, tmp_path):
+    @pytest.mark.parametrize('version', [1, 2])
+    def test_write_encoded_payload(self, tmp_path, version):
         from signals_tpu.runtime import codecs
         x = self._sig()
-        payload, n = codecs.slac_encode_np(x)
+        encode = (codecs.slac_encode_np if version == 1
+                  else codecs.slac2_encode_np)
+        payload, n = encode(x)
         p = tmp_path / 'bounced.slac'
         w = sndfile.open_writer(p, rate=48000, channels=1, subtype='slac')
-        w.write_encoded(payload, x.shape[0])
+        w.write_encoded(payload, x.shape[0], version=version)
         w.close()
         r = sndfile.open_reader(p)
         assert r.rate == 48000 and r.frames == x.shape[0]
