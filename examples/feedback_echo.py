@@ -79,7 +79,8 @@ def main(out_path='echo.wav'):
     write_wav(out_path, audio, RATE)
     print(f'wrote {out_path}: {audio.shape[0]} frames, '
           f'peak {float(np.abs(audio).max()):.3f} '
-          f'(repeats every 0.375 s, -7 dB per pass)')
+          f'(repeats every 0.375 s, -13.9 dB per pass: the echo return '
+          f'is (1-mix)*gain = 0.45*0.45)')
 
 
 if __name__ == '__main__':

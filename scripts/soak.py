@@ -84,7 +84,9 @@ def soak(seconds: float = 65.0, *, block: int = 1024,
     seek_times = sorted({seconds * 0.33, seconds * 0.66})
     seeks_done = []
     edits = 0
-    underruns_at = []
+    recovery_s = 1.0          # post-seek window whose underruns are the
+    seek_window = None        # seek's own (ring refill), per the contract
+    seek_underruns = 0
 
     sink.start()
     t0 = time.monotonic()
@@ -98,6 +100,9 @@ def soak(seconds: float = 65.0, *, block: int = 1024,
                 break
             if warm_underruns is None and elapsed >= warmup_s:
                 warm_underruns = sink.underruns
+            if seek_window is not None and elapsed >= seek_window[1]:
+                seek_underruns += sink.underruns - seek_window[0]
+                seek_window = None
             if elapsed >= next_edit:
                 # live traced edit: sweep the cutoff base — re-read by the
                 # render loop without recompiling
@@ -107,16 +112,20 @@ def soak(seconds: float = 65.0, *, block: int = 1024,
                 edits += 1
                 next_edit += 2.0
             if seek_times and elapsed >= seek_times[0]:
+                if seek_window is not None:     # close an open window
+                    seek_underruns += sink.underruns - seek_window[0]
+                seek_window = (sink.underruns, elapsed + recovery_s)
                 target_block = int((seek_times[0] + 5.0) * rate) // block
                 sink.seek(target_block)
                 seeks_done.append((round(elapsed, 1), target_block))
                 seek_times.pop(0)
-                underruns_at.append(sink.underruns)
             if sink._transport is not None and sink._transport.error:
                 raise RuntimeError(
                     f'transport died: {sink._transport.error!r}')
             time.sleep(0.1)
         final_underruns = sink.underruns
+        if seek_window is not None:
+            seek_underruns += final_underruns - seek_window[0]
         tell = sink.tell()
         stats = (sink._transport.stats.summary(block, rate)
                  if sink._transport is not None else {})
@@ -132,7 +141,11 @@ def soak(seconds: float = 65.0, *, block: int = 1024,
         'seeks': seeks_done,
         'warmup_underruns': warm_underruns or 0,
         'final_underruns': final_underruns,
-        'underruns_after_warmup': final_underruns - (warm_underruns or 0),
+        'seek_window_underruns': seek_underruns,
+        # the contract counter: underruns after warmup and OUTSIDE the
+        # post-seek recovery windows (a seek legitimately drains the ring)
+        'underruns_after_warmup': (final_underruns - (warm_underruns or 0)
+                                   - seek_underruns),
         'position_blocks': tell,
         'latency': stats,
     }

@@ -156,23 +156,22 @@ def _affine_in_delay(start: Emitter, delay: Emitter) -> bool:
     return deg(start) is not None
 
 
-def plan_delays(index, block_frames: int, rate: int
-                ) -> typing.Optional[DelayPlan]:
-    """Build a :class:`DelayPlan` for the patch, or None when any delay
-    (or the surrounding patch structure) cannot be solved loop-free.
+def structural_delays(index, block_frames: int, rate: int
+                      ) -> typing.Optional[list]:
+    """The patch's delay nodes, if the *surrounding* structure supports
+    whole-window (mega-style) lowering — or None.
 
     Conditions mirror :attr:`CompiledPatch.mega_compatible` for the
-    non-delay part of the patch, plus per-delay solvability:
+    non-delay part of the patch:
 
     * at least one delay; every delay >= one block long (the engine's
       feedback-latency rule);
     * no host-fed sources (mega windows stage no host input);
     * every other stateful node offers ``mega_step``/grid lowering and is
-      consumed only at the main window;
-    * no two distinct delays are mutually dependent (a coupled 2-state
-      system — per-block scan handles it);
-    * every self-dependent delay's loop is frame-local affine
-      (:func:`_affine_in_delay`).
+      consumed only at the main window.
+
+    Shared precondition of the loop-free solver (:func:`plan_delays`)
+    and the segmented scan (:func:`segment_blocks`).
     """
     from signals_tpu.compiler import (
         Window,
@@ -197,6 +196,54 @@ def plan_delays(index, block_frames: int, rate: int
                 return None
             if index.info(node).windows - {main}:
                 return None
+    return delays
+
+
+def segment_blocks(index, block_frames: int, rate: int) -> int:
+    """Largest whole-window segment length, in blocks, for the segmented
+    feedback scan — or 0 when the structure disqualifies it.
+
+    Inside a window of ``S`` blocks with ``S * block_frames <= D`` for
+    every delay ``D``, every delay read is served entirely from the
+    carried buffer — there is NO cycle within the window, whatever the
+    loop topology (nonlinear saturated echoes, mutually-coupled
+    ping-pong pairs, longer chains).  The compiler can therefore lower
+    the whole segment like one mega window and ``lax.scan`` over
+    segments, paying per-step overhead once per ``S`` blocks instead of
+    per block.  This is the general fallback between the closed-form
+    affine solver (:func:`plan_delays`, O(log n) depth) and the
+    per-block scan (S effectively 1).
+
+    Requires every delay to be consumed only at the main block window
+    (context/block-rate pulls of a delayed signal keep the block scan).
+    """
+    from signals_tpu.compiler import Window
+
+    delays = structural_delays(index, block_frames, rate)
+    if not delays:
+        return 0
+    main = Window(0, block_frames)
+    for d in delays:
+        if index.info(d).windows - {main}:
+            return 0
+    return min(d.delay_frames(rate) // block_frames for d in delays)
+
+
+def plan_delays(index, block_frames: int, rate: int
+                ) -> typing.Optional[DelayPlan]:
+    """Build a :class:`DelayPlan` for the patch, or None when any delay
+    (or the surrounding patch structure) cannot be solved loop-free.
+
+    Conditions: :func:`structural_delays` plus per-delay solvability:
+
+    * no two distinct delays are mutually dependent (a coupled 2-state
+      system — the segmented scan handles it);
+    * every self-dependent delay's loop is frame-local affine
+      (:func:`_affine_in_delay`).
+    """
+    delays = structural_delays(index, block_frames, rate)
+    if delays is None:
+        return None
 
     up_in: dict = {}
     for d in delays:

@@ -271,13 +271,14 @@ SLAC_BLOCK = 256
 _SLAC_MAX_W = 18
 
 
-def _slac_plan_np(x):
-    """PCM16 quantization (32767 scale, matching the PCM16 fetch/file
-    writers) flattened channel-major — channel planes concatenate into
-    one stream (lossless; costs one spurious delta per boundary)."""
-    x = np.atleast_2d(np.asarray(x, dtype=np.float32))
-    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int32)
-    return np.ascontiguousarray(pcm.T).reshape(-1)
+def _slac_pcm16(xp, x):
+    """Shared (np/jax) PCM16 quantization (32767 scale, matching the
+    PCM16 fetch/file writers) flattened channel-major — channel planes
+    concatenate into one stream (lossless; costs one spurious delta per
+    boundary)."""
+    x = xp.atleast_2d(xp.asarray(x, dtype=xp.float32))
+    pcm = xp.clip(xp.round(x * F32(32767.0)), -32768, 32767)
+    return pcm.astype(xp.int32).T.reshape(-1)
 
 
 def _slac_widths(xp, res):
@@ -289,6 +290,21 @@ def _slac_widths(xp, res):
     return zz, w
 
 
+def _slac_select(xp, cand, nb, N):
+    """Shared (np/jax) per-block predictor-order/width selection from the
+    stacked residual candidates ``cand`` of shape (n_ord, nb*N).
+    Returns ``(order, width, zz)`` with ``zz`` the winning (nb, N)
+    zigzags — identical argmin tie-breaking in both backends (first
+    minimum over the order axis), keeping the encoders byte-identical."""
+    zz, w = _slac_widths(xp, cand)
+    wmax = w.reshape(-1, nb, N).max(axis=2)              # (n_ord, nb)
+    order = xp.argmin(wmax, axis=0).astype(xp.int32)     # first min
+    width = xp.take_along_axis(wmax, order[None], axis=0)[0]
+    zzb = xp.take_along_axis(zz.reshape(-1, nb, N),
+                             order[None, :, None], axis=0)[0]  # (nb, N)
+    return order, width, zzb
+
+
 def slac_encode_np(x) -> typing.Tuple[np.ndarray, int]:
     """float32 (frames, ch) -> (payload bytes uint8, n_samples).
 
@@ -298,7 +314,7 @@ def slac_encode_np(x) -> typing.Tuple[np.ndarray, int]:
     previous block's tail samples (the data is all present — no reset
     transient, unlike the ADPCM block restart).
     """
-    pcm = _slac_plan_np(x)
+    pcm = _slac_pcm16(np, x)
     n = pcm.shape[0]
     N = SLAC_BLOCK
     nb = -(-n // N) if n else 0
@@ -306,21 +322,16 @@ def slac_encode_np(x) -> typing.Tuple[np.ndarray, int]:
         return np.zeros(0, dtype=np.uint8), 0
     pad = nb * N - n
     s = np.concatenate([pcm, np.zeros(pad, dtype=np.int32)])
-    prev1 = np.concatenate([[0], s[:-1]])
-    prev2 = np.concatenate([[0], prev1[:-1]])
-    cand = [s, s - prev1, s - 2 * prev1 + prev2]
-    zzs, ws = zip(*(_slac_widths(np, r) for r in cand))
-    wmax = [w.reshape(nb, N).max(axis=1) for w in ws]      # (nb,) each
-    order = np.argmin(np.stack(wmax, axis=0), axis=0)      # (nb,)
-    width = np.take_along_axis(np.stack(wmax, axis=0), order[None],
-                               axis=0)[0]
-    zz = np.take_along_axis(
-        np.stack([z.reshape(nb, N) for z in zzs], axis=0),
-        order[None, :, None], axis=0)[0]                   # (nb, N)
+    prev1 = np.concatenate([[0], s[:-1]]).astype(np.int32)
+    prev2 = np.concatenate([[0], prev1[:-1]]).astype(np.int32)
+    cand = np.stack([s, s - prev1, s - 2 * prev1 + prev2])
+    order, width, zz = _slac_select(np, cand, nb, N)
     hdr = (order.astype(np.uint8) << 5) | width.astype(np.uint8)
 
-    # pack: bit j of block i = bit (j % w) of zz[i, j // w], j < N*w
-    max_bytes = (N * _SLAC_MAX_W + 7) // 8
+    # pack: bit j of block i = bit (j % w) of zz[i, j // w], j < N*w.
+    # The table is sized to the stream's actual worst width, not the
+    # 18-bit format bound (the jax encoder keeps the static bound).
+    max_bytes = (N * max(int(width.max()), 1) + 7) // 8
     j = np.arange(max_bytes * 8)
     w_safe = np.maximum(width, 1)[:, None]
     idx = np.minimum(j[None, :] // w_safe, N - 1)
@@ -333,11 +344,12 @@ def slac_encode_np(x) -> typing.Tuple[np.ndarray, int]:
     nbytes = 1 + (N * width + 7) // 8                      # per block
     offsets = np.concatenate([[0], np.cumsum(nbytes)])
     total = int(offsets[-1])
-    out = np.zeros(total, dtype=np.uint8)
-    out[offsets[:-1]] = hdr
-    for i in range(nb):                                    # payload copy
-        nb_i = nbytes[i] - 1
-        out[offsets[i] + 1:offsets[i + 1]] = bytes_[i, :nb_i]
+    # stream compaction: same searchsorted gather as the jax encoder
+    pos = np.arange(total, dtype=np.int64)
+    blk = np.searchsorted(offsets[1:], pos, side='right')
+    within = pos - offsets[blk]
+    out = np.where(within == 0, hdr[blk],
+                   bytes_[blk, np.maximum(within - 1, 0)]).astype(np.uint8)
     return out, n
 
 
@@ -388,27 +400,18 @@ def slac_encode_jax(x):
     """
     import jax.numpy as jnp
 
-    x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.float32))
-    frames, ch = x.shape
-    pcm = jnp.clip(jnp.round(x * F32(32767.0)), -32768, 32767)
-    pcm = pcm.astype(jnp.int32).T.reshape(-1)
-    n = frames * ch
+    pcm = _slac_pcm16(jnp, x)
+    n = pcm.shape[0]
     N = SLAC_BLOCK
     nb = -(-n // N)
+    if nb == 0:                          # mirror slac_encode_np's guard
+        return jnp.zeros(0, dtype=jnp.uint8), jnp.int32(0)
     pad = nb * N - n
     s = jnp.concatenate([pcm, jnp.zeros(pad, dtype=jnp.int32)])
     prev1 = jnp.concatenate([jnp.zeros(1, jnp.int32), s[:-1]])
     prev2 = jnp.concatenate([jnp.zeros(1, jnp.int32), prev1[:-1]])
     cand = jnp.stack([s, s - prev1, s - 2 * prev1 + prev2])   # (3, nb*N)
-    zz = (cand << 1) ^ (cand >> 31)
-    w = jnp.zeros_like(zz)
-    for j in range(_SLAC_MAX_W):
-        w = jnp.where(zz >= (1 << j), j + 1, w)
-    wmax = w.reshape(3, nb, N).max(axis=2)                    # (3, nb)
-    order = jnp.argmin(wmax, axis=0)                          # (nb,)
-    width = jnp.take_along_axis(wmax, order[None], axis=0)[0]
-    zzb = jnp.take_along_axis(
-        zz.reshape(3, nb, N), order[None, :, None], axis=0)[0]  # (nb, N)
+    order, width, zzb = _slac_select(jnp, cand, nb, N)
     hdr = ((order << 5) | width).astype(jnp.uint8)
 
     max_bytes = (N * _SLAC_MAX_W + 7) // 8
@@ -553,7 +556,7 @@ def slac2_encode_np(x) -> typing.Tuple[np.ndarray, int]:
     """float32 (frames, ch) -> (payload bytes uint8, n_samples), Rice
     stream (container version 2).  Bit-exact inverse:
     :func:`slac2_decode_np`."""
-    pcm = _slac_plan_np(x)
+    pcm = _slac_pcm16(np, x)
     n = pcm.shape[0]
     N = SLAC_BLOCK
     nb = -(-n // N) if n else 0
@@ -564,15 +567,24 @@ def slac2_encode_np(x) -> typing.Tuple[np.ndarray, int]:
     zz3 = ((cand << 1) ^ (cand >> 31)).reshape(4, nb, N)
     order, k, zz = _slac2_plan(np, zz3)
 
-    j = np.arange(_SLAC2_MAX_BITS, dtype=np.int32)
     chunk = 2048                          # bound the (blocks, bits) table
     hdr0 = ((order << 5) | k).astype(np.uint8)
     nbytes_all = np.empty(nb, dtype=np.int64)
     payloads = []
     for lo in range(0, nb, chunk):
         hi = min(nb, lo + chunk)
-        bit, total_bits = _slac2_code_bits(np, zz[lo:hi], k[lo:hi], j)
-        by = (bit.reshape(hi - lo, _SLAC2_MAX_PAY, 8)
+        zzc, kc = zz[lo:hi], k[lo:hi]
+        # cheap (m, N) pre-pass for the chunk's worst block bit count so
+        # the (m, bits) table is sized to the data, not the 9216-bit
+        # worst case (~10x less work on typical audio; the jax encoder
+        # keeps the static worst case — XLA needs static shapes)
+        qpre = zzc >> kc[:, None]
+        lnpre = np.where(qpre >= SLAC2_Q0, _SLAC2_ESC_LEN,
+                         qpre + 1 + kc[:, None])
+        maxb = int(lnpre.sum(axis=1, dtype=np.int64).max())
+        j = np.arange(-(-maxb // 8) * 8, dtype=np.int32)
+        bit, total_bits = _slac2_code_bits(np, zzc, kc, j)
+        by = (bit.reshape(hi - lo, -1, 8)
               * (1 << np.arange(8))[None, None, :]
               ).sum(axis=2).astype(np.uint8)
         pay_bytes = (total_bits + 7) // 8
@@ -583,12 +595,18 @@ def slac2_encode_np(x) -> typing.Tuple[np.ndarray, int]:
     out[offsets[:-1]] = hdr0
     out[offsets[:-1] + 1] = (nbytes_all & 0xFF).astype(np.uint8)
     out[offsets[:-1] + 2] = ((nbytes_all >> 8) & 0xFF).astype(np.uint8)
-    i = 0
-    for by, pay_bytes in payloads:
-        for row in range(by.shape[0]):
-            pb = int(pay_bytes[row])
-            out[offsets[i] + 3:offsets[i + 1]] = by[row, :pb]
-            i += 1
+    # stream compaction: per-chunk searchsorted scatter (the jax
+    # encoder's gather, run chunkwise so the bit tables stay bounded)
+    lo = 0
+    for by, _pay_bytes in payloads:
+        hi = lo + by.shape[0]
+        pos = np.arange(offsets[lo], offsets[hi], dtype=np.int64)
+        blk = lo + np.searchsorted(offsets[lo + 1:hi + 1], pos,
+                                   side='right')
+        within = pos - offsets[blk]
+        m = within >= 3
+        out[pos[m]] = by[blk[m] - lo, within[m] - 3]
+        lo = hi
     return out, n
 
 
@@ -678,13 +696,12 @@ def slac2_encode_jax(x):
     Byte-identical to :func:`slac2_encode_np`."""
     import jax.numpy as jnp
 
-    x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.float32))
-    frames, ch = x.shape
-    pcm = jnp.clip(jnp.round(x * F32(32767.0)), -32768, 32767)
-    pcm = pcm.astype(jnp.int32).T.reshape(-1)
-    n = frames * ch
+    pcm = _slac_pcm16(jnp, x)
+    n = pcm.shape[0]
     N = SLAC_BLOCK
     nb = -(-n // N)
+    if nb == 0:                          # mirror slac2_encode_np's guard
+        return jnp.zeros(0, dtype=jnp.uint8), jnp.int32(0)
     s = jnp.concatenate([pcm, jnp.zeros(nb * N - n, dtype=jnp.int32)])
     cand = _slac2_residual_cands(jnp, s)
     zz3 = ((cand << 1) ^ (cand >> 31)).reshape(4, nb, N)

@@ -32,6 +32,7 @@ class VisRack:
         self._figure = None
         self._axes: list = []
         self._frozen: set[int] = set()
+        self._plt_manager = None    # adopted interactive-backend manager
 
     def add(self, name: str, node: Vis) -> None:
         if not isinstance(node, Vis):
@@ -99,8 +100,14 @@ class VisRack:
         from matplotlib.animation import FuncAnimation
         fig = self._ensure_figure()
         if getattr(fig.canvas, 'manager', None) is None:
-            # attach the interactive backend's canvas/manager
-            mgr = plt.figure().canvas.manager
+            # attach the interactive backend's canvas/manager.  The
+            # manager is created once via a throwaway pyplot figure and
+            # cached: re-animating after the rack relayouts re-points the
+            # SAME manager at the new Figure, so Gcf never accumulates
+            # orphaned managers/figures across animate() calls.
+            if self._plt_manager is None:
+                self._plt_manager = plt.figure().canvas.manager
+            mgr = self._plt_manager
             mgr.canvas.figure = fig
             fig.set_canvas(mgr.canvas)
         return FuncAnimation(fig, lambda _frame: self.update(),
