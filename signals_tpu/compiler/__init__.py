@@ -812,13 +812,16 @@ class _Compiler:
         enabled = self.node_param(node, 'enabled')
         return jnp.where(enabled, out, F32(0.0))
 
-    def finalize_delays(self) -> None:
+    def finalize_delays(self, main: typing.Optional[Window] = None) -> None:
         """After the sink and taps are lowered, lower every delay's input at
         the main window and emit its buffer update.  Lowering one delay's
         input may reference other delays' outputs (their reads come from
         carry, so no cycle); every delay in the index gets its buffer
-        advanced."""
+        advanced.  ``main`` defaults to the single-block window; the
+        segmented feedback scan passes its whole-segment window."""
         import jax.numpy as jnp
+        if main is None:
+            main = Window(0, self.block_frames)
         for node in self.index.order:
             if not _is_delay(node):
                 continue
@@ -827,12 +830,11 @@ class _Compiler:
             B = buf.shape[0]
             inp = node._ports['input'].sig
             if inp is None:
-                block = jnp.zeros(
-                    (self.block_frames, node.channels), dtype=F32)
+                block = jnp.zeros((main.frames, node.channels), dtype=F32)
             else:
                 block = jnp.broadcast_to(
-                    self.lower(inp, Window(0, self.block_frames)),
-                    (self.block_frames, node.channels))
+                    self.lower(inp, main),
+                    (main.frames, node.channels))
             self.carry_out[uid] = {
                 'buf': jnp.concatenate([buf, block], axis=0)[-B:]}
 
@@ -1151,6 +1153,81 @@ class CompiledPatch:
 
         return many
 
+    def segment_scan_core(self, n_blocks: int):
+        """Segmented feedback scan, or None: the general fast path for
+        delay feedback the closed-form solver rejects (nonlinear
+        saturated loops, mutually-coupled ping-pong pairs, longer
+        dependency cycles).
+
+        Inside a window of ``S`` blocks with ``S * F <= D`` for every
+        delay, every delay read is served entirely from the carried
+        buffer — there is NO cycle within the window, whatever the loop
+        topology — so the window lowers exactly like a mega window
+        (stateful nodes mega-step, producers trace once over ``S*F``
+        frames) and one ``lax.scan`` chains segments.  Per-step scan
+        overhead is paid once per ``S`` blocks instead of per block, and
+        each step is ``S``-fold wider vectorized work.
+
+        ``S`` is the largest divisor of ``n_blocks`` within the delay
+        bound (one trace, no tail window).  Semantics are identical to
+        the per-block scan: block-quantized feedback, carried buffers,
+        ``enabled`` gating, the same ``finalize_delays`` buffer advance.
+        """
+        import jax
+        import jax.numpy as jnp
+        if not self.enable_mega or n_blocks < 2:
+            return None
+        if not hasattr(self, '_segment_S'):
+            from signals_tpu.compiler import feedback
+            self._segment_S = feedback.segment_blocks(
+                self.index, self.block_frames, self.rate)
+        s_max = min(self._segment_S, n_blocks)
+        S = max((s for s in range(1, s_max + 1) if n_blocks % s == 0),
+                default=1)
+        if S < 2:
+            return None
+        n_seg = n_blocks // S
+        index = self.index
+        root = self.root
+        channels = self.channels
+        F = self.block_frames
+        main = Window(0, S * F)
+
+        def seg(params, carry, position0):
+            comp = _Compiler(index)
+            comp.mega = (F, S)
+            comp.params = params
+            comp.carry_in = carry
+            comp.position = jnp.int32(position0)
+            comp.host = {}
+            block = comp.lower(root, main)
+            block = jnp.broadcast_to(block, (S * F, channels))
+            comp.finalize_delays(main)
+            comp.passthrough_carry()
+            taps = {uid: t.reshape(S, F, -1)
+                    for uid, t in comp.taps.items()}
+            return block.reshape(S, F, channels), comp.carry_out, taps
+
+        if n_seg == 1:
+            def many(params, carry, position0, host_staged):
+                return seg(params, carry, position0)
+            return many
+
+        def many(params, carry, position0, host_staged):
+            def body(c, s):
+                blocks, c2, taps = seg(
+                    params, c, jnp.int32(position0) + s * jnp.int32(S * F))
+                return c2, (blocks, taps)
+
+            carry2, (blocks, taps) = jax.lax.scan(
+                body, carry, jnp.arange(n_seg, dtype=jnp.int32))
+            blocks = blocks.reshape(n_blocks, F, channels)
+            taps = {uid: t.reshape(n_blocks, F, -1)
+                    for uid, t in taps.items()}
+            return blocks, carry2, taps
+
+        return many
+
     def packed_mega_streams(self, n_blocks: int):
         """Stream-packed mega render plan, or ``None`` when ineligible.
 
@@ -1294,6 +1371,10 @@ class CompiledPatch:
             many = self.mega_core(n_blocks)
         elif delay_plan is not None:
             many = self.delay_mega_core(n_blocks, delay_plan)
+        elif (seg_many := self.segment_scan_core(n_blocks)) is not None:
+            # feedback the solver rejects (nonlinear loops, coupled
+            # delay pairs): scan whole D-bounded segments, not blocks
+            many = seg_many
         elif stateless:
             def many(params, carry, position0, host_staged):
                 def one(pos, host):

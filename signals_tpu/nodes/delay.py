@@ -72,6 +72,16 @@ class Delay(StatefulEmitter, ExplicitChannels, Receiver):
         nframes = loc.shape.frames
         D = self._state.frames
         ch = self.channels
+        if (self._carry is not None
+                and loc.end_position <= self._carry_position):
+            # read-only history request (a context-filter lookback,
+            # ``forward_with_context`` pulls past-then-current): served
+            # from the retained input line WITHOUT touching the carry.
+            # The old behavior re-initialized the carry to zeros here,
+            # silencing (and corrupting) every context filter downstream
+            # of a delay — the compiled engine, which serves these from
+            # the carried buffer, is the semantic model.
+            return self._read_history(loc)
         if D < nframes:
             raise ChainLayerError(
                 f'Delay of {D} frames is shorter than the {nframes}-frame '
@@ -80,6 +90,7 @@ class Delay(StatefulEmitter, ExplicitChannels, Receiver):
             self._carry = self.init_carry(channels=ch, rate=loc.rate,
                                           block_frames=nframes)
             self._carry_position = loc.position
+            self._start_pos = loc.position
         if loc.position != self._carry_position:
             raise ChainLayerError(
                 f'Delay requires block-monotonic pull evaluation (expected '
@@ -97,4 +108,50 @@ class Delay(StatefulEmitter, ExplicitChannels, Receiver):
         else:
             block = np.zeros((nframes, ch), dtype=F32)
         self._carry = {'buf': np.concatenate([buf, block], axis=0)[-B:]}
+        return out
+
+    def _read_history(self, loc) -> np.ndarray:
+        """Serve an output window that lies entirely behind the carry
+        position: ``o[t] = u[t - D]`` off the retained input line.
+
+        Retention grows adaptively: while the buffer still covers the
+        whole stream (so the frames a wider buffer would need are
+        provably pre-stream silence) it is zero-padded in place to the
+        requested lookback — the context-filter pull pattern repeats
+        every block from the stream start, so steady state is reached
+        while that holds.  A lookback beyond retained history (e.g. a
+        context consumer attached mid-stream) is an error, not silence.
+        """
+        D = self._state.frames
+        ch = self.channels
+        buf = self._carry['buf']
+        B = buf.shape[0]
+        cp = self._carry_position       # input retained through cp
+        start = getattr(self, '_start_pos', 0)
+        q0, q1 = loc.position, loc.end_position
+        lo, hi = q0 - D, q1 - D         # input span backing this window
+        out = np.zeros((loc.shape.frames, ch), dtype=F32)
+        s0 = max(lo, start)             # frames before the stream: silence
+        # proactive retention: this consumer's pattern implies reads
+        # ``cp - lo`` frames back every block (early reads are clamped at
+        # the stream start, so the current need understates it) — grow
+        # while the buffer still covers the whole stream, i.e. while the
+        # frames a wider buffer would hold are provably pre-stream zeros
+        want = cp - lo
+        if want > B and cp - start <= B:
+            buf = np.concatenate(
+                [np.zeros((want - B, ch), dtype=F32), buf])
+            self._carry = {'buf': buf}
+            B = want
+        if s0 < hi:
+            need = cp - s0              # lookback into the input line
+            if need > B:
+                raise ChainLayerError(
+                    f'Delay history of {B} frames cannot serve a '
+                    f'context read {need} frames back; the consumer '
+                    f'was attached mid-stream')
+            i0 = s0 - (cp - B)
+            out[s0 - lo:hi - lo] = buf[i0:i0 + (hi - s0)]
+        if not self._state.enabled:
+            out = np.zeros_like(out)
         return out

@@ -309,3 +309,243 @@ class TestTapsThroughSolver:
         fed = np.concatenate([np.broadcast_to(b, (F, 1)) for b in got])
         assert np.allclose(fed, audio, atol=1e-6)
         C._compile_cache.clear()
+
+
+class TestSegmentScan:
+    """The segmented feedback scan (``CompiledPatch.segment_scan_core``):
+    loops the affine solver rejects render as a ``lax.scan`` over
+    D-bounded whole segments — same semantics as the per-block scan,
+    paid once per ``floor(D/F)`` blocks."""
+
+    def _drive_echo(self, delay_frames=5 * F + 17):
+        osc = Sine()
+        osc.hertz = fixed(110.0)
+        mix = Mix()
+        d = Delay()
+        d.get_state().frames = delay_frames
+        fb = Gain()
+        fb.left = d
+        fb.right = fixed(0.6)
+        shaper = Drive()
+        shaper.input = fb
+        shaper.drive = fixed(2.5)
+        mix.left = osc
+        mix.right = shaper
+        mix.mix = fixed(0.55)
+        d.input = mix
+        return mix, d
+
+    def test_nonlinear_loop_segments(self):
+        root, _ = self._drive_echo()
+        c = compile_node(root, block_frames=F, rate=RATE, channels=1)
+        assert c.delay_mega_plan() is None          # tanh: not affine
+        assert c.segment_scan_core(15) is not None  # S = 5, 3 segments
+        C._compile_cache.clear()
+        fast, slow = render_both(root, 15)
+        assert np.abs(fast - slow).max() < 1e-6
+        oracle = pull_blocks(root, 15, block_frames=F, rate=RATE)
+        assert np.abs(fast - oracle).max() < 1e-6
+
+    def test_coupled_pingpong_segments(self):
+        osc = Sine()
+        osc.hertz = fixed(220.0)
+        dA = Delay()
+        dA.get_state().frames = 4 * F
+        dB = Delay()
+        dB.get_state().frames = 6 * F + 3
+        gA = Gain()
+        gA.left = dB
+        gA.right = fixed(0.5)
+        gB = Gain()
+        gB.left = dA
+        gB.right = fixed(0.55)
+        mixA = Mix()
+        mixA.left = osc
+        mixA.right = gA
+        mixA.mix = fixed(0.5)
+        dA.input = mixA
+        dB.input = gB
+        out = Mix()
+        out.left = dA
+        out.right = dB
+        out.mix = fixed(0.5)
+        c = compile_node(out, block_frames=F, rate=RATE, channels=1)
+        assert c.delay_mega_plan() is None          # mutually coupled
+        assert c.segment_scan_core(16) is not None  # S = 4
+        C._compile_cache.clear()
+        fast, slow = render_both(out, 16)
+        assert np.abs(fast - slow).max() < 1e-6
+        oracle = pull_blocks(out, 16, block_frames=F, rate=RATE)
+        assert np.abs(fast - oracle).max() < 1e-6
+
+    def test_streaming_filter_in_loop(self):
+        # the classic dub delay: a damping filter inside the feedback
+        # path; its exact-streaming state chains across segments
+        from signals_tpu.nodes.fx import LowPass
+        osc = Sine()
+        osc.hertz = fixed(110.0)
+        mix = Mix()
+        d = Delay()
+        d.get_state().frames = 6 * F + 5
+        lp = LowPass()
+        lp.input = d
+        lp.cutoff = fixed(1500.0)
+        lp.get_state().streaming = True
+        fb = Gain()
+        fb.left = lp
+        fb.right = fixed(0.6)
+        mix.left = osc
+        mix.right = fb
+        mix.mix = fixed(0.55)
+        d.input = mix
+        c = compile_node(mix, block_frames=F, rate=RATE, channels=1)
+        assert c.delay_mega_plan() is None
+        assert c.segment_scan_core(18) is not None  # S = 6
+        C._compile_cache.clear()
+        fast, slow = render_both(mix, 18)
+        assert np.abs(fast - slow).max() < 1e-6
+        oracle = pull_blocks(mix, 18, block_frames=F, rate=RATE)
+        assert np.abs(fast - oracle).max() < 1e-6
+
+    def test_carry_continuation(self):
+        root, _ = self._drive_echo()
+        c = compile_node(root, block_frames=F, rate=RATE, channels=1)
+        a, carry = c.render(position=0, n_blocks=10, deliver_taps=False)
+        b, _ = c.render(position=10 * F, n_blocks=10, carry=carry,
+                        deliver_taps=False)
+        oracle = pull_blocks(root, 20, block_frames=F, rate=RATE)
+        got = np.concatenate([a, b])
+        assert np.abs(got - oracle).max() < 1e-6
+        C._compile_cache.clear()
+
+    def test_short_delay_falls_back(self):
+        # one-block delay: S_max = 1, segment scan declines, the
+        # per-block scan still renders correctly
+        root, _ = self._drive_echo(delay_frames=F)
+        c = compile_node(root, block_frames=F, rate=RATE, channels=1)
+        assert c.segment_scan_core(16) is None
+        got, _ = c.render(position=0, n_blocks=8, deliver_taps=False)
+        oracle = pull_blocks(root, 8, block_frames=F, rate=RATE)
+        assert np.abs(got - oracle).max() < 1e-6
+        C._compile_cache.clear()
+
+    def test_block_rate_pull_of_delay_falls_back(self):
+        # a delayed signal driving a block-rate port is consumed at a
+        # non-main window: the segment plan must decline.  (The pull
+        # engine cannot express this patch at all — Delay requires
+        # block-monotonic pulls — so only the compiled path is checked.)
+        osc = Sine()
+        osc.hertz = fixed(110.0)
+        mix = Mix()
+        d = Delay()
+        d.get_state().frames = 4 * F
+        g = Gain()
+        g.left = osc
+        g.right = d              # block-rate pull of the delay
+        shaper = Drive()
+        shaper.input = g
+        shaper.drive = fixed(2.0)
+        mix.left = osc
+        mix.right = shaper
+        mix.mix = fixed(0.5)
+        d.input = mix
+        c = compile_node(mix, block_frames=F, rate=RATE, channels=1)
+        assert c.delay_mega_plan() is None
+        assert c.segment_scan_core(16) is None
+        got, _ = c.render(position=0, n_blocks=8, deliver_taps=False)
+        assert np.isfinite(got).all()
+        C._compile_cache.clear()
+
+    def test_prime_batch_declines(self):
+        # n_blocks = 13 shares no divisor >= 2 with S_max = 5: one trace,
+        # no tail -> decline (per-block scan), still correct
+        root, _ = self._drive_echo()
+        c = compile_node(root, block_frames=F, rate=RATE, channels=1)
+        assert c.segment_scan_core(13) is None
+        got, _ = c.render(position=0, n_blocks=13, deliver_taps=False)
+        oracle = pull_blocks(root, 13, block_frames=F, rate=RATE)
+        assert np.abs(got - oracle).max() < 1e-6
+        C._compile_cache.clear()
+
+    def test_vis_tap_through_segments(self):
+        from signals_tpu.nodes.vis import Wave
+        root, _ = self._drive_echo()
+        tap = Wave()
+        tap.input = root
+        c = compile_node(tap, block_frames=F, rate=RATE, channels=1)
+        assert c.delay_mega_plan() is None
+        assert c.segment_scan_core(10) is not None
+        audio, _ = c.render(position=0, n_blocks=10, deliver_taps=True)
+        got = tap.drain(10 * F)
+        assert got, 'vis tap received no blocks through the segment scan'
+        fed = np.concatenate([np.broadcast_to(b, (F, 1)) for b in got])
+        assert np.allclose(fed, audio, atol=1e-6)
+        C._compile_cache.clear()
+
+
+class TestContextOverDelay:
+    """Context (non-streaming) filters fed by a Delay: the pull engine
+    must serve the filter's lookback from the delay's retained input
+    line.  Regression: the old pull path re-initialized the delay carry
+    on any backward request, silencing (and corrupting) every context
+    filter downstream of a delay while the compiled engine rendered it
+    correctly — an engine-parity break of ~0.5 full scale."""
+
+    def _send(self):
+        from signals_tpu.nodes.fx import LowPass
+        osc = Sine()
+        osc.hertz = fixed(110.0)
+        d = Delay()
+        d.get_state().frames = 6 * F + 5
+        d.input = osc
+        lp = LowPass()
+        lp.input = d
+        lp.cutoff = fixed(1500.0)
+        out = Mix()
+        out.left = osc
+        out.right = lp
+        out.mix = fixed(0.5)
+        return out
+
+    def _loop(self):
+        from signals_tpu.nodes.fx import LowPass
+        osc = Sine()
+        osc.hertz = fixed(110.0)
+        mix = Mix()
+        d = Delay()
+        d.get_state().frames = 6 * F + 5
+        lp = LowPass()
+        lp.input = d
+        lp.cutoff = fixed(1500.0)
+        fb = Gain()
+        fb.left = lp
+        fb.right = fixed(0.6)
+        mix.left = osc
+        mix.right = fb
+        mix.mix = fixed(0.55)
+        d.input = mix
+        return mix
+
+    def test_context_filter_on_delay_send(self):
+        root = self._send()
+        c = compile_node(root, block_frames=F, rate=RATE, channels=1)
+        got, _ = c.render(position=0, n_blocks=12, deliver_taps=False)
+        C._compile_cache.clear()
+        oracle = pull_blocks(self._send(), 12, block_frames=F, rate=RATE)
+        err = np.abs(got - oracle).max()
+        assert err < 1e-6, err
+        # the echo must actually be audible past the delay horizon
+        assert np.abs(oracle[7 * F:]).max() > 0.1
+
+    def test_context_filter_in_feedback_loop(self):
+        root = self._loop()
+        c = compile_node(root, block_frames=F, rate=RATE, channels=1)
+        # context filters have no mega_step: per-block scan (both the
+        # affine solver and the segment scan must decline, not mis-lower)
+        assert c.delay_mega_plan() is None
+        assert c.segment_scan_core(18) is None
+        got, _ = c.render(position=0, n_blocks=18, deliver_taps=False)
+        C._compile_cache.clear()
+        oracle = pull_blocks(self._loop(), 18, block_frames=F, rate=RATE)
+        err = np.abs(got - oracle).max()
+        assert err < 1e-6, err
