@@ -137,6 +137,36 @@ def build_fm_delay():
     return tap
 
 
+def build_saturated_echo():
+    """Config 6: saturated tape echo — a NONLINEAR feedback loop (tanh
+    drive on the return) the affine solver cannot close-form; renders
+    via the segmented feedback scan (``CompiledPatch.segment_scan_core``:
+    ``lax.scan`` over ``floor(D/F)``-block windows instead of blocks)."""
+    from signals_tpu.nodes.delay import Delay
+    from signals_tpu.nodes.fx import Drive, Gain, LowPass, Mix
+    from signals_tpu.nodes.osc import Sawtooth
+    saw = Sawtooth()
+    saw.hertz = fixed(110.0)
+    mix = Mix()
+    d = Delay()
+    d.get_state().frames = 16 * BLOCK + 5    # ~0.37 s, S_max = 16
+    lp = LowPass()
+    lp.input = d
+    lp.cutoff = fixed(2500.0)
+    lp.get_state().streaming = True          # damping inside the loop
+    fb = Gain()
+    fb.left = lp
+    fb.right = fixed(0.55)
+    shaper = Drive()
+    shaper.input = fb
+    shaper.drive = fixed(3.0)
+    mix.left = saw
+    mix.right = shaper
+    mix.mix = fixed(0.6)
+    d.input = mix
+    return mix
+
+
 def check_parity(root, *, n_blocks=43, channels=1, tol=TOL, start_block=0):
     """Compiled output vs the numpy pull-interpreter oracle.
 
@@ -592,6 +622,16 @@ def main(argv=None):
     guard('c5_fm_delay_device_resident',
           lambda: bench_single_device(c5, seconds=seconds,
                                       label='fm+delay-device'))
+
+    # config 6: nonlinear (saturated) feedback echo — the segmented
+    # feedback scan path (the affine solver must decline; before round 3
+    # this class of patch rode the per-block scan)
+    progress('bench: config 6 (saturated echo)...')
+    c6 = build_saturated_echo()
+    parity['saturated_echo'] = check_parity(c6, n_blocks=n_blocks)
+    guard('c6_saturated_echo_device_resident',
+          lambda: bench_single_device(c6, seconds=seconds,
+                                      label='saturated-echo-device'))
 
     extra['parity_max_abs_err'] = parity
     extra['parity_ok'] = all(v <= TOL for v in parity.values())
