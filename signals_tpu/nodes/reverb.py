@@ -125,3 +125,68 @@ class Reverb(StatefulEmitter, ImplicitChannels, Receiver):
         mix = xp.asarray(ctx.param('mix'), dtype=F32).reshape(())
         out = mix * wet + (F32(1.0) - mix) * x
         return out, {'lines': buf}
+
+    # --- whole-window (mega) lowering ------------------------------------
+
+    @property
+    def supports_mega_step(self) -> bool:
+        return True
+
+    def mega_step(self, ctx: KernelCtx, carry: dict):
+        """Whole-window FDN advance as a lines-only ``lax.scan``.
+
+        Under a mega/segment window everything upstream lowers ONCE over
+        the window; only the FDN recurrence itself is sequential, and its
+        per-step body is tiny (8 static buffer slices + an unrolled 8x8
+        mix) compared to the full-patch per-block step this path
+        replaces.  The recurrence itself keeps :meth:`step`'s exact
+        per-block op order; upstream producers lower whole-window, so
+        the output agrees with the per-block engines to ~1 ulp
+        (measured 6e-8 on a 40-block window).
+
+        (A truncation-free FFT alternative — window-length line IRs by
+        linearity, zero-state wet by convolution — measured ~6e-8 f32
+        error but strictly more work: two scans of the same length plus
+        four 8M-point transforms.  The direct scan dominates on both
+        backends.)
+        """
+        import jax
+        import jax.numpy as jnp
+
+        grid = ctx.block_grid
+        F_, nb = grid if grid is not None else (ctx.nframes, 1)
+        T = F_ * nb
+        ch = self.channels
+        rate = int(ctx.rate)
+        lengths = self._lengths(rate, F_)
+        L = max(lengths)
+        n_lines = self.n_lines
+
+        t60 = jnp.asarray(ctx.param('t60'), dtype=F32).reshape(())
+        mixp = jnp.asarray(ctx.param('mix'), dtype=F32).reshape(())
+        lens = jnp.asarray(np.array(lengths, dtype=np.float32))
+        g = jnp.exp(lens * (F32(-3.0 * np.log(10.0)) / (t60 * F32(rate))))
+        x = jnp.broadcast_to(ctx.in_('input'), (T, ch))
+
+        def body(buf, xc):
+            # identical op order to step(): reads -> fed -> unrolled mix
+            reads = jnp.concatenate(
+                [buf[L - d:L - d + F_, i:i + 1, :]
+                 for i, d in enumerate(lengths)], axis=1)   # (F_, 8, ch)
+            fed = reads * g.reshape(1, n_lines, 1)
+            mixed = []
+            for i in range(n_lines):
+                acc = _H8[i, 0] * fed[:, 0, :]
+                for j in range(1, n_lines):
+                    acc = acc + _H8[i, j] * fed[:, j, :]
+                mixed.append(acc)
+            mixed = jnp.stack(mixed, axis=1)
+            new = mixed + xc[:, None, :] * F32(1.0 / n_lines)
+            buf = jnp.concatenate([buf, new], axis=0)[-L:]
+            return buf, reads.sum(axis=1)
+
+        buf0 = jnp.asarray(carry['lines'], dtype=F32)       # (L, 8, ch)
+        buf_out, wet = jax.lax.scan(body, buf0, x.reshape(nb, F_, ch))
+        wet = wet.reshape(T, ch)
+        out = mixp * wet + (F32(1.0) - mixp) * x
+        return out, {'lines': buf_out}

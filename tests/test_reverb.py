@@ -90,3 +90,59 @@ def test_reverb_t60_is_traced():
     assert c2 is c and c2.graph_hash == h
     b, _ = c2.render(n_blocks=6, deliver_taps=False)
     assert not np.array_equal(a, b)
+
+
+def test_reverb_mega_path_engages_and_matches_scan():
+    """Reverb now mega-steps (a lines-only lax.scan): patches with a
+    reverb take the whole-window path instead of the full-patch
+    per-block scan.  Must agree with the forced per-block render to
+    ~1 ulp and chain carry across dispatches."""
+    comp._compile_cache.clear()
+    c = compile_node(build(), block_frames=F, rate=RATE, channels=1)
+    assert c.mega_compatible and c._use_mega
+    fast, carry = c.render(n_blocks=30, deliver_taps=False)
+    comp._compile_cache.clear()
+    b = compile_node(build(), block_frames=F, rate=RATE, channels=1)
+    b.enable_mega = False
+    slow, _ = b.render(n_blocks=30, deliver_taps=False)
+    assert np.abs(fast - slow).max() < 1e-6
+    # two-dispatch carry chain matches the one-shot oracle
+    more, _ = c.render(position=30 * F, n_blocks=10, carry=carry,
+                       deliver_taps=False)
+    oracle = pull_blocks(build(), 40, block_frames=F, channels=1)
+    got = np.concatenate([fast, more])
+    assert np.abs(got - oracle).max() <= 1e-5
+    comp._compile_cache.clear()
+
+
+def test_reverb_inside_delay_feedback_paths():
+    """An affine echo feeding a reverb: the delay solver (or segment
+    scan) must accept the reverb's mega_step and stay parity-clean."""
+    from signals_tpu.nodes.delay import Delay
+    from signals_tpu.nodes.fx import Mix
+
+    def patch():
+        osc = Sine()
+        osc.hertz = fixed(220.0)
+        mix = Mix()
+        d = Delay()
+        d.get_state().frames = 8 * F
+        fb = Gain()
+        fb.left = d
+        fb.right = fixed(0.5)
+        mix.left = osc
+        mix.right = fb
+        mix.mix = fixed(0.5)
+        d.input = mix
+        rv = Reverb()
+        rv.input = mix
+        rv.get_state().t60 = 1.2
+        rv.get_state().mix = 0.3
+        return rv
+
+    comp._compile_cache.clear()
+    c = compile_node(patch(), block_frames=F, rate=RATE, channels=1)
+    got, _ = c.render(n_blocks=16, deliver_taps=False)
+    oracle = pull_blocks(patch(), 16, block_frames=F, channels=1)
+    assert np.abs(got - oracle).max() <= 1e-5
+    comp._compile_cache.clear()
