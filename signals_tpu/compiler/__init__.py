@@ -694,12 +694,15 @@ class _Compiler:
         return jnp.where(enabled, result, F32(0.0))
 
     def _serve_history(self, node: Emitter, window: Window, current):
-        """Serve any sub-window of [-H, F) from history + current block."""
+        """Serve any sub-window of [-H, M) from history + the current main
+        block (M = block frames, or the whole window in mega mode)."""
         import jax.numpy as jnp
         info = self.index.info(node)
         uid = info.uid
         hist = self.carry_in.get(uid, {}).get('hist')
-        cur = jnp.broadcast_to(current, (self.block_frames, node.channels))
+        main_frames = (self.mega[0] * self.mega[1] if self.mega
+                       else self.block_frames)
+        cur = jnp.broadcast_to(current, (main_frames, node.channels))
         if hist is None:
             full = cur
             base = 0
@@ -726,19 +729,27 @@ class _Compiler:
             if id(node) not in self._stateful_done:
                 self._stateful_done.add(id(node))
                 ctx = LowerCtx(self, node, main)
-                block, new_carry = node.mega_step(ctx, self.carry_in[uid])
+                carry = {k: v for k, v in self.carry_in[uid].items()
+                         if k != 'hist'}
+                block, new_carry = node.mega_step(ctx, carry)
                 block = jnp.asarray(block, dtype=F32)
                 block = jnp.broadcast_to(block, (nb * F, node.channels))
                 enabled = self.node_param(node, 'enabled')
                 block = jnp.where(enabled, block, F32(0.0))
-                self.carry_out[uid] = dict(new_carry)
+                out_carry = dict(new_carry)
+                if 'hist' in self.carry_in[uid]:
+                    h = self.carry_in[uid]['hist'].shape[0]
+                    out_carry['hist'] = jnp.concatenate(
+                        [self.carry_in[uid]['hist'], block], axis=0)[-h:]
+                self.carry_out[uid] = out_carry
                 self._memo[mkey] = block
-            if window != main:
-                raise CompileError(
-                    f'{node.cls_name()}: stateful nodes in a mega window '
-                    f'serve only the main window (a consumer requested '
-                    f'{window}); disable mega rendering for this patch')
-            return self._memo[mkey]
+            if window == main:
+                return self._memo[mkey]
+            # context lookbacks / block-rate samples of this node's
+            # output: every collected window is non-future (collect
+            # rejects end > block_frames), so history + the window-wide
+            # main block covers any consumer request
+            return self._serve_history(node, window, self._memo[mkey])
         main = Window(0, self.block_frames)
         mkey = (id(node), main)
         if id(node) not in self._stateful_done:
@@ -988,18 +999,16 @@ class CompiledPatch:
         and any stateful node must offer either a carry-free grid lowering
         or a whole-window ``mega_step`` (e.g. streaming filters, whose
         carried state propagates through the window via an associative
-        scan instead of a block loop)."""
-        main = Window(0, self.block_frames)
+        scan instead of a block loop).  Consumers may sample a
+        mega-stepped node at any non-future window (context lookbacks,
+        block-rate grids): the collect pass sizes a ``hist`` carry ring
+        and the compiler serves those windows from history + the
+        window-wide main block (``_Compiler._serve_history``)."""
         for node in self.index.order:
             if _is_delay(node) or _is_host_source(node):
                 return False
             if _is_stateful(node) and not _is_grid_stateless(node):
                 if not getattr(node, 'supports_mega_step', False):
-                    return False
-                # a mega-stepped node serves only the window-wide main
-                # block; consumers that sample it at block rate or pull
-                # context windows (nested filters) need the per-block path
-                if self.index.info(node).windows - {main}:
                     return False
         return True
 

@@ -167,14 +167,14 @@ def structural_delays(index, block_frames: int, rate: int
     * at least one delay; every delay >= one block long (the engine's
       feedback-latency rule);
     * no host-fed sources (mega windows stage no host input);
-    * every other stateful node offers ``mega_step``/grid lowering and is
-      consumed only at the main window.
+    * every other stateful node offers ``mega_step``/grid lowering
+      (consumers may read it at any non-future window — the compiler
+      serves those from the node's ``hist`` carry ring).
 
     Shared precondition of the loop-free solver (:func:`plan_delays`)
     and the segmented scan (:func:`segment_blocks`).
     """
     from signals_tpu.compiler import (
-        Window,
         _is_grid_stateless,
         _is_host_source,
         _is_stateful,
@@ -183,7 +183,6 @@ def structural_delays(index, block_frames: int, rate: int
     delays = [n for n in index.order if _is_delay(n)]
     if not delays:
         return None
-    main = Window(0, block_frames)
     for node in index.order:
         if _is_host_source(node):
             return None
@@ -193,8 +192,6 @@ def structural_delays(index, block_frames: int, rate: int
             continue
         if _is_stateful(node) and not _is_grid_stateless(node):
             if not getattr(node, 'supports_mega_step', False):
-                return None
-            if index.info(node).windows - {main}:
                 return None
     return delays
 
@@ -214,18 +211,19 @@ def segment_blocks(index, block_frames: int, rate: int) -> int:
     affine solver (:func:`plan_delays`, O(log n) depth) and the
     per-block scan (S effectively 1).
 
-    Requires every delay to be consumed only at the main block window
-    (context/block-rate pulls of a delayed signal keep the block scan).
+    Delays may be consumed at any window that reads no future frames
+    (``w.end <= block_frames`` per block — the main window, context
+    lookbacks, block-rate samples): the carried buffer serves them all,
+    with history sized by the collect pass.  A future-reading window
+    (none exist in this system) would keep the block scan.
     """
-    from signals_tpu.compiler import Window
-
     delays = structural_delays(index, block_frames, rate)
     if not delays:
         return 0
-    main = Window(0, block_frames)
     for d in delays:
-        if index.info(d).windows - {main}:
-            return 0
+        for w in index.info(d).windows:
+            if w.end > block_frames:
+                return 0
     return min(d.delay_frames(rate) // block_frames for d in delays)
 
 

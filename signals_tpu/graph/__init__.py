@@ -575,14 +575,23 @@ class StatefulEmitter(BlockCachingEmitter, abc.ABC):
 
     # --- pull engine -----------------------------------------------------
 
+    #: initial output-history retention, in blocks (adapts upward on
+    #: demand — see :meth:`_read_out_history`)
+    _hist_keep_blocks = 16
+
     def __init__(self):
         super().__init__()
         self._carry: typing.Optional[dict] = None
         self._carry_position: typing.Optional[int] = None
+        self._out_hist: typing.Optional[np.ndarray] = None
+        self._hist_keep: int = 0
+        self._start_pos: int = 0
 
     def reset(self) -> None:
         self._carry = None
         self._carry_position = None
+        self._out_hist = None
+        self._hist_keep = 0
         self._block_cache.clear()
 
     def _eval(self, request: Request) -> np.ndarray:
@@ -590,11 +599,26 @@ class StatefulEmitter(BlockCachingEmitter, abc.ABC):
             return np.asarray(self.kernel(PullCtx(self, request)),
                               dtype=FLOAT)
         loc = request.loc
+        if (self._carry is not None
+                and loc.end_position <= self._carry_position):
+            # read-only history request (a context lookback pulls
+            # past-then-current): served from retained output WITHOUT
+            # touching the carry.  The old behavior re-initialized the
+            # carry to zeros and re-stepped the past from fresh state —
+            # every context consumer (Compressor, context filter)
+            # downstream of a stateful node read *differently rendered*
+            # past frames than the ones actually emitted.  The compiled
+            # engine, which serves these from the carried ``hist``
+            # ring, is the semantic model.
+            return self._read_out_history(loc)
         if self._carry is None or loc.position < (self._carry_position or 0):
             self._carry = self.init_carry(channels=self.channels,
                                           rate=loc.rate,
                                           block_frames=loc.shape.frames)
             self._carry_position = loc.position
+            self._start_pos = loc.position
+            self._out_hist = None
+            self._hist_keep = self._hist_keep_blocks * loc.shape.frames
         if loc.position != self._carry_position:
             raise ChainLayerError(
                 f'{self.cls_name()} is stateful: pull evaluation must be '
@@ -602,7 +626,45 @@ class StatefulEmitter(BlockCachingEmitter, abc.ABC):
                 f'got {loc.position})')
         block, self._carry = self.step(PullCtx(self, request), self._carry)
         self._carry_position = loc.end_position
-        return np.asarray(block, dtype=FLOAT)
+        out = np.asarray(block, dtype=FLOAT)
+        full = np.broadcast_to(
+            out, (loc.shape.frames, self.channels)).astype(FLOAT)
+        if self._out_hist is None:
+            self._out_hist = full
+        else:
+            self._out_hist = np.concatenate(
+                [self._out_hist, full], axis=0)[-self._hist_keep:]
+        return out
+
+    def _read_out_history(self, loc) -> np.ndarray:
+        """Serve an output window lying entirely behind the carry position
+        from the retained output blocks (frames before the stream start
+        are silence, matching the compiled engine's zero ``hist`` init).
+
+        Retention adapts: a context consumer's lookback repeats every
+        block and deepens by at most one block per step (clamped at the
+        stream start early on), so raising the keep target on each read
+        stays ahead of trimming; a lookback beyond what was retained
+        (a consumer attached mid-stream) is an error, not silence."""
+        cp = self._carry_position
+        hist = self._out_hist
+        retained = 0 if hist is None else hist.shape[0]
+        q0, q1 = loc.position, loc.end_position
+        ch = self.channels
+        out = np.zeros((loc.shape.frames, ch), dtype=FLOAT)
+        s0 = max(q0, self._start_pos)     # pre-stream frames: silence
+        self._hist_keep = max(self._hist_keep,
+                              (cp - q0) + 2 * loc.shape.frames)
+        if s0 < q1:
+            need = cp - s0                # lookback into retained output
+            if need > retained:
+                raise ChainLayerError(
+                    f'{self.cls_name()} output history of {retained} '
+                    f'frames cannot serve a context read {need} frames '
+                    f'back; the consumer was attached mid-stream')
+            i0 = s0 - (cp - retained)
+            out[s0 - q0:q1 - q0] = hist[i0:i0 + (q1 - s0)]
+        return out
 
 
 # --- the pull evaluation context --------------------------------------------

@@ -429,32 +429,83 @@ class TestSegmentScan:
         assert np.abs(got - oracle).max() < 1e-6
         C._compile_cache.clear()
 
-    def test_block_rate_pull_of_delay_falls_back(self):
+    def test_block_rate_pull_of_delay_segments(self):
         # a delayed signal driving a block-rate port is consumed at a
-        # non-main window: the segment plan must decline.  (The pull
-        # engine cannot express this patch at all — Delay requires
-        # block-monotonic pulls — so only the compiled path is checked.)
-        osc = Sine()
-        osc.hertz = fixed(110.0)
-        mix = Mix()
-        d = Delay()
-        d.get_state().frames = 4 * F
-        g = Gain()
-        g.left = osc
-        g.right = d              # block-rate pull of the delay
-        shaper = Drive()
-        shaper.input = g
-        shaper.drive = fixed(2.0)
-        mix.left = osc
-        mix.right = shaper
-        mix.mix = fixed(0.5)
-        d.input = mix
+        # strided non-main window — still entirely in the past, so the
+        # carried buffer serves it and the segment plan holds.  (The
+        # pull engine cannot express this patch at all — Delay requires
+        # block-monotonic pulls — so the check is segment vs per-block.)
+        def build():
+            osc = Sine()
+            osc.hertz = fixed(110.0)
+            mix = Mix()
+            d = Delay()
+            d.get_state().frames = 4 * F
+            g = Gain()
+            g.left = osc
+            g.right = d          # block-rate pull of the delay
+            shaper = Drive()
+            shaper.input = g
+            shaper.drive = fixed(2.0)
+            mix.left = osc
+            mix.right = shaper
+            mix.mix = fixed(0.5)
+            d.input = mix
+            return mix
+
+        mix = build()
         c = compile_node(mix, block_frames=F, rate=RATE, channels=1)
         assert c.delay_mega_plan() is None
-        assert c.segment_scan_core(16) is None
-        got, _ = c.render(position=0, n_blocks=8, deliver_taps=False)
+        assert c.segment_scan_core(16) is not None   # S = 4
+        got, _ = c.render(position=0, n_blocks=16, deliver_taps=False)
         assert np.isfinite(got).all()
         C._compile_cache.clear()
+        mix2 = build()
+        c2 = compile_node(mix2, block_frames=F, rate=RATE, channels=1)
+        c2.enable_mega = False
+        ref, _ = c2.render(position=0, n_blocks=16, deliver_taps=False)
+        assert np.abs(np.asarray(got) - np.asarray(ref)).max() == 0.0
+        C._compile_cache.clear()
+
+    def test_compressor_in_loop_segments(self):
+        # a Compressor inside the feedback loop reads the delay at a
+        # context window (W-frame lookback, entirely past frames) — the
+        # carried buffer, sized D + W by the collect pass, serves it
+        from signals_tpu.nodes.dyn import Compressor
+
+        def build():
+            osc = Sine()
+            osc.hertz = fixed(110.0)
+            mix = Mix()
+            d = Delay()
+            d.get_state().frames = 4 * F
+            comp = Compressor()
+            comp.get_state().window = 2 * F
+            comp.get_state().threshold = 0.3
+            comp.input = d
+            g = Gain()
+            g.left = comp
+            g.right = fixed(0.6)
+            mix.left = osc
+            mix.right = g
+            mix.mix = fixed(0.5)
+            d.input = mix
+            return mix
+
+        mix = build()
+        c = compile_node(mix, block_frames=F, rate=RATE, channels=1)
+        assert c.segment_scan_core(16) is not None   # S = 4
+        got, _ = c.render(position=0, n_blocks=16, deliver_taps=False)
+        C._compile_cache.clear()
+        mix2 = build()
+        c2 = compile_node(mix2, block_frames=F, rate=RATE, channels=1)
+        c2.enable_mega = False
+        ref, _ = c2.render(position=0, n_blocks=16, deliver_taps=False)
+        assert np.abs(np.asarray(got) - np.asarray(ref)).max() == 0.0
+        C._compile_cache.clear()
+        mix3 = build()
+        oracle = pull_blocks(mix3, 16, block_frames=F, rate=RATE)
+        assert np.abs(got - oracle).max() < 1e-6
 
     def test_prime_batch_declines(self):
         # n_blocks = 13 shares no divisor >= 2 with S_max = 5: one trace,
@@ -540,10 +591,11 @@ class TestContextOverDelay:
     def test_context_filter_in_feedback_loop(self):
         root = self._loop()
         c = compile_node(root, block_frames=F, rate=RATE, channels=1)
-        # context filters have no mega_step: per-block scan (both the
-        # affine solver and the segment scan must decline, not mis-lower)
+        # the affine solver declines (a filter convolves over time), but
+        # the segment scan holds: the context filter reads the delay at a
+        # pure-lookback window, served from the carried buffer
         assert c.delay_mega_plan() is None
-        assert c.segment_scan_core(18) is None
+        assert c.segment_scan_core(18) is not None   # S = 6
         got, _ = c.render(position=0, n_blocks=18, deliver_taps=False)
         C._compile_cache.clear()
         oracle = pull_blocks(self._loop(), 18, block_frames=F, rate=RATE)

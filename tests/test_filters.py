@@ -200,28 +200,40 @@ def Sawtooth_src():
 
 
 def test_streaming_filter_with_downstream_consumer_renders():
-    """Regression: a streaming filter whose output is consumed at a
-    non-main window (a nested context-pulling filter here) must not
-    engage mega rendering — it renders via the block path instead of
-    crashing at trace."""
+    """A streaming filter whose output is consumed at a non-main window
+    (a nested context-pulling filter here) stays mega-compatible: the
+    consumer's lookback is served from the filter's ``hist`` carry ring.
+    (Before round 3 this demoted the patch to the per-block scan; before
+    that it crashed at trace.)  Mega must agree with the per-block scan
+    — the pull oracle differs by the documented nested-filter
+    cross-engine bound, not by the window serving."""
     import signals_tpu.compiler as C
     from signals_tpu.compiler import compile_node
     from signals_tpu.nodes.fx import HighPass, LowPass
     from signals_tpu.nodes.osc import Sawtooth
     from tests.conftest import fixed
 
-    saw = Sawtooth()
-    saw.hertz = fixed(110.0)
-    lp = LowPass()
-    lp.input = saw
-    lp.cutoff = fixed(90.0)
-    lp.get_state().streaming = True
-    hp = HighPass()
-    hp.input = lp
-    hp.cutoff = fixed(40.0)
+    def build():
+        saw = Sawtooth()
+        saw.hertz = fixed(110.0)
+        lp = LowPass()
+        lp.input = saw
+        lp.cutoff = fixed(90.0)
+        lp.get_state().streaming = True
+        hp = HighPass()
+        hp.input = lp
+        hp.cutoff = fixed(40.0)
+        return hp
+
     C._compile_cache.clear()
-    c = compile_node(hp, block_frames=512, rate=44100, channels=1)
+    c = compile_node(build(), block_frames=512, rate=44100, channels=1)
     c.mega_min_channels = 1
-    assert not c.mega_compatible       # consumer pulls context windows
+    assert c.mega_compatible
     audio, _ = c.render(n_blocks=6)
     assert np.isfinite(audio).all()
+    C._compile_cache.clear()
+    c2 = compile_node(build(), block_frames=512, rate=44100, channels=1)
+    c2.enable_mega = False
+    ref, _ = c2.render(n_blocks=6)
+    C._compile_cache.clear()
+    assert np.abs(np.asarray(audio) - np.asarray(ref)).max() < 1e-6

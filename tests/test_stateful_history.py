@@ -1,0 +1,192 @@
+"""Context/history reads of *stateful* nodes, in both engines.
+
+A context consumer (Compressor, context filter) or a block-rate port may
+read a stateful node's output at a window that lies partly or wholly in
+the past.  The compiled engine serves those from the node's ``hist``
+carry ring (sized by the collect pass) — in per-block, mega, and
+segmented-feedback lowering alike; the pull engine serves them from a
+retained output line (:meth:`StatefulEmitter._read_out_history`).
+
+Regression: the pull engine used to *re-initialize the carry to zeros*
+and re-step the past from fresh state on any history request that missed
+the block cache (a multi-block lookback can never hit it — the cache
+holds single blocks), so every context consumer downstream of a stateful
+node read differently-rendered past frames (~4e-2 error vs the compiled
+engine on a reverb->compressor bus).  And the compiled mega path refused
+any non-main window of a mega-stepped node outright, demoting master-bus
+chains (reverb -> compressor) to the per-block scan.
+"""
+
+import numpy as np
+import pytest
+
+import signals_tpu.compiler as C
+from signals_tpu.compiler import compile_node
+from signals_tpu.core import ChainLayerError
+from signals_tpu.graph import Request
+from signals_tpu.nodes.delay import Delay
+from signals_tpu.nodes.dyn import Compressor
+from signals_tpu.nodes.fx import Gain, LowPass, Mix
+from signals_tpu.nodes.osc import Sawtooth, Sine
+from signals_tpu.nodes.reverb import Reverb
+from tests.conftest import fixed, pull_blocks
+
+F, RATE = 512, 44100
+
+
+def _render(build, n, *, mega):
+    root = build()
+    c = compile_node(root, block_frames=F, rate=RATE, channels=1)
+    if not mega:
+        c.enable_mega = False
+    got, _ = c.render(position=0, n_blocks=n, deliver_taps=False)
+    C._compile_cache.clear()
+    return np.asarray(got).reshape(n * F, -1)
+
+
+def _check_all_paths(build, n=24, tol=1e-6):
+    """mega/segment render == per-block render == numpy pull oracle."""
+    fast = _render(build, n, mega=True)
+    slow = _render(build, n, mega=False)
+    assert np.abs(fast - slow).max() < tol
+    oracle = pull_blocks(build(), n, block_frames=F, rate=RATE)
+    assert np.abs(fast - oracle).max() < tol
+    return fast
+
+
+def _reverb_comp(w=2 * F):
+    def build():
+        osc = Sine()
+        osc.hertz = fixed(220.0)
+        rv = Reverb()
+        rv.input = osc
+        comp = Compressor()
+        comp.get_state().window = w
+        comp.get_state().threshold = 0.2
+        comp.input = rv
+        g = Gain()
+        g.left = comp
+        g.right = fixed(0.9)
+        return g
+    return build
+
+
+class TestPullEngineHistory:
+    def test_compressor_over_reverb_matches_compiled(self):
+        build = _reverb_comp()
+        slow = _render(build, 24, mega=False)
+        oracle = pull_blocks(build(), 24, block_frames=F, rate=RATE)
+        assert np.abs(slow - oracle).max() < 1e-6
+
+    def test_deep_lookback_beyond_initial_retention(self):
+        # W = 20 blocks > the 16-block initial retention: the keep
+        # target must adapt as the clamped lookback deepens
+        build = _reverb_comp(w=20 * F)
+        slow = _render(build, 30, mega=False)
+        oracle = pull_blocks(build(), 30, block_frames=F, rate=RATE)
+        assert np.abs(slow - oracle).max() < 1e-6
+
+    def test_midstream_attach_raises(self):
+        # a history read deeper than anything retained is an error,
+        # never silence
+        from signals_tpu.core import BlockLoc, Shape
+        rv = Reverb()
+        osc = Sine()
+        osc.hertz = fixed(220.0)
+        rv.input = osc
+        for b in range(20):
+            loc = BlockLoc(position=b * F, rate=RATE,
+                           shape=Shape(frames=F, channels=1))
+            rv.respond(Request(requestor=None, port='t', loc=loc))
+        past = BlockLoc(position=0, rate=RATE,
+                        shape=Shape(frames=F, channels=1))
+        with pytest.raises(ChainLayerError, match='history'):
+            rv.respond(Request(requestor=None, port='t', loc=past))
+
+
+class TestMegaHistory:
+    def test_reverb_to_compressor_rides_mega(self):
+        build = _reverb_comp()
+        c = compile_node(build(), block_frames=F, rate=RATE, channels=1)
+        assert c.mega_compatible and c._use_mega
+        C._compile_cache.clear()
+        _check_all_paths(build)
+
+    def test_split_batch_hist_continuation(self):
+        # the hist ring must chain across render calls bit-consistently
+        build = _reverb_comp()
+        c = compile_node(build(), block_frames=F, rate=RATE, channels=1)
+        a, carry = c.render(position=0, n_blocks=12, deliver_taps=False)
+        b, _ = c.render(position=12 * F, n_blocks=12, carry=carry,
+                        deliver_taps=False)
+        got = np.concatenate([np.asarray(a), np.asarray(b)]).reshape(-1, 1)
+        C._compile_cache.clear()
+        oracle = pull_blocks(build(), 24, block_frames=F, rate=RATE)
+        assert np.abs(got - oracle).max() < 1e-6
+
+    def test_streaming_filter_to_compressor(self):
+        def build():
+            saw = Sawtooth()
+            saw.hertz = fixed(110.0)
+            lp = LowPass()
+            lp.input = saw
+            lp.cutoff = fixed(800.0)
+            lp.get_state().streaming = True
+            comp = Compressor()
+            comp.get_state().window = 3 * F
+            comp.get_state().threshold = 0.2
+            comp.input = lp
+            g = Gain()
+            g.left = comp
+            g.right = fixed(0.8)
+            return g
+        _check_all_paths(build, tol=2e-6)
+
+    def test_stateful_at_block_rate_port(self):
+        # the pull engine cannot express this (a block-rate pull would
+        # step the node at 1-frame granularity); mega must equal the
+        # per-block compiled scan, which serves it from hist
+        def build():
+            osc = Sine()
+            osc.hertz = fixed(220.0)
+            rv = Reverb()
+            rv.input = osc
+            g = Gain()
+            g.left = osc
+            g.right = rv            # block-rate pull of the reverb
+            return g
+        fast = _render(build, 24, mega=True)
+        slow = _render(build, 24, mega=False)
+        assert np.abs(fast - slow).max() == 0.0
+        assert np.abs(fast).max() > 1e-3
+
+
+class TestSegmentHistory:
+    def test_delay_loop_with_reverb_and_compressor(self):
+        # master-bus nodes inside a feedback loop: the segment scan
+        # serves the reverb's context reads from its hist ring while the
+        # delay serves the loop from its carried buffer
+        def build():
+            osc = Sine()
+            osc.hertz = fixed(220.0)
+            mix = Mix()
+            d = Delay()
+            d.get_state().frames = 6 * F
+            rv = Reverb()
+            rv.input = d
+            comp = Compressor()
+            comp.get_state().window = 2 * F
+            comp.get_state().threshold = 0.25
+            comp.input = rv
+            fb = Gain()
+            fb.left = comp
+            fb.right = fixed(0.4)
+            mix.left = osc
+            mix.right = fb
+            mix.mix = fixed(0.5)
+            d.input = mix
+            return mix
+        c = compile_node(build(), block_frames=F, rate=RATE, channels=1)
+        assert c.segment_scan_core(24) is not None
+        C._compile_cache.clear()
+        _check_all_paths(build)
