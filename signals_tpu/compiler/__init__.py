@@ -1178,8 +1178,13 @@ class CompiledPatch:
         each step is ``S``-fold wider vectorized work.
 
         ``S`` is the largest divisor of ``n_blocks`` within the delay
-        bound (one trace, no tail window).  Semantics are identical to
-        the per-block scan: block-quantized feedback, carried buffers,
+        bound when that divisor is near the bound (one trace, no tail);
+        otherwise ``S`` is the bound itself and the remainder renders as
+        one extra *tail* window after the scan (a second trace — e.g. a
+        prime ``n_blocks = 13`` with ``S_max = 5`` runs 2 five-block
+        segments + a 3-block tail instead of falling back to 13
+        sequential block steps).  Semantics are identical to the
+        per-block scan: block-quantized feedback, carried buffers,
         ``enabled`` gating, the same ``finalize_delays`` buffer advance.
         """
         import jax
@@ -1191,48 +1196,65 @@ class CompiledPatch:
             self._segment_S = feedback.segment_blocks(
                 self.index, self.block_frames, self.rate)
         s_max = min(self._segment_S, n_blocks)
+        if s_max < 2:
+            return None
         S = max((s for s in range(1, s_max + 1) if n_blocks % s == 0),
                 default=1)
-        if S < 2:
-            return None
-        n_seg = n_blocks // S
+        if S < max(2, s_max // 2):
+            S = s_max                    # pay a tail trace for wide segments
+        n_seg, rem = divmod(n_blocks, S)
         index = self.index
         root = self.root
         channels = self.channels
         F = self.block_frames
-        main = Window(0, S * F)
 
-        def seg(params, carry, position0):
-            comp = _Compiler(index)
-            comp.mega = (F, S)
-            comp.params = params
-            comp.carry_in = carry
-            comp.position = jnp.int32(position0)
-            comp.host = {}
-            block = comp.lower(root, main)
-            block = jnp.broadcast_to(block, (S * F, channels))
-            comp.finalize_delays(main)
-            comp.passthrough_carry()
-            taps = {uid: t.reshape(S, F, -1)
-                    for uid, t in comp.taps.items()}
-            return block.reshape(S, F, channels), comp.carry_out, taps
+        def make_seg(s_blocks: int):
+            main = Window(0, s_blocks * F)
 
-        if n_seg == 1:
-            def many(params, carry, position0, host_staged):
-                return seg(params, carry, position0)
-            return many
+            def seg(params, carry, position0):
+                comp = _Compiler(index)
+                comp.mega = (F, s_blocks)
+                comp.params = params
+                comp.carry_in = carry
+                comp.position = jnp.int32(position0)
+                comp.host = {}
+                block = comp.lower(root, main)
+                block = jnp.broadcast_to(block, (s_blocks * F, channels))
+                comp.finalize_delays(main)
+                comp.passthrough_carry()
+                taps = {uid: t.reshape(s_blocks, F, -1)
+                        for uid, t in comp.taps.items()}
+                return (block.reshape(s_blocks, F, channels),
+                        comp.carry_out, taps)
+
+            return seg
+
+        seg = make_seg(S)
+        tail = make_seg(rem) if rem else None
 
         def many(params, carry, position0, host_staged):
-            def body(c, s):
-                blocks, c2, taps = seg(
-                    params, c, jnp.int32(position0) + s * jnp.int32(S * F))
-                return c2, (blocks, taps)
+            if n_seg == 1:
+                blocks, carry2, taps = seg(params, carry, position0)
+            else:
+                def body(c, s):
+                    blocks, c2, taps = seg(
+                        params, c,
+                        jnp.int32(position0) + s * jnp.int32(S * F))
+                    return c2, (blocks, taps)
 
-            carry2, (blocks, taps) = jax.lax.scan(
-                body, carry, jnp.arange(n_seg, dtype=jnp.int32))
-            blocks = blocks.reshape(n_blocks, F, channels)
-            taps = {uid: t.reshape(n_blocks, F, -1)
-                    for uid, t in taps.items()}
+                carry2, (blocks, taps) = jax.lax.scan(
+                    body, carry, jnp.arange(n_seg, dtype=jnp.int32))
+                blocks = blocks.reshape(n_seg * S, F, channels)
+                taps = {uid: t.reshape(n_seg * S, F, -1)
+                        for uid, t in taps.items()}
+            if tail is not None:
+                tblocks, carry2, ttaps = tail(
+                    params, carry2,
+                    jnp.int32(position0) + jnp.int32(n_seg * S * F))
+                blocks = jnp.concatenate([blocks, tblocks], axis=0)
+                taps = {uid: jnp.concatenate([taps[uid], ttaps[uid]],
+                                             axis=0)
+                        for uid in taps}
             return blocks, carry2, taps
 
         return many

@@ -507,12 +507,13 @@ class TestSegmentScan:
         oracle = pull_blocks(mix3, 16, block_frames=F, rate=RATE)
         assert np.abs(got - oracle).max() < 1e-6
 
-    def test_prime_batch_declines(self):
-        # n_blocks = 13 shares no divisor >= 2 with S_max = 5: one trace,
-        # no tail -> decline (per-block scan), still correct
+    def test_prime_batch_tail_window(self):
+        # n_blocks = 13 shares no divisor >= 2 with S_max = 5: the scan
+        # runs 2 five-block segments + a 3-block tail window (a second
+        # trace) instead of 13 sequential block steps
         root, _ = self._drive_echo()
         c = compile_node(root, block_frames=F, rate=RATE, channels=1)
-        assert c.segment_scan_core(13) is None
+        assert c.segment_scan_core(13) is not None
         got, _ = c.render(position=0, n_blocks=13, deliver_taps=False)
         oracle = pull_blocks(root, 13, block_frames=F, rate=RATE)
         assert np.abs(got - oracle).max() < 1e-6
