@@ -1358,9 +1358,13 @@ class CompiledPatch:
 
         return many, k, S
 
-    def render_fn(self, n_blocks: int):
-        """Jitted ``(params, carry, position0, host_staged) ->
-        (blocks (n, F, ch), carry', taps_staged)``.
+    def render_core(self, n_blocks: int):
+        """Un-jitted ``(params, carry, position0, host_staged) ->
+        (blocks (n, F, ch), carry', taps_staged)`` on the fastest
+        eligible lowering — the differentiable core that
+        :meth:`render_fn` jits and :func:`signals_tpu.learn.make_loss_fn`
+        differentiates through (so parameter fitting pays mega/segment
+        dispatch costs, not ``n_blocks`` sequential steps).
 
         Stateless patches (empty carry — no delays/envelopes) have fully
         independent blocks, so the block loop vanishes into a ``vmap`` over
@@ -1370,8 +1374,6 @@ class CompiledPatch:
         """
         import jax
         import jax.numpy as jnp
-        if n_blocks in self._render_cache:
-            return self._render_cache[n_blocks]
         step_core = self._step_core
         F = self.block_frames
         unroll = max(1, min(self.scan_unroll, n_blocks))
@@ -1427,7 +1429,14 @@ class CompiledPatch:
                     unroll=unroll)
                 return blocks, carry2, taps
 
-        fn = jax.jit(many, donate_argnums=(1,))
+        return many
+
+    def render_fn(self, n_blocks: int):
+        """Jitted :meth:`render_core` (cached per batch size)."""
+        import jax
+        if n_blocks in self._render_cache:
+            return self._render_cache[n_blocks]
+        fn = jax.jit(self.render_core(n_blocks), donate_argnums=(1,))
         self._render_cache[n_blocks] = fn
         return fn
 

@@ -68,20 +68,18 @@ def make_loss_fn(compiled: CompiledPatch, target: np.ndarray, *,
         target = target[:, None]
     host = compiled.stage_host(position, n_blocks)
     loss = spectral_loss if loss is None else loss
-    step_core = compiled._step_core
+    # differentiate through the fastest eligible lowering (mega window,
+    # delay solver, segmented feedback scan, vmap) — same selection as
+    # render_fn, so fitting an echo patch pays segments, not n_blocks
+    # sequential steps
+    many = compiled.render_core(n_blocks)
     carry0 = jax.tree.map(jnp.asarray, compiled.carry0)
 
     def loss_fn(params):
-        positions = (jnp.int32(position)
-                     + jnp.int32(F) * jnp.arange(n_blocks, dtype=jnp.int32))
-
-        def body(c, inp):
-            pos, h = inp
-            block, c2, _ = step_core(params, c, pos, h)
-            return c2, jnp.broadcast_to(block, (F, compiled.channels))
-
-        _, blocks = jax.lax.scan(body, carry0, (positions, host))
-        audio = blocks.reshape(n_blocks * F, compiled.channels)
+        blocks, _, _ = many(params, carry0, jnp.int32(position), host)
+        audio = jnp.reshape(
+            jnp.broadcast_to(blocks, (n_blocks, F, compiled.channels)),
+            (n_blocks * F, compiled.channels))
         return loss(audio, target)
 
     return loss_fn

@@ -85,3 +85,49 @@ def test_fit_recovers_filter_cutoff():
     assert res.losses[-1] < res.losses[0] * 0.01
     fitted = float(cut.get_state().value[0, 0])
     assert abs(fitted - 2000.0) < 50, fitted
+
+
+def test_fit_recovers_feedback_gain_through_segment_scan():
+    """Differentiable *feedback*: the loss differentiates through the
+    segmented feedback scan (``render_core`` fast-path selection), so a
+    saturated echo's feedback gain is recoverable by gradient descent —
+    n_blocks sequential steps never appear in the graph."""
+    import jax
+
+    from signals_tpu.nodes.delay import Delay
+    from signals_tpu.nodes.fx import Drive, Mix
+
+    def echo(fb_gain):
+        osc = Sine()
+        osc.hertz = fixed(220.0)
+        mix = Mix()
+        d = Delay()
+        d.get_state().frames = 4 * F
+        sh = Drive()
+        sh.input = d
+        sh.drive = fixed(1.2)
+        vol = fixed(fb_gain)
+        fb = Gain()
+        fb.left = sh
+        fb.right = vol
+        mix.left = osc
+        mix.right = fb
+        mix.mix = fixed(0.5)
+        d.input = mix
+        return mix, vol
+
+    target_root, _ = echo(0.6)
+    target = pull_blocks(target_root, 20, block_frames=F, rate=RATE)
+
+    root, vol = echo(0.1)
+    c = compile_node(root, block_frames=F, rate=RATE, channels=1)
+    assert c.segment_scan_core(20) is not None
+    loss_fn = make_loss_fn(c, target)
+    grads = jax.grad(loss_fn, allow_int=True)(c.params())
+    gv = np.asarray(grads[c.index.info(vol).uid]['value'])
+    assert np.isfinite(gv).all() and np.abs(gv).max() > 0
+
+    root2, vol2 = echo(0.1)
+    fit(root2, target, [(vol2, 'value')], rate=RATE, block_frames=F,
+        steps=200, learning_rate=0.05)
+    assert abs(float(vol2.get_state().value[0, 0]) - 0.6) < 0.05
