@@ -167,6 +167,31 @@ def build_saturated_echo():
     return mix
 
 
+def build_master_bus():
+    """Config 7: a mastering chain — subtractive voice -> FDN reverb ->
+    sliding-RMS compressor.  The compressor reads the reverb at a
+    context-lookback window; with stateful history serving
+    (``_Compiler._serve_history``) the whole chain rides the mega window
+    (before round 3 any context read of a stateful node demoted the
+    patch to the per-block scan)."""
+    from signals_tpu.nodes.dyn import Compressor
+    from signals_tpu.nodes.fx import Gain
+    from signals_tpu.nodes.reverb import Reverb
+    voice, _ = build_subtractive_voice()
+    rv = Reverb()
+    rv.input = voice
+    comp = Compressor()
+    st = comp.get_state()
+    st.window = 2 * BLOCK
+    st.threshold = 0.25
+    st.ratio = 4.0
+    comp.input = rv
+    out = Gain()
+    out.left = comp
+    out.right = fixed(0.9)
+    return out
+
+
 def check_parity(root, *, n_blocks=43, channels=1, tol=TOL, start_block=0):
     """Compiled output vs the numpy pull-interpreter oracle.
 
@@ -632,6 +657,16 @@ def main(argv=None):
     guard('c6_saturated_echo_device_resident',
           lambda: bench_single_device(c6, seconds=seconds,
                                       label='saturated-echo-device'))
+
+    # config 7: mastering chain (voice -> reverb -> compressor) — the
+    # stateful-history mega path (context reads of stateful nodes
+    # served from hist carry rings)
+    progress('bench: config 7 (master bus)...')
+    c7 = build_master_bus()
+    parity['master_bus'] = check_parity(c7, n_blocks=n_blocks)
+    guard('c7_master_bus_device_resident',
+          lambda: bench_single_device(c7, seconds=seconds,
+                                      label='master-bus-device'))
 
     extra['parity_max_abs_err'] = parity
     extra['parity_ok'] = all(v <= TOL for v in parity.values())
