@@ -717,50 +717,30 @@ class _Compiler:
         return full[start:start + span:window.stride]
 
     def _lower_stateful(self, node: StatefulEmitter, window: Window):
+        """One main-window step (``mega_step`` over the whole window in
+        mega mode, ``step`` over one block otherwise), memoized; any
+        other requested window — context lookbacks, block-rate samples,
+        all non-future by the collect pass — is served from the node's
+        ``hist`` carry ring + the main block via ``_serve_history``."""
         import jax.numpy as jnp
         info = self.index.info(node)
         uid = info.uid
         if self.mega is not None:
-            # whole-window stateful lowering: the node handles its own
-            # carried-state propagation across the window, loop-free
             F, nb = self.mega
             main = Window(0, nb * F)
-            mkey = (id(node), main)
-            if id(node) not in self._stateful_done:
-                self._stateful_done.add(id(node))
-                ctx = LowerCtx(self, node, main)
-                carry = {k: v for k, v in self.carry_in[uid].items()
-                         if k != 'hist'}
-                block, new_carry = node.mega_step(ctx, carry)
-                block = jnp.asarray(block, dtype=F32)
-                block = jnp.broadcast_to(block, (nb * F, node.channels))
-                enabled = self.node_param(node, 'enabled')
-                block = jnp.where(enabled, block, F32(0.0))
-                out_carry = dict(new_carry)
-                if 'hist' in self.carry_in[uid]:
-                    h = self.carry_in[uid]['hist'].shape[0]
-                    out_carry['hist'] = jnp.concatenate(
-                        [self.carry_in[uid]['hist'], block], axis=0)[-h:]
-                self.carry_out[uid] = out_carry
-                self._memo[mkey] = block
-            if window == main:
-                return self._memo[mkey]
-            # context lookbacks / block-rate samples of this node's
-            # output: every collected window is non-future (collect
-            # rejects end > block_frames), so history + the window-wide
-            # main block covers any consumer request
-            return self._serve_history(node, window, self._memo[mkey])
-        main = Window(0, self.block_frames)
+            step = node.mega_step
+        else:
+            main = Window(0, self.block_frames)
+            step = node.step
         mkey = (id(node), main)
         if id(node) not in self._stateful_done:
             self._stateful_done.add(id(node))
             ctx = LowerCtx(self, node, main)
             carry = {k: v for k, v in self.carry_in[uid].items()
                      if k != 'hist'}
-            block, new_carry = node.step(ctx, carry)
+            block, new_carry = step(ctx, carry)
             block = jnp.asarray(block, dtype=F32)
-            block = jnp.broadcast_to(
-                block, (self.block_frames, node.channels))
+            block = jnp.broadcast_to(block, (main.frames, node.channels))
             enabled = self.node_param(node, 'enabled')
             block = jnp.where(enabled, block, F32(0.0))
             out_carry = dict(new_carry)

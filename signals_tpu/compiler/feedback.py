@@ -211,19 +211,15 @@ def segment_blocks(index, block_frames: int, rate: int) -> int:
     affine solver (:func:`plan_delays`, O(log n) depth) and the
     per-block scan (S effectively 1).
 
-    Delays may be consumed at any window that reads no future frames
-    (``w.end <= block_frames`` per block — the main window, context
-    lookbacks, block-rate samples): the carried buffer serves them all,
-    with history sized by the collect pass.  A future-reading window
-    (none exist in this system) would keep the block scan.
+    Delays may be consumed at any window — the main window, context
+    lookbacks, block-rate samples: the collect pass guarantees every
+    window is non-future (it rejects ``end > block_frames`` at compile),
+    so the carried buffer (sized ``D`` + history headroom) serves them
+    all.
     """
     delays = structural_delays(index, block_frames, rate)
     if not delays:
         return 0
-    for d in delays:
-        for w in index.info(d).windows:
-            if w.end > block_frames:
-                return 0
     return min(d.delay_frames(rate) // block_frames for d in delays)
 
 

@@ -610,7 +610,21 @@ class StatefulEmitter(BlockCachingEmitter, abc.ABC):
             # past frames than the ones actually emitted.  The compiled
             # engine, which serves these from the carried ``hist``
             # ring, is the semantic model.
-            return self._read_out_history(loc)
+            retained = (0 if self._out_hist is None
+                        else self._out_hist.shape[0])
+            s0 = max(loc.position, self._start_pos)
+            if self._carry_position - s0 <= retained:
+                return self._read_out_history(loc)
+            if loc.position > self._start_pos:
+                raise ChainLayerError(
+                    f'{self.cls_name()} output history of {retained} '
+                    f'frames cannot serve a context read '
+                    f'{self._carry_position - s0} frames back; the '
+                    f'consumer was attached mid-stream')
+            # a re-pull from the stream start deeper than retention is a
+            # *restart*, not a lookback (a context consumer's clamped
+            # early reads grow retention in lockstep, so they never land
+            # here): fall through to re-initialize and re-render
         if self._carry is None or loc.position < (self._carry_position or 0):
             self._carry = self.init_carry(channels=self.channels,
                                           rate=loc.rate,

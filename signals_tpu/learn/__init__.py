@@ -77,9 +77,7 @@ def make_loss_fn(compiled: CompiledPatch, target: np.ndarray, *,
 
     def loss_fn(params):
         blocks, _, _ = many(params, carry0, jnp.int32(position), host)
-        audio = jnp.reshape(
-            jnp.broadcast_to(blocks, (n_blocks, F, compiled.channels)),
-            (n_blocks * F, compiled.channels))
+        audio = blocks.reshape(n_blocks * F, compiled.channels)
         return loss(audio, target)
 
     return loss_fn

@@ -87,8 +87,10 @@ class TestPullEngineHistory:
         assert np.abs(slow - oracle).max() < 1e-6
 
     def test_midstream_attach_raises(self):
-        # a history read deeper than anything retained is an error,
-        # never silence
+        # a history read deeper than anything retained, starting AFTER
+        # the stream start (so not a restart), is an error, never
+        # silence: 20 blocks rendered, retention 16 -> a read at block 2
+        # needs 18 blocks of lookback
         from signals_tpu.core import BlockLoc, Shape
         rv = Reverb()
         osc = Sine()
@@ -98,7 +100,7 @@ class TestPullEngineHistory:
             loc = BlockLoc(position=b * F, rate=RATE,
                            shape=Shape(frames=F, channels=1))
             rv.respond(Request(requestor=None, port='t', loc=loc))
-        past = BlockLoc(position=0, rate=RATE,
+        past = BlockLoc(position=2 * F, rate=RATE,
                         shape=Shape(frames=F, channels=1))
         with pytest.raises(ChainLayerError, match='history'):
             rv.respond(Request(requestor=None, port='t', loc=past))
@@ -190,3 +192,18 @@ class TestSegmentHistory:
         assert c.segment_scan_core(24) is not None
         C._compile_cache.clear()
         _check_all_paths(build)
+
+    def test_stream_restart_re_renders(self):
+        # a re-pull from the stream start deeper than retention is a
+        # RESTART: the carry re-initializes and the audio re-renders
+        # bit-identically (deterministic graph), instead of raising
+        def build_rv():
+            osc = Sine()
+            osc.hertz = fixed(220.0)
+            rv = Reverb()
+            rv.input = osc
+            return rv
+        rv = build_rv()
+        first = pull_blocks(rv, 24, block_frames=F, rate=RATE)
+        second = pull_blocks(rv, 24, block_frames=F, rate=RATE)
+        assert np.array_equal(first, second)
