@@ -85,3 +85,40 @@ def test_structural_edit_recompiles_during_playback():
     assert head_duty < 0.5, head_duty
     assert tail_duty > 0.95, tail_duty
     assert sink._transport is None or sink._transport.error is None
+
+
+def test_echo_tail_survives_traced_mute():
+    """Carry continuity across a traced edit: muting an echo patch's
+    source between batches must leave the delay line ringing (the tail
+    repeats at the loop gain) — a carry reset here would cut the echo
+    dead, which the reference's interpreted engine would never do."""
+    import signals_tpu.compiler as C
+    from signals_tpu.compiler import compile_node
+    from signals_tpu.nodes.delay import Delay
+    from signals_tpu.nodes.fx import Mix
+
+    F, RATE = 512, 44100
+    osc = Sine()
+    osc.hertz = fixed(330.0)
+    mix = Mix()
+    d = Delay()
+    d.get_state().frames = 4 * F
+    fb = Gain()
+    fb.left = d
+    fb.right = fixed(0.9)
+    mix.left = osc
+    mix.right = fb
+    mix.mix = fixed(0.5)
+    d.input = mix
+    c = compile_node(mix, block_frames=F, rate=RATE, channels=1)
+    _, carry = c.render(position=0, n_blocks=16, deliver_taps=False)
+    osc.get_state().enabled = False       # traced edit: no recompile
+    b, _ = c.render(position=16 * F, n_blocks=16, carry=carry,
+                    deliver_taps=False)
+    b = np.asarray(b).ravel()
+    assert np.isfinite(b).all()
+    early = np.abs(b[:4 * F]).max()       # first delay period after mute
+    late = np.abs(b[-4 * F:]).max()       # ~3 loop trips later
+    assert early > 0.1, 'echo tail was cut by the edit'
+    assert late < early * 0.2, 'tail failed to decay at the loop gain'
+    C._compile_cache.clear()
