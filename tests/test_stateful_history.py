@@ -144,6 +144,44 @@ class TestMegaHistory:
             return g
         _check_all_paths(build, tol=2e-6)
 
+    def test_stereo_master_bus(self):
+        # multi-channel hist rings: a panned (stereo) source through
+        # reverb -> compressor must agree across all paths per channel
+        from signals_tpu.nodes.fx import Pan
+
+        def build():
+            osc = Sine()
+            osc.hertz = fixed(220.0)
+            pan = Pan()
+            pan.input = osc
+            pan.position = fixed(0.3)
+            rv = Reverb()
+            rv.input = pan
+            comp = Compressor()
+            comp.get_state().window = 2 * F
+            comp.get_state().threshold = 0.2
+            comp.input = rv
+            g = Gain()
+            g.left = comp
+            g.right = fixed(0.9)
+            return g
+
+        def render(mega):
+            root = build()
+            c = compile_node(root, block_frames=F, rate=RATE, channels=2)
+            if not mega:
+                c.enable_mega = False
+            got, _ = c.render(position=0, n_blocks=16, deliver_taps=False)
+            C._compile_cache.clear()
+            return np.asarray(got).reshape(16 * F, 2)
+
+        fast, slow = render(True), render(False)
+        assert np.abs(fast - slow).max() < 1e-6
+        oracle = pull_blocks(build(), 16, block_frames=F, rate=RATE,
+                             channels=2)
+        assert np.abs(fast - oracle).max() < 1e-6
+        assert np.abs(fast[:, 0] - fast[:, 1]).max() > 1e-3
+
     def test_stateful_at_block_rate_port(self):
         # the pull engine cannot express this (a block-rate pull would
         # step the node at 1-frame granularity); mega must equal the
