@@ -18,10 +18,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import pathlib
 import sys
 import time
 
 import numpy as np
+
+if __name__ == '__main__':      # runnable standalone from anywhere
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import jax
+    # CPU: realtime pacing is the subject here, and the remote-TPU
+    # tunnel's per-dispatch floor can't serve block-at-a-time realtime
+    jax.config.update('jax_platforms', 'cpu')
 
 
 def build_voice():
@@ -67,14 +75,51 @@ def build_voice():
     return g, base
 
 
-def soak(seconds: float = 65.0, *, block: int = 1024,
+def build_echo(block: int = 1024):
+    """The voice through a damped feedback echo (delay > the transport's
+    8-block render-ahead, so each realtime call renders as one whole
+    segment window); the live-edit target is the feedback gain."""
+    from signals_tpu.nodes.delay import Delay
+    from signals_tpu.nodes.fixed import Fixed
+    from signals_tpu.nodes.fx import Gain, LowPass, Mix
+
+    def fixed(v):
+        f = Fixed()
+        f.get_state().value = np.atleast_2d(
+            np.asarray(v, dtype=np.float32))
+        return f
+
+    voice, _ = build_voice()
+    mix = Mix()
+    d = Delay()
+    d.get_state().frames = 11 * block + 7
+    damp = LowPass()
+    damp.input = d
+    damp.cutoff = fixed(2500.0)
+    damp.get_state().streaming = True
+    fb_gain = fixed(0.45)
+    fb = Gain()
+    fb.left = damp
+    fb.right = fb_gain
+    mix.left = voice
+    mix.right = fb
+    mix.mix = fixed(0.55)
+    d.input = mix
+    return mix, fb_gain
+
+
+def soak(seconds: float = 65.0, *, block: int = 1024, patch: str = 'voice',
          progress=lambda msg: print(msg, file=sys.stderr, flush=True)
          ) -> dict:
     from signals_tpu.nodes.dev import Rack, SinkDevice
 
     rack = Rack()
     rack.scan()
-    root, cutoff_base = build_voice()
+    if patch == 'echo':
+        root, fb_gain = build_echo(block)
+        cutoff_base = None
+    else:
+        root, cutoff_base = build_voice()
     sink = SinkDevice(rack.get_sink('null'), block_frames=block,
                       realtime=True)
     sink.get_state().channels = 1
@@ -104,11 +149,17 @@ def soak(seconds: float = 65.0, *, block: int = 1024,
                 seek_underruns += sink.underruns - seek_window[0]
                 seek_window = None
             if elapsed >= next_edit:
-                # live traced edit: sweep the cutoff base — re-read by the
-                # render loop without recompiling
-                val = 1200.0 + 900.0 * np.sin(elapsed / 3.0)
-                cutoff_base.get_state().value = np.array(
-                    [[val]], dtype=np.float32)
+                # live traced edit, re-read by the render loop without
+                # recompiling: sweep the cutoff base (voice patch) or
+                # the echo's feedback gain (echo patch)
+                if cutoff_base is not None:
+                    val = 1200.0 + 900.0 * np.sin(elapsed / 3.0)
+                    cutoff_base.get_state().value = np.array(
+                        [[val]], dtype=np.float32)
+                else:
+                    val = 0.45 + 0.35 * np.sin(elapsed / 3.0)
+                    fb_gain.get_state().value = np.array(
+                        [[val]], dtype=np.float32)
                 edits += 1
                 next_edit += 2.0
             if seek_times and elapsed >= seek_times[0]:
@@ -136,6 +187,7 @@ def soak(seconds: float = 65.0, *, block: int = 1024,
             sink.close()
 
     report = {
+        'patch': patch,
         'seconds': seconds,
         'edits': edits,
         'seeks': seeks_done,
@@ -157,8 +209,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument('--seconds', type=float, default=65.0)
     parser.add_argument('--block', type=int, default=1024)
+    parser.add_argument('--patch', choices=('voice', 'echo'),
+                        default='voice')
     args = parser.parse_args(argv)
-    report = soak(args.seconds, block=args.block)
+    report = soak(args.seconds, block=args.block, patch=args.patch)
     ok = report['underruns_after_warmup'] == 0
     print(json.dumps({'ok': ok, **report}))
     return 0 if ok else 1

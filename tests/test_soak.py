@@ -30,3 +30,19 @@ def test_realtime_soak_60s():
     # the render path must leave solid realtime headroom on CPU
     assert lat['x_realtime_p50'] > 3.0, lat
     assert lat['p95_ms'] < 1000.0 * 1024 / 44100, lat
+
+
+def test_realtime_soak_echo_35s():
+    """The feedback paths under realtime pacing: a damped echo loop
+    (delay > the transport's render-ahead) soaked with live
+    feedback-gain edits and two seeks — zero underruns outside seek
+    recovery, monotonic progress."""
+    import soak
+
+    report = soak.soak(35.0, patch='echo', progress=lambda msg: None)
+    if report['underruns_after_warmup'] and report['latency'].get(
+            'p95_ms', 0.0) > 10.0:      # pragma: no cover - loaded CI box
+        report = soak.soak(35.0, patch='echo', progress=lambda msg: None)
+    assert report['underruns_after_warmup'] == 0, report
+    assert report['position_blocks'] > 0
+    assert len(report['seeks']) == 2
