@@ -499,7 +499,8 @@ def _backend_or_bail(timeout_s=600.0):
         'vs_baseline': 0.0,
         'extra': {'note': ('TPU render-rate evidence measured mid-round '
                            'on this build: docs/STATUS.md "Bench" '
-                           'section and BENCH_full.json (committed)')},
+                           'section and BENCH_tpu_midround_r3.json '
+                           '(committed, raw measurement log)')},
     }
     print(json.dumps(result))
     sys.exit(0)
@@ -515,6 +516,13 @@ def main(argv=None):
         jax.config.update('jax_platforms', 'cpu')
     else:
         _backend_or_bail()
+
+    # Every record carries its backend: a CPU debug run must never be
+    # mistaken for (or archived as) a TPU measurement.
+    import jax
+    backend = jax.default_backend()
+    device_kind = str(jax.devices()[0].device_kind)
+    on_accel = backend not in ('cpu',)
 
     # 60-second calls: each remote execution carries a ~25-75 ms fixed
     # cost through the tunnel regardless of content, so short calls
@@ -689,6 +697,8 @@ def main(argv=None):
     if headline is None:
         headline = 0.0
         metric += ' [ALL 64-voice fetch configs failed this run]'
+    if not on_accel:
+        metric = ('CPU DEBUG RUN (NOT a TPU measurement): ' + metric)
 
     # The driver archives only the LAST ~2000 chars of stdout: print a
     # compact headline-first line (x_realtime only, rounded) so every
@@ -699,6 +709,8 @@ def main(argv=None):
         'value': round(headline, 1),
         'unit': 'x_realtime',
         'vs_baseline': round(headline / 1000.0, 3),
+        'backend': backend,
+        'device': device_kind,
         'extra': extra,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -721,6 +733,8 @@ def main(argv=None):
         'value': round(headline, 1),
         'unit': 'x_realtime',
         'vs_baseline': round(headline / 1000.0, 3),
+        'backend': backend,
+        'device': device_kind,
         'extra': {k: compact_val(v) for k, v in extra.items()},
     }
     line = json.dumps(result)
