@@ -59,28 +59,7 @@ class Compressor(BlockCachingEmitter, ImplicitChannels, Receiver):
 
     def kernel(self, ctx: KernelCtx):
         xp = ctx.xp
-        W = self._state.window
-        F = ctx.nframes
-        ch = self.channels
-        x = ctx.in_context('input', W)
-        # the pull engine clamps context at the start of the timeline
-        # (reference BlockLoc.before); zero-pad to the full window — silence
-        # before position 0, identical to the compiled engine's masking
-        if x.shape[0] < W + F:
-            x = xp.pad(x, ((W + F - x.shape[0], 0), (0, 0)))
-        x = xp.broadcast_to(x, (W + F, ch))
-
-        if xp is np:
-            cs = np.cumsum(x.astype(np.float64) ** 2, axis=0)
-            mean_pow = ((cs[W:] - cs[:-W]) / float(W)).astype(F32)
-        else:
-            import jax
-            with jax.enable_x64(True):
-                x64 = x.astype(xp.float64)
-                cs = xp.cumsum(x64 * x64, axis=0)
-                mean_pow = ((cs[W:] - cs[:-W]) / float(W)).astype(F32)
-        env = xp.sqrt(xp.maximum(mean_pow, F32(1e-20)))   # (F, ch)
-
+        x, env = _rms_env(ctx, self._state.window, self.channels)
         thresh = xp.asarray(ctx.param('threshold'), dtype=F32).reshape(())
         ratio = xp.asarray(ctx.param('ratio'), dtype=F32).reshape(())
         makeup = xp.asarray(ctx.param('makeup'), dtype=F32).reshape(())
@@ -90,4 +69,70 @@ class Compressor(BlockCachingEmitter, ImplicitChannels, Receiver):
         gain = xp.where(over > F32(1.0),
                         over ** (F32(1.0) / ratio - F32(1.0)),
                         F32(1.0))
-        return x[W:] * gain * makeup
+        return x * gain * makeup
+
+
+@register()
+class Gate(BlockCachingEmitter, ImplicitChannels, Receiver):
+    """Sliding-RMS noise gate (downward expander) — the Compressor's dual.
+
+    Below ``threshold`` the output level follows
+    ``thresh * (env/thresh)**ratio`` (gain ``(env/thresh)**(ratio-1)``,
+    clamped at the linear ``floor``); at or above, unity.  ``window``
+    frames of RMS history are the attack/release time, exactly the
+    stateless context design of :class:`Compressor` — seekable,
+    blocking-invariant, fast-path compatible on every engine.
+    """
+
+    input: Receiver.BoundPort = port('input')
+
+    class State(BlockCachingEmitter.State):
+        threshold: float = Param(0.1, validate=ge(1e-6), traced=True)
+        #: expansion slope below threshold (1 = transparent)
+        ratio: float = Param(3.0, validate=ge(1.0), traced=True)
+        #: minimum linear gain (0 = hard gate at silence)
+        floor: float = Param(0.0, validate=ge(0.0), traced=True)
+        #: structural: frames of RMS history (the attack/release time)
+        window: int = Param(1024, validate=all_of(instance_of(int), ge(8)))
+
+    @classmethod
+    def flags(cls) -> SignalFlags:
+        return super().flags() | SignalFlags.EFFECT
+
+    def kernel(self, ctx: KernelCtx):
+        xp = ctx.xp
+        x, env = _rms_env(ctx, self._state.window, self.channels)
+        thresh = xp.asarray(ctx.param('threshold'), dtype=F32).reshape(())
+        ratio = xp.asarray(ctx.param('ratio'), dtype=F32).reshape(())
+        floor = xp.asarray(ctx.param('floor'), dtype=F32).reshape(())
+        under = env / thresh
+        gain = xp.where(under < F32(1.0),
+                        xp.maximum(under ** (ratio - F32(1.0)), floor),
+                        F32(1.0))
+        return x * gain
+
+
+def _rms_env(ctx: KernelCtx, W: int, ch: int):
+    """(current block (F, ch), sliding-RMS envelope (F, ch)) over the
+    last ``W`` frames — the shared dynamics front end.
+
+    Numerics: the windowed power sum is a difference of f64 cumulative
+    sums rounded once (see the module docstring); frames before position
+    0 are zero-padded, matching both engines' silence-before-start."""
+    xp = ctx.xp
+    F = ctx.nframes
+    x = ctx.in_context('input', W)
+    if x.shape[0] < W + F:
+        x = xp.pad(x, ((W + F - x.shape[0], 0), (0, 0)))
+    x = xp.broadcast_to(x, (W + F, ch))
+    if xp is np:
+        cs = np.cumsum(x.astype(np.float64) ** 2, axis=0)
+        mean_pow = ((cs[W:] - cs[:-W]) / float(W)).astype(F32)
+    else:
+        import jax
+        with jax.enable_x64(True):
+            x64 = x.astype(xp.float64)
+            cs = xp.cumsum(x64 * x64, axis=0)
+            mean_pow = ((cs[W:] - cs[:-W]) / float(W)).astype(F32)
+    env = xp.sqrt(xp.maximum(mean_pow, F32(1e-20)))       # (F, ch)
+    return x[W:], env

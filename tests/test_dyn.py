@@ -91,3 +91,84 @@ def test_compressor_blocking_invariance():
     full, _ = c.render(n_blocks=24, deliver_taps=False)
     seeked, _ = c.render(position=8 * F, n_blocks=8, deliver_taps=False)
     np.testing.assert_allclose(seeked, full[8 * F:16 * F], atol=2e-7)
+
+
+def test_gate_parity():
+    from signals_tpu.nodes.dyn import Gate
+
+    def build():
+        carrier = Sine()
+        carrier.hertz = fixed(330.0)
+        gate_sq = Square()
+        gate_sq.hertz = fixed(2.0)
+        lvl = Gain()
+        lvl.left = gate_sq
+        lvl.right = fixed(0.35)
+        biased = RingMod()
+        biased.left = carrier
+        biased.right = lvl
+        g = Gate()
+        g.input = biased
+        st = g.get_state()
+        st.threshold = 0.2
+        st.ratio = 4.0
+        return g
+
+    comp._compile_cache.clear()
+    c = compile_node(build(), block_frames=F, rate=RATE, channels=1)
+    got, _ = c.render(n_blocks=24, deliver_taps=False)
+    comp._compile_cache.clear()
+    oracle = pull_blocks(build(), 24, block_frames=F, rate=RATE)
+    assert np.abs(np.asarray(got).reshape(oracle.shape)
+                  - oracle).max() < 1e-6
+
+
+def test_gate_attenuates_quiet_passes_loud():
+    """Static law: a loud RMS section passes at unity; a section at half
+    the threshold is attenuated by ~(env/thresh)^(ratio-1)."""
+    from signals_tpu.nodes.dyn import Gate
+
+    def tone(level):
+        carrier = Sine()
+        carrier.hertz = fixed(330.0)
+        lvl = Gain()
+        lvl.left = carrier
+        lvl.right = fixed(level)
+        g = Gate()
+        g.input = lvl
+        st = g.get_state()
+        st.threshold = 0.2
+        st.ratio = 3.0
+        st.window = 512
+        return g
+
+    comp._compile_cache.clear()
+    loud = pull_blocks(tone(0.5), 12, block_frames=F, rate=RATE)
+    quiet = pull_blocks(tone(0.1), 12, block_frames=F, rate=RATE)
+    # steady state (after the window warms up)
+    l_rms = np.sqrt((loud[6 * F:] ** 2).mean())
+    q_rms = np.sqrt((quiet[6 * F:] ** 2).mean())
+    assert abs(l_rms - 0.5 / np.sqrt(2)) < 0.02        # unity
+    # env = 0.1/sqrt(2) ~ 0.0707 -> gain = (0.0707/0.2)^2 ~ 0.125
+    expect = (0.1 / np.sqrt(2) / 0.2) ** 2 * 0.1 / np.sqrt(2)
+    assert abs(q_rms - expect) < 0.2 * expect, (q_rms, expect)
+
+
+def test_gate_floor_bounds_attenuation():
+    from signals_tpu.nodes.dyn import Gate
+
+    carrier = Sine()
+    carrier.hertz = fixed(330.0)
+    lvl = Gain()
+    lvl.left = carrier
+    lvl.right = fixed(0.01)                 # far below threshold
+    g = Gate()
+    g.input = lvl
+    st = g.get_state()
+    st.threshold = 0.2
+    st.ratio = 6.0
+    st.floor = 0.5
+    comp._compile_cache.clear()
+    out = pull_blocks(g, 12, block_frames=F, rate=RATE)
+    rms = np.sqrt((out[6 * F:] ** 2).mean())
+    assert abs(rms - 0.5 * 0.01 / np.sqrt(2)) < 0.001   # clamped at floor
