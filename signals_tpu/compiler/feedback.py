@@ -39,13 +39,16 @@ from signals_tpu.graph import Emitter, Receiver, StatefulEmitter
 
 
 def _is_delay(node) -> bool:
-    from signals_tpu.nodes.delay import Delay
-    return isinstance(node, Delay)
+    from signals_tpu.compiler import _is_delay as impl
+    return impl(node)
 
 
 def _is_tap(node) -> bool:
-    from signals_tpu import SignalFlags
-    return bool(node.flags() & (SignalFlags.VIS | SignalFlags.RECORDER))
+    # single source of truth: the compiler's predicate (a tap kind added
+    # there must also disqualify solved-loop paths here, where taps must
+    # observe true values)
+    from signals_tpu.compiler import _is_tap as impl
+    return impl(node)
 
 
 def _inputs(node) -> typing.Iterator[Emitter]:

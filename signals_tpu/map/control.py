@@ -857,6 +857,7 @@ class Controller(cmd.Cmd):
         super().__init__(stdin=stdin, stdout=stdout)
         self.use_rawinput = False
         self.modcount = 0
+        self.last_error: typing.Optional[str] = None
         self.interactive = interactive
         self.map = Map() if map is None else map
         self.command_set = CommandSet() if command_set is None else command_set
@@ -877,6 +878,10 @@ class Controller(cmd.Cmd):
         return False
 
     def default(self, line: str) -> bool:
+        #: str when the last command failed, None when it succeeded —
+        #: how non-console frontends (the GUI presenter) distinguish a
+        #: printed error from command output
+        self.last_error = None
         if line == 'EOF':
             self.exit = True
         else:
@@ -884,6 +889,7 @@ class Controller(cmd.Cmd):
                 cmd_ = self.parse_line(line)
                 cmd_.affect(self)
             except MapLayerError as e:
+                self.last_error = str(e)
                 if self.interactive:
                     print(str(e), file=self.stdout)
                 else:
@@ -891,11 +897,13 @@ class Controller(cmd.Cmd):
             except OSError as e:
                 # e.g. bounce/save/export to an unwritable path — a clean
                 # one-liner, not an internal error
+                self.last_error = f'IO error: {e}'
                 if self.interactive:
                     print(f'IO error: {e}', file=self.stdout)
                 else:
                     raise
             except Exception:
+                self.last_error = traceback.format_exc()
                 print('Unexpected error:', file=self.stdout)
                 print(traceback.format_exc(), file=self.stdout)
                 if not self.interactive:

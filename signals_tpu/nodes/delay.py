@@ -80,8 +80,26 @@ class Delay(StatefulEmitter, ExplicitChannels, Receiver):
             # The old behavior re-initialized the carry to zeros here,
             # silencing (and corrupting) every context filter downstream
             # of a delay — the compiled engine, which serves these from
-            # the carried buffer, is the semantic model.
-            return self._read_history(loc)
+            # the carried buffer, is the semantic model.  A fully-past
+            # request from the STREAM START that retention cannot serve
+            # is a *restart* (transport replay), not a lookback — fall
+            # through to re-initialize and re-render; a context
+            # consumer's clamped early reads grow retention in lockstep
+            # and never land there (mirrors StatefulEmitter._eval).
+            start = getattr(self, '_start_pos', 0)
+            cp = self._carry_position
+            B = self._carry['buf'].shape[0]
+            # the window [q0, q1) is backed by INPUT frames [q0-D, q1-D);
+            # servable directly from the retained line, or via the
+            # whole-stream zero-pad growth path in _read_history
+            s0 = max(loc.position - D, start)
+            if cp - s0 <= B or cp - start <= B:
+                return self._read_history(loc)
+            if loc.position > start:
+                raise ChainLayerError(
+                    f'Delay history of {B} frames cannot serve a '
+                    f'context read {cp - s0} frames back; the '
+                    f'consumer was attached mid-stream')
         if D < nframes:
             raise ChainLayerError(
                 f'Delay of {D} frames is shorter than the {nframes}-frame '

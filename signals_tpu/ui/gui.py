@@ -58,11 +58,14 @@ class PatcherPresenter:
 
     # --- command plumbing ----------------------------------------------------
 
-    def run(self, line: str) -> None:
+    def run(self, line: str) -> bool:
+        """Execute one command line; True on success, False when the
+        controller reported an error (the message shows it either way)."""
         self.out.truncate(0)
         self.out.seek(0)
         self.controller.default(line)
         self.message = self.out.getvalue().strip() or 'ok'
+        return getattr(self.controller, 'last_error', None) is None
 
     @property
     def dirty(self) -> bool:
@@ -76,19 +79,23 @@ class PatcherPresenter:
 
     def save(self, path: typing.Optional[str] = None) -> bool:
         """Save to ``path`` or the current file; False if no path known
-        (the view should then prompt, i.e. behave as Save-As)."""
+        (the view should then prompt, i.e. behave as Save-As).
+
+        A FAILED save (unwritable path) must not adopt the path or clear
+        the dirty flag: the title keeps its '*' and later Ctrl-S retries
+        — silently 'succeeding' against a bad path loses the patch."""
         path = path or self.path
         if path is None:
             return False
-        self.run(f'save {path}')
-        self.path = path
-        self.mark_saved()
+        if self.run(f'save {path}'):
+            self.path = path
+            self.mark_saved()
         return True
 
     def load(self, path: str) -> None:
-        self.run(f'load {path}')
-        self.path = path
-        self.mark_saved()
+        if self.run(f'load {path}'):
+            self.path = path
+            self.mark_saved()
 
     def revert(self) -> None:
         """Discard edits and reload the current file

@@ -328,3 +328,33 @@ def test_tk_view_vis_dock_sync(monkeypatch):
     assert view.vis_rack is not None and len(view.vis_rack) == 1
     view._run('- 2a')
     assert view.vis_rack is None
+
+
+def test_failed_save_keeps_dirty_and_path(tmp_path):
+    """A save to an unwritable path must NOT adopt the path or clear the
+    dirty flag — the user would quit believing the patch was saved."""
+    p = make()
+    setup_patch(p)
+    good = str(tmp_path / 'ok.sigs')
+    assert p.save(good) is True and p.path == good and not p.dirty
+    p.run('+ 3a signals_tpu.nodes.osc.Sine')
+    assert p.dirty
+    bad = str(tmp_path / 'no-such-dir' / 'x.sigs')
+    assert p.save(bad) is True            # handled (no prompt needed)...
+    assert 'error' in p.message.lower()   # ...but reported
+    assert p.path == good                 # bad path NOT adopted
+    assert p.dirty                        # edits still unsaved
+    # plain Ctrl-S retries the good path and succeeds
+    assert p.save() is True and not p.dirty
+
+
+def test_failed_load_keeps_state(tmp_path):
+    p = make()
+    setup_patch(p)
+    good = str(tmp_path / 'ok.sigs')
+    p.save(good)
+    p.load(str(tmp_path / 'missing.sigs'))
+    assert 'error' in p.message.lower()
+    assert p.path == good                 # Revert still targets the real file
+    scene = p.scene()
+    assert len(scene['nodes']) == 2       # patch untouched

@@ -245,3 +245,27 @@ class TestSegmentHistory:
         first = pull_blocks(rv, 24, block_frames=F, rate=RATE)
         second = pull_blocks(rv, 24, block_frames=F, rate=RATE)
         assert np.array_equal(first, second)
+
+    def test_delay_replay_restart(self):
+        # re-pulling an echo patch from the start (transport replay in
+        # the pull engine) re-initializes the delay line instead of
+        # raising once the replay outruns retention — and the second
+        # run is bit-identical
+        def build():
+            osc = Sine()
+            osc.hertz = fixed(110.0)
+            mix = Mix()
+            d = Delay()
+            d.get_state().frames = 4 * F
+            fb = Gain()
+            fb.left = d
+            fb.right = fixed(0.5)
+            mix.left = osc
+            mix.right = fb
+            mix.mix = fixed(0.5)
+            d.input = mix
+            return mix
+        root = build()
+        first = pull_blocks(root, 24, block_frames=F, rate=RATE)
+        second = pull_blocks(root, 24, block_frames=F, rate=RATE)
+        assert np.array_equal(first, second)
