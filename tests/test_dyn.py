@@ -172,3 +172,84 @@ def test_gate_floor_bounds_attenuation():
     out = pull_blocks(g, 12, block_frames=F, rate=RATE)
     rms = np.sqrt((out[6 * F:] ** 2).mean())
     assert abs(rms - 0.5 * 0.01 / np.sqrt(2)) < 0.001   # clamped at floor
+
+
+def test_limiter_brick_wall_and_latency():
+    """|out| <= ceiling EXACTLY at every sample (by construction), the
+    dry path is delayed by exactly `lookahead`, and sub-ceiling audio
+    passes bit-transparently."""
+    from signals_tpu.nodes.dyn import Limiter
+    from signals_tpu.nodes.noise import White
+
+    L = 64
+
+    def build(drive):
+        src = White()
+        src.get_state().seed = 11
+        hot = Gain()
+        hot.left = src
+        hot.right = fixed(drive)
+        lim = Limiter()
+        lim.input = hot
+        st = lim.get_state()
+        st.ceiling = 0.5
+        st.lookahead = L
+        return lim, hot
+
+    # hot signal: hard bound holds everywhere
+    lim, hot = build(2.0)
+    comp._compile_cache.clear()
+    out = pull_blocks(lim, 16, block_frames=F, rate=RATE)
+    assert np.abs(out).max() <= 0.5 + 1e-6, np.abs(out).max()
+    # and the limiter actually worked (not silence)
+    assert np.abs(out).max() > 0.45
+
+    # quiet signal: bit-transparent, delayed by exactly L
+    lim2, hot2 = build(0.3)
+    comp._compile_cache.clear()
+    out2 = pull_blocks(lim2, 16, block_frames=F, rate=RATE)
+    src2 = White()
+    src2.get_state().seed = 11
+    ref = Gain()
+    ref.left = src2
+    ref.right = fixed(0.3)
+    raw = pull_blocks(ref, 16, block_frames=F, rate=RATE)
+    assert np.array_equal(out2[L:], raw[:-L])
+    assert np.abs(out2[:L]).max() == 0.0      # pre-stream silence
+
+
+def test_limiter_parity_all_paths():
+    from signals_tpu.nodes.dyn import Limiter
+
+    def build():
+        carrier = Sine()
+        carrier.hertz = fixed(330.0)
+        sq = Square()
+        sq.hertz = fixed(3.0)
+        lvl = Gain()
+        lvl.left = sq
+        lvl.right = fixed(0.5)
+        burst = RingMod()
+        burst.left = carrier
+        burst.right = lvl
+        hot = Gain()
+        hot.left = burst
+        hot.right = fixed(3.0)
+        lim = Limiter()
+        lim.input = hot
+        lim.get_state().ceiling = 0.8
+        return lim
+
+    comp._compile_cache.clear()
+    c = compile_node(build(), block_frames=F, rate=RATE, channels=1)
+    fast, _ = c.render(n_blocks=16, deliver_taps=False)
+    comp._compile_cache.clear()
+    c2 = compile_node(build(), block_frames=F, rate=RATE, channels=1)
+    c2.enable_mega = False
+    slow, _ = c2.render(n_blocks=16, deliver_taps=False)
+    comp._compile_cache.clear()
+    assert np.abs(np.asarray(fast) - np.asarray(slow)).max() < 1e-6
+    oracle = pull_blocks(build(), 16, block_frames=F, rate=RATE)
+    assert np.abs(np.asarray(fast).reshape(oracle.shape)
+                  - oracle).max() < 1e-6
+    assert np.abs(np.asarray(fast)).max() <= 0.8 + 1e-6
