@@ -36,14 +36,16 @@ def fixed(v):
 
 
 def lfo_around(center, depth, hertz):
+    # Mix(m=0.5) crossfades: 0.5*L + 0.5*R — double both legs so the
+    # result swings center +/- depth, not half that
     osc = Sine()
     osc.hertz = fixed(hertz)
     d = Gain()
     d.left = osc
-    d.right = fixed(depth)
+    d.right = fixed(2.0 * depth)
     m = Mix()
     m.left = d
-    m.right = fixed(center)
+    m.right = fixed(2.0 * center)
     m.mix = fixed(0.5)
     return m
 

@@ -89,13 +89,20 @@ class Delay(StatefulEmitter, ExplicitChannels, Receiver):
             start = getattr(self, '_start_pos', 0)
             cp = self._carry_position
             B = self._carry['buf'].shape[0]
-            # the window [q0, q1) is backed by INPUT frames [q0-D, q1-D);
-            # servable directly from the retained line, or via the
-            # whole-stream zero-pad growth path in _read_history
+            # the window [q0, q1) is backed by INPUT frames [q0-D, q1-D):
+            # serve when the retained line covers the in-stream part of
+            # that span (context consumers always land here — their
+            # clamped early reads grow retention in lockstep); when it
+            # doesn't, a window whose backing span begins at/before the
+            # stream start is a *restart* (transport replay, or a
+            # one-off early re-read — rendering from scratch gives the
+            # right values in both, at the cost of resetting the line),
+            # and only a window backed strictly inside the stream is a
+            # true mid-stream attach
             s0 = max(loc.position - D, start)
-            if cp - s0 <= B or cp - start <= B:
+            if cp - s0 <= B:
                 return self._read_history(loc)
-            if loc.position > start:
+            if loc.position - D > start:
                 raise ChainLayerError(
                     f'Delay history of {B} frames cannot serve a '
                     f'context read {cp - s0} frames back; the '

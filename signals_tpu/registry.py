@@ -113,6 +113,8 @@ _NODE_MODULES = (
     'signals_tpu.nodes.seq',
     'signals_tpu.nodes.reverb',
     'signals_tpu.nodes.dyn',
+    'signals_tpu.nodes.moddelay',
+    'signals_tpu.nodes.phaser',
 )
 
 _loaded = False

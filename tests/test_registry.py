@@ -60,3 +60,16 @@ def test_library_grep():
     lib.scan()
     assert lib.grep('*.Sine') == ['signals_tpu.nodes.osc.Sine']
     assert lib.grep('zzz*') == []
+
+
+def test_modulation_nodes_discoverable():
+    """FracDelay/Phaser/Gate/Limiter must appear in the library scan —
+    the GUI add picker and `grep` only see registered names."""
+    import signals_tpu.registry as R
+
+    lib = R.Library(())
+    lib.scan()
+    names = set(lib.names)
+    for want in ('moddelay.FracDelay', 'phaser.Phaser', 'dyn.Gate',
+                 'dyn.Limiter'):
+        assert any(n.endswith(want) for n in names), want

@@ -269,3 +269,30 @@ class TestSegmentHistory:
         first = pull_blocks(root, 24, block_frames=F, rate=RATE)
         second = pull_blocks(root, 24, block_frames=F, rate=RATE)
         assert np.array_equal(first, second)
+
+    def test_delay_prestream_window_serves_silence(self):
+        # a fully-past window whose backing input span touches the
+        # pre-stream region restarts the line and renders correctly
+        # (silence here), never raising — even after cache eviction;
+        # a window backed strictly inside the stream still raises
+        from signals_tpu.core import BlockLoc, Shape
+        d = Delay()
+        d.get_state().frames = 4 * F
+        osc = Sine()
+        osc.hertz = fixed(220.0)
+        d.input = osc
+        for b in range(24):
+            loc = BlockLoc(position=b * F, rate=RATE,
+                           shape=Shape(frames=F, channels=1))
+            d.respond(Request(requestor=None, port='t', loc=loc))
+        # in-stream-backed window beyond retention (and past the block
+        # cache, which keeps the last 16): a true attach, raises
+        mid = BlockLoc(position=6 * F, rate=RATE,
+                       shape=Shape(frames=F, channels=1))
+        with pytest.raises(ChainLayerError, match='history'):
+            d.respond(Request(requestor=None, port='t', loc=mid))
+        # pre-stream-backed early window: restart, correct silence
+        early = BlockLoc(position=F, rate=RATE,
+                         shape=Shape(frames=F, channels=1))
+        out = d.respond(Request(requestor=None, port='t', loc=early))
+        assert np.abs(np.asarray(out)).max() == 0.0
