@@ -536,6 +536,24 @@ def main(argv=None):
     def progress(msg):
         print(msg, file=sys.stderr, flush=True)
 
+    record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'BENCH_full.json')
+
+    def checkpoint_record(final=False):
+        """Rewrite BENCH_full.json after every config: a run cut short
+        (round timeout, tunnel drop mid-sweep) still leaves every
+        completed measurement on disk, flagged partial."""
+        rec = {
+            'metric': 'IN PROGRESS — partial record' if not final else '',
+            'backend': backend,
+            'device': device_kind,
+            'extra': dict(extra),
+        }
+        if not final:
+            rec['partial'] = True
+            with open(record_path, 'w') as f:
+                json.dump(rec, f, indent=1)
+
     def guard(key, fn):
         """Run one config measurement fail-soft: a single config blowing
         up (a transiently wedged device, an OOM at an extreme size) must
@@ -545,38 +563,14 @@ def main(argv=None):
         except Exception as e:           # pragma: no cover - hardware path
             progress(f'bench: {key} FAILED: {e!r}')
             extra[key] = {'error': f'{type(e).__name__}: {e}'}
+        checkpoint_record()
 
-    # config 1: sine + plot
-    progress('bench: config 1 (sine+vis)...')
-    c1 = build_sine_plot()
-    parity['sine'] = check_parity(c1, n_blocks=n_blocks)
-    guard('c1_sine_plot',
-          lambda: bench_single(c1, seconds=seconds, label='sine+vis'))
-
-    # config 2: 16-osc additive
-    progress('bench: config 2 (additive-16)...')
-    voice2, hz2 = build_additive_voice()
-    parity['additive'] = check_parity(voice2, n_blocks=n_blocks)
-    guard('c2_additive16',
-          lambda: bench_poly(voice2, hz2, 16, seconds=seconds,
-                             label='additive-16'))
-
-    # config 3: subtractive voice
-    progress('bench: config 3 (subtractive)...')
-    voice3, hz3 = build_subtractive_voice()
-    parity['subtractive'] = check_parity(voice3, n_blocks=n_blocks)
-    guard('c3_subtractive',
-          lambda: bench_single(voice3, seconds=seconds,
-                               label='subtractive-voice'))
-    guard('c3_subtractive_device_resident',
-          lambda: bench_single_device(voice3, seconds=seconds,
-                                      label='subtractive-voice-device'))
-    try:
-        lat1, lat8 = bench_block_latency(voice3)
-        extra['p50_block_latency_ms'] = lat1 * 1e3
-        extra['p50_block_latency_renderahead_ms'] = lat8 * 1e3
-    except Exception as e:               # pragma: no cover - hardware path
-        progress(f'bench: latency FAILED: {e!r}')
+    # Config order is PRIORITY order, not numeric: the record checkpoints
+    # after every config, so if the run is cut short (round timeout, the
+    # tunnel dropping mid-sweep) the measurements that matter most — the
+    # fetched headline, then the round-3 fast-path evidence (echo /
+    # master bus), then device-resident and scaling — are already on
+    # disk; the cheap stateless configs run last.
 
     # config 4 (headline): 64-voice poly, mix device-encoded to 8-bit
     # G.711 mu-law and fetched to host — the production stream/bounce
@@ -606,6 +600,26 @@ def main(argv=None):
           lambda: bench_poly(voice4f, hz4f, 64, seconds=seconds,
                              label='poly-64-f32'))
 
+    # config 6: nonlinear (saturated) feedback echo — the segmented
+    # feedback scan path (the affine solver must decline; before round 3
+    # this class of patch rode the per-block scan)
+    progress('bench: config 6 (saturated echo)...')
+    c6 = build_saturated_echo()
+    parity['saturated_echo'] = check_parity(c6, n_blocks=n_blocks)
+    guard('c6_saturated_echo_device_resident',
+          lambda: bench_single_device(c6, seconds=seconds,
+                                      label='saturated-echo-device'))
+
+    # config 7: mastering chain (voice -> reverb -> compressor) — the
+    # stateful-history mega path (context reads of stateful nodes
+    # served from hist carry rings)
+    progress('bench: config 7 (master bus)...')
+    c7 = build_master_bus()
+    parity['master_bus'] = check_parity(c7, n_blocks=n_blocks)
+    guard('c7_master_bus_device_resident',
+          lambda: bench_single_device(c7, seconds=seconds,
+                                      label='master-bus-device'))
+
     # config 4b: device-resident throughput — the audio stays on device
     # (training / analysis pipelines fetch only reductions); this isolates
     # render rate from the tunnel's ~30 MB/s host-transfer bandwidth,
@@ -616,6 +630,34 @@ def main(argv=None):
           lambda: bench_poly_device(
               voice4b, hz4b, 64,
               seconds=2 * seconds if not args.quick else seconds))
+
+    # config 3: subtractive voice
+    progress('bench: config 3 (subtractive)...')
+    voice3, hz3 = build_subtractive_voice()
+    parity['subtractive'] = check_parity(voice3, n_blocks=n_blocks)
+    guard('c3_subtractive',
+          lambda: bench_single(voice3, seconds=seconds,
+                               label='subtractive-voice'))
+    guard('c3_subtractive_device_resident',
+          lambda: bench_single_device(voice3, seconds=seconds,
+                                      label='subtractive-voice-device'))
+    try:
+        lat1, lat8 = bench_block_latency(voice3)
+        extra['p50_block_latency_ms'] = lat1 * 1e3
+        extra['p50_block_latency_renderahead_ms'] = lat8 * 1e3
+    except Exception as e:               # pragma: no cover - hardware path
+        progress(f'bench: latency FAILED: {e!r}')
+    checkpoint_record()
+
+    # config 5: FM + delay feedback + spectral tap
+    progress('bench: config 5 (fm+delay)...')
+    c5 = build_fm_delay()
+    parity['fm_delay'] = check_parity(c5, n_blocks=n_blocks)
+    guard('c5_fm_delay',
+          lambda: bench_single(c5, seconds=seconds, label='fm+delay+spec'))
+    guard('c5_fm_delay_device_resident',
+          lambda: bench_single_device(c5, seconds=seconds,
+                                      label='fm+delay-device'))
 
     if not args.quick:
         # voice-scaling evidence: 4x the polyphony on the same chip
@@ -646,35 +688,20 @@ def main(argv=None):
               lambda: bench_poly_device(voice4f2, hz4f2, 2048,
                                         seconds=seconds / 8))
 
-    # config 5: FM + delay feedback + spectral tap
-    progress('bench: config 5 (fm+delay)...')
-    c5 = build_fm_delay()
-    parity['fm_delay'] = check_parity(c5, n_blocks=n_blocks)
-    guard('c5_fm_delay',
-          lambda: bench_single(c5, seconds=seconds, label='fm+delay+spec'))
-    guard('c5_fm_delay_device_resident',
-          lambda: bench_single_device(c5, seconds=seconds,
-                                      label='fm+delay-device'))
+    # config 1: sine + plot
+    progress('bench: config 1 (sine+vis)...')
+    c1 = build_sine_plot()
+    parity['sine'] = check_parity(c1, n_blocks=n_blocks)
+    guard('c1_sine_plot',
+          lambda: bench_single(c1, seconds=seconds, label='sine+vis'))
 
-    # config 6: nonlinear (saturated) feedback echo — the segmented
-    # feedback scan path (the affine solver must decline; before round 3
-    # this class of patch rode the per-block scan)
-    progress('bench: config 6 (saturated echo)...')
-    c6 = build_saturated_echo()
-    parity['saturated_echo'] = check_parity(c6, n_blocks=n_blocks)
-    guard('c6_saturated_echo_device_resident',
-          lambda: bench_single_device(c6, seconds=seconds,
-                                      label='saturated-echo-device'))
-
-    # config 7: mastering chain (voice -> reverb -> compressor) — the
-    # stateful-history mega path (context reads of stateful nodes
-    # served from hist carry rings)
-    progress('bench: config 7 (master bus)...')
-    c7 = build_master_bus()
-    parity['master_bus'] = check_parity(c7, n_blocks=n_blocks)
-    guard('c7_master_bus_device_resident',
-          lambda: bench_single_device(c7, seconds=seconds,
-                                      label='master-bus-device'))
+    # config 2: 16-osc additive
+    progress('bench: config 2 (additive-16)...')
+    voice2, hz2 = build_additive_voice()
+    parity['additive'] = check_parity(voice2, n_blocks=n_blocks)
+    guard('c2_additive16',
+          lambda: bench_poly(voice2, hz2, 16, seconds=seconds,
+                             label='additive-16'))
 
     extra['parity_max_abs_err'] = parity
     extra['parity_ok'] = all(v <= TOL for v in parity.values())
