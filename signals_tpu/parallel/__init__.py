@@ -126,6 +126,30 @@ class PolyPatch:
                     f'patch does not propagate the voice channel axis: root '
                     f'has {root.channels} channels, expected {n_local}; '
                     f'use layout="vmap"')
+            # interior explicit-channel nodes (Delay) must carry the
+            # voice lanes too — the root check alone misses them when a
+            # widened path reconverges (e.g. an osc->mix dry path makes
+            # the root V-wide while the feedback Delay stays mono and
+            # dies in an obscure broadcast at trace time)
+            from signals_tpu.graph import ExplicitChannels
+            stack = [root]
+            visited = set()
+            while stack:
+                n = stack.pop()
+                if id(n) in visited:
+                    continue
+                visited.add(id(n))
+                if (isinstance(n, ExplicitChannels)
+                        and n.channels != n_local):
+                    raise ValueError(
+                        f'channels layout: {n.cls_name()} declares '
+                        f'{n.channels} explicit channel(s) but voices '
+                        f'ride the channel axis — set its channels to '
+                        f'{n_local} (voices per device) or use '
+                        f'layout="vmap"')
+                if hasattr(n, '_ports'):
+                    stack.extend(p.sig for p in n._ports.values()
+                                 if p.sig is not None)
             self.compiled = compile_node(root, block_frames=block_frames,
                                          rate=rate, channels=n_local)
             self._out_channels = 1 if channels is None else channels

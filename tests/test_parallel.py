@@ -287,3 +287,80 @@ def test_poly_delay_voices_loop_free():
     # (different carries: ref restarted; just shape/finite sanity here)
     assert b.shape == rb.shape and np.isfinite(b).all()
     C._compile_cache.clear()
+
+
+def test_poly_channels_layout_rejects_mono_explicit_nodes():
+    """A mono Delay inside a channels-layout poly patch used to die in
+    an obscure broadcast error at trace time; now a clear ValueError
+    names the node and the fix."""
+    import pytest
+
+    from signals_tpu.nodes.delay import Delay
+    from signals_tpu.nodes.fx import Drive, Mix
+
+    hz = fixed(110.0)
+    osc = Sine()
+    osc.hertz = hz
+    mix = Mix()
+    d = Delay()                          # channels left at 1: wrong
+    d.get_state().frames = 5 * F
+    sh = Drive()
+    sh.input = d
+    sh.drive = fixed(2.0)
+    fb = Gain()
+    fb.left = sh
+    fb.right = fixed(0.5)
+    mix.left = osc
+    mix.right = fb
+    mix.mix = fixed(0.5)
+    d.input = mix
+    freqs = np.arange(8, dtype=np.float32) + 110.0
+    with pytest.raises(ValueError, match='explicit channel'):
+        PolyPatch(mix, n_voices=8, overrides={(hz, 'value'): freqs},
+                  block_frames=F, rate=RATE, layout='channels')
+
+
+def test_poly_saturated_echo_voices_segment_scan():
+    """Nonlinear (Drive-saturated) feedback-echo voices in the channels
+    layout ride the segmented feedback scan, bit-equal to the forced
+    per-block scan."""
+    import signals_tpu.compiler as C
+    from signals_tpu.nodes.delay import Delay
+    from signals_tpu.nodes.fx import Drive, Mix
+
+    def voice():
+        hz = fixed(110.0)
+        osc = Sine()
+        osc.hertz = hz
+        mix = Mix()
+        d = Delay()
+        d.get_state().channels = 8
+        d.get_state().frames = 5 * F
+        sh = Drive()
+        sh.input = d
+        sh.drive = fixed(2.0)
+        fb = Gain()
+        fb.left = sh
+        fb.right = fixed(0.5)
+        mix.left = osc
+        mix.right = fb
+        mix.mix = fixed(0.5)
+        d.input = mix
+        return mix, hz
+
+    freqs = (110.0 * 2 ** (np.arange(8) % 12 / 12.0)).astype(np.float32)
+    root, hz = voice()
+    poly = PolyPatch(root, n_voices=8, overrides={(hz, 'value'): freqs},
+                     block_frames=F, rate=RATE, layout='channels')
+    assert poly.compiled.delay_mega_plan() is None      # nonlinear loop
+    assert poly.compiled.segment_scan_core(20) is not None
+    got, _ = poly.render(n_blocks=20)
+    C._compile_cache.clear()
+    root2, hz2 = voice()
+    ref_poly = PolyPatch(root2, n_voices=8,
+                         overrides={(hz2, 'value'): freqs},
+                         block_frames=F, rate=RATE, layout='channels')
+    ref_poly.compiled.enable_mega = False
+    ref, _ = ref_poly.render(n_blocks=20)
+    assert np.abs(np.asarray(got) - np.asarray(ref)).max() == 0.0
+    C._compile_cache.clear()
