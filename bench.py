@@ -539,20 +539,26 @@ def main(argv=None):
     record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                'BENCH_full.json')
 
-    def checkpoint_record(final=False):
+    def checkpoint_record():
         """Rewrite BENCH_full.json after every config: a run cut short
         (round timeout, tunnel drop mid-sweep) still leaves every
-        completed measurement on disk, flagged partial."""
+        completed measurement — numbers AND their parity evidence — on
+        disk, flagged partial.  Fail-soft: a transient write error (disk
+        full) must not abort the remaining sweep."""
         rec = {
-            'metric': 'IN PROGRESS — partial record' if not final else '',
+            'metric': 'IN PROGRESS — partial record',
             'backend': backend,
             'device': device_kind,
             'extra': dict(extra),
+            'partial': True,
         }
-        if not final:
-            rec['partial'] = True
+        if parity:
+            rec['parity_max_abs_err'] = dict(parity)
+        try:
             with open(record_path, 'w') as f:
                 json.dump(rec, f, indent=1)
+        except Exception as e:           # pragma: no cover - env path
+            progress(f'bench: checkpoint write failed (non-fatal): {e!r}')
 
     def guard(key, fn):
         """Run one config measurement fail-soft: a single config blowing
@@ -563,6 +569,16 @@ def main(argv=None):
         except Exception as e:           # pragma: no cover - hardware path
             progress(f'bench: {key} FAILED: {e!r}')
             extra[key] = {'error': f'{type(e).__name__}: {e}'}
+        checkpoint_record()
+
+    def guard_parity(key, fn):
+        """Parity oracle comparisons fail-soft too: NaN marks a parity
+        check that could not run (it fails ``parity_ok`` honestly)."""
+        try:
+            parity[key] = fn()
+        except Exception as e:           # pragma: no cover - hardware path
+            progress(f'bench: parity {key} FAILED: {e!r}')
+            parity[key] = float('nan')
         checkpoint_record()
 
     # Config order is PRIORITY order, not numeric: the record checkpoints
@@ -605,7 +621,8 @@ def main(argv=None):
     # this class of patch rode the per-block scan)
     progress('bench: config 6 (saturated echo)...')
     c6 = build_saturated_echo()
-    parity['saturated_echo'] = check_parity(c6, n_blocks=n_blocks)
+    guard_parity('saturated_echo',
+                 lambda: check_parity(c6, n_blocks=n_blocks))
     guard('c6_saturated_echo_device_resident',
           lambda: bench_single_device(c6, seconds=seconds,
                                       label='saturated-echo-device'))
@@ -615,7 +632,8 @@ def main(argv=None):
     # served from hist carry rings)
     progress('bench: config 7 (master bus)...')
     c7 = build_master_bus()
-    parity['master_bus'] = check_parity(c7, n_blocks=n_blocks)
+    guard_parity('master_bus',
+                 lambda: check_parity(c7, n_blocks=n_blocks))
     guard('c7_master_bus_device_resident',
           lambda: bench_single_device(c7, seconds=seconds,
                                       label='master-bus-device'))
@@ -634,7 +652,8 @@ def main(argv=None):
     # config 3: subtractive voice
     progress('bench: config 3 (subtractive)...')
     voice3, hz3 = build_subtractive_voice()
-    parity['subtractive'] = check_parity(voice3, n_blocks=n_blocks)
+    guard_parity('subtractive',
+                 lambda: check_parity(voice3, n_blocks=n_blocks))
     guard('c3_subtractive',
           lambda: bench_single(voice3, seconds=seconds,
                                label='subtractive-voice'))
@@ -652,7 +671,8 @@ def main(argv=None):
     # config 5: FM + delay feedback + spectral tap
     progress('bench: config 5 (fm+delay)...')
     c5 = build_fm_delay()
-    parity['fm_delay'] = check_parity(c5, n_blocks=n_blocks)
+    guard_parity('fm_delay',
+                 lambda: check_parity(c5, n_blocks=n_blocks))
     guard('c5_fm_delay',
           lambda: bench_single(c5, seconds=seconds, label='fm+delay+spec'))
     guard('c5_fm_delay_device_resident',
@@ -691,14 +711,15 @@ def main(argv=None):
     # config 1: sine + plot
     progress('bench: config 1 (sine+vis)...')
     c1 = build_sine_plot()
-    parity['sine'] = check_parity(c1, n_blocks=n_blocks)
+    guard_parity('sine', lambda: check_parity(c1, n_blocks=n_blocks))
     guard('c1_sine_plot',
           lambda: bench_single(c1, seconds=seconds, label='sine+vis'))
 
     # config 2: 16-osc additive
     progress('bench: config 2 (additive-16)...')
     voice2, hz2 = build_additive_voice()
-    parity['additive'] = check_parity(voice2, n_blocks=n_blocks)
+    guard_parity('additive',
+                 lambda: check_parity(voice2, n_blocks=n_blocks))
     guard('c2_additive16',
           lambda: bench_poly(voice2, hz2, 16, seconds=seconds,
                              label='additive-16'))
@@ -740,8 +761,7 @@ def main(argv=None):
         'device': device_kind,
         'extra': extra,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           'BENCH_full.json'), 'w') as f:
+    with open(record_path, 'w') as f:
         json.dump(full, f, indent=1)
 
     def compact_val(v):

@@ -127,10 +127,13 @@ class PolyPatch:
                     f'has {root.channels} channels, expected {n_local}; '
                     f'use layout="vmap"')
             # interior explicit-channel nodes (Delay) must carry the
-            # voice lanes too — the root check alone misses them when a
-            # widened path reconverges (e.g. an osc->mix dry path makes
-            # the root V-wide while the feedback Delay stays mono and
-            # dies in an obscure broadcast at trace time)
+            # voice lanes too when their INPUT does — the root check
+            # alone misses them when a widened path reconverges (e.g. an
+            # osc->mix dry path makes the root V-wide while the feedback
+            # Delay stays mono and dies in an obscure broadcast at trace
+            # time).  A genuinely mono sidechain (all inputs width <=
+            # declared channels) broadcasts only at its consumer and is
+            # legal, so it must not be rejected.
             from signals_tpu.graph import ExplicitChannels
             stack = [root]
             visited = set()
@@ -141,12 +144,21 @@ class PolyPatch:
                 visited.add(id(n))
                 if (isinstance(n, ExplicitChannels)
                         and n.channels != n_local):
-                    raise ValueError(
-                        f'channels layout: {n.cls_name()} declares '
-                        f'{n.channels} explicit channel(s) but voices '
-                        f'ride the channel axis — set its channels to '
-                        f'{n_local} (voices per device) or use '
-                        f'layout="vmap"')
+                    for p in getattr(n, '_ports', {}).values():
+                        if p.sig is None:
+                            continue
+                        try:
+                            w = p.sig.channels
+                        except Exception:
+                            continue
+                        if w > n.channels:
+                            raise ValueError(
+                                f'channels layout: {n.cls_name()} '
+                                f'declares {n.channels} explicit '
+                                f'channel(s) but its input is {w} wide '
+                                f'(voices ride the channel axis) — set '
+                                f'its channels to {n_local} (voices per '
+                                f'device) or use layout="vmap"')
                 if hasattr(n, '_ports'):
                     stack.extend(p.sig for p in n._ports.values()
                                  if p.sig is not None)

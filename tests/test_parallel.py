@@ -364,3 +364,31 @@ def test_poly_saturated_echo_voices_segment_scan():
     ref, _ = ref_poly.render(n_blocks=20)
     assert np.abs(np.asarray(got) - np.asarray(ref)).max() == 0.0
     C._compile_cache.clear()
+
+
+def test_poly_channels_layout_allows_mono_sidechain_delay():
+    """A genuinely mono sidechain (mono LFO -> mono Delay modulating a
+    block-rate param) broadcasts only at its consumer — legal in the
+    channels layout and must not be rejected by the explicit-channels
+    width check (it only fires when the node's INPUT is voice-wide)."""
+    from signals_tpu.nodes.delay import Delay
+    from signals_tpu.nodes.fx import Gain as G
+
+    hz = fixed(110.0)
+    osc = Sine()
+    osc.hertz = hz
+    lfo = Sine()
+    lfo.hertz = fixed(0.5)
+    d = Delay()                          # mono, input mono: fine
+    d.get_state().frames = 2 * F
+    d.input = lfo
+    out = G()
+    out.left = osc
+    out.right = d                        # block-rate mono modulator
+    freqs = np.arange(8, dtype=np.float32) + 110.0
+    poly = PolyPatch(out, n_voices=8, overrides={(hz, 'value'): freqs},
+                     block_frames=F, rate=RATE, layout='channels')
+    b, _ = poly.render(n_blocks=4)
+    assert b.shape[0] == 4 * F and np.isfinite(np.asarray(b)).all()
+    import signals_tpu.compiler as C
+    C._compile_cache.clear()
