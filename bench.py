@@ -360,12 +360,13 @@ def bench_poly(root, hz_node, n_voices, *, seconds=1.0, label='',
 
 
 def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0,
-                      loops=8):
+                      loops=8, mix_epilogue=False):
     """Sustained render rate when only a scalar reduction leaves the
     device: each dispatch renders ``loops`` consecutive ``seconds``-long
     batches (advancing positions, like a production offline render loop),
     so the tunnel's ~29 ms per-dispatch floor is amortized and the number
-    tracks the true device render rate."""
+    tracks the true device render rate.  ``mix_epilogue`` opts into the
+    in-kernel voice-sum (:meth:`CompiledPatch.packed_mega_mix`)."""
     import jax
     import jax.numpy as jnp
     from signals_tpu.parallel import PolyPatch
@@ -373,7 +374,8 @@ def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0,
              * (1 + 0.001 * np.arange(n_voices))).astype(np.float32)
     poly = PolyPatch(root, n_voices=n_voices,
                      overrides={(hz_node, 'value'): freqs},
-                     block_frames=BLOCK, rate=RATE, layout='channels')
+                     block_frames=BLOCK, rate=RATE, layout='channels',
+                     mix_epilogue=mix_epilogue)
     n_blocks = int(round(seconds * RATE / BLOCK))
     params, _ = poly.params()
     carry0 = poly.init_carry()
@@ -723,6 +725,21 @@ def main(argv=None):
     guard('c2_additive16',
           lambda: bench_poly(voice2, hz2, 16, seconds=seconds,
                              label='additive-16'))
+
+    if on_accel:
+        # config 4g LAST: the in-kernel voice-sum epilogue (the filter
+        # kernel emits per-stream lane-group sums; the (T, 64) filtered
+        # array is never written to HBM nor read back).  Runs after
+        # everything else because the epilogue kernel variant is newer
+        # than the rest of the sweep — a Mosaic rejection here must not
+        # cost any prior measurement (the record checkpoints per config).
+        progress('bench: config 4g (poly-64 device-resident, '
+                 'mix epilogue)...')
+        voice4g, hz4g = build_subtractive_voice()
+        guard('c4_poly64_device_resident_mixsum',
+              lambda: bench_poly_device(voice4g, hz4g, 64,
+                                        seconds=seconds,
+                                        mix_epilogue=True))
 
     extra['parity_max_abs_err'] = parity
     extra['parity_ok'] = all(v <= TOL for v in parity.values())

@@ -136,6 +136,65 @@ def _subgraph_streamable(node) -> bool:
     return walk(node)
 
 
+def _voice_linear_to_root(filt, root) -> bool:
+    """Soundness proof for the mix epilogue
+    (:meth:`CompiledPatch.packed_mega_mix`): every path from ``filt``'s
+    output to ``root`` is *linear in the filter output* with
+    *voice-broadcast* (channels == 1) multiplicative coefficients, so the
+    voice sum commutes with the whole post-filter chain:
+    ``sum_v root_v = A * sum_v y_v + sum_v root_v|_{y:=0}`` with ``A``
+    voice-constant.
+
+    Allowed path node types (the filter's downstream closure):
+
+    * ``Mix`` — affine in left/right; the ``mix`` weight must be
+      non-descended and mono (it multiplies).
+    * ``RingMod`` — exactly one side descended; the other side must be
+      mono (it is the coefficient).
+    * ``Gain`` — descended through ``left`` only (``right`` is the
+      block-rate gain side: a descended gain would be *block-sampled*,
+      which the full-rate sum identity does not cover); ``right`` mono.
+
+    ``enabled`` gating preserves linearity (``where(e, lin, 0)``).
+    Anything else (Amp/Drive power laws, shape ops, taps) rejects.
+    """
+    from signals_tpu.nodes.fx import Gain, Mix, RingMod
+    desc = {id(filt)}
+    frontier = [filt]
+    path_nodes = []
+    while frontier:
+        n = frontier.pop()
+        for _pname, recv in n._outputs:
+            if id(recv) not in desc:
+                desc.add(id(recv))
+                path_nodes.append(recv)
+                frontier.append(recv)
+    if id(root) not in desc:
+        return False
+    for n in path_nodes:
+        t = type(n)
+        if t is Mix:
+            msig = n._ports['mix'].sig
+            if msig is not None and (id(msig) in desc
+                                     or msig.channels != 1):
+                return False
+        elif t in (Gain, RingMod):
+            dports = [p for p in ('left', 'right')
+                      if (s := n._ports[p].sig) is not None
+                      and id(s) in desc]
+            if t is Gain and dports != ['left']:
+                return False
+            if t is RingMod and len(dports) != 1:
+                return False
+            other = 'right' if dports == ['left'] else 'left'
+            osig = n._ports[other].sig
+            if osig is not None and osig.channels != 1:
+                return False
+        else:
+            return False
+    return True
+
+
 class _GraphIndex:
     """Stable node numbering + the canonical structural hash."""
 
@@ -548,6 +607,10 @@ class _Compiler:
         #: id(delay) -> float: substitute this delay's output with a
         #: constant (the g/h extraction traces of the affine loop solver)
         self.delay_const: dict[int, float] = {}
+        #: id(node) -> float: substitute ANY node's lowered output with a
+        #: constant — the linear-coefficient extraction traces of the mix
+        #: epilogue (:meth:`CompiledPatch.packed_mega_mix`)
+        self.node_const: dict[int, float] = {}
 
     # -- window collection --------------------------------------------------
 
@@ -654,6 +717,9 @@ class _Compiler:
         key = (id(node), window)
         if key in self._memo:
             return self._memo[key]
+        const = self.node_const.get(id(node))
+        if const is not None:
+            return jnp.full((1, 1), F32(const))
         info = self.index.info(node)
         uid = info.uid
 
@@ -1337,6 +1403,125 @@ class CompiledPatch:
             return outs, comp.carry_out
 
         return many, k, S
+
+    #: opt-in mix epilogue (:meth:`packed_mega_mix`): fold the voice-sum
+    #: master mix INTO the packed filter kernel so the full (T, V)
+    #: filtered array is never written to HBM nor read back — the two
+    #: largest memory passes of a device-resident poly render.  Off by
+    #: default until measured per deployment; enable via
+    #: ``PolyPatch(..., mix_epilogue=True)`` or by setting this attribute.
+    enable_mix_epilogue = False
+
+    def packed_mega_mix(self, n_blocks: int):
+        """Stream-packed render of the VOICE SUM ``sum_ch root`` — the
+        polyphony master mix — with the voice reduction folded into the
+        filter kernel (the mix epilogue), or ``None`` when ineligible.
+
+        Eligibility: the packed-stream plan applies
+        (:meth:`packed_mega_streams`); the patch has exactly one context
+        ``CritFilter``, whose packed lane width equals the voice count
+        and fills the kernel's full 1024-lane group; and every path from
+        the filter to the root is voice-broadcast-linear
+        (:func:`_voice_linear_to_root`).  Then per stream ``j``::
+
+            sum_v root_v = A * ysum_j + S0_j
+            A    = (S1_j - S0_j) / V        (voice-constant by the proof)
+            S0_j = sum_v root_v | y := 0    (dry paths; often folds to 0)
+            S1_j = sum_v root_v | y := 1
+            ysum_j = in-kernel lane-group sum of the filter's stream j
+
+        ``S0``/``S1`` are constant-substitution traces (the same trick as
+        the affine delay solver) — fused elementwise reductions that
+        never touch HBM.  Returns ``(many_mix, k, S)``;
+        ``many_mix(params, carry, position0, host) -> (mixes, carry')``
+        with ``mixes`` a length-``k`` list of ``(S*F, 1)`` per-stream
+        voice sums.  Numerics: the voice sum is reassociated (kernel
+        group-sum vs per-voice chains), so results match the plain
+        packed path to f32 reassociation, not bit-exactly.
+        """
+        if not self.enable_mix_epilogue:
+            return None
+        base = self.packed_mega_streams(n_blocks)
+        if base is None:
+            return None
+        _, k, S = base
+        V = self.channels
+        if V < 2:
+            return None
+        from signals_tpu.nodes.fx import CritFilter
+        filters = [n for n in self.index.order
+                   if isinstance(n, CritFilter)]
+        if len(filters) != 1:
+            return None
+        f = filters[0]
+        F = self.block_frames
+        if f.channels != V:
+            return None
+        if not _voice_linear_to_root(f, self.root):
+            return None
+        from signals_tpu.compiler.pallas_kernels import LANE_GROUP
+        # the in-kernel lane-group sum needs the full-group packed layout
+        # with exactly V lanes per stream; other layouts keep the algebra
+        # but sum an ordinary per-stream lowering instead
+        use_kernel_sum = (f.packed_lane_fit(k, F) == V
+                          and k * V == LANE_GROUP)
+        index = self.index
+        root = self.root
+
+        def many_mix(params, carry, position0, host_staged):
+            import jax.numpy as jnp
+            comp = _Compiler(index)
+            comp.mega = (F, S)
+            comp.packed_family = (k, S * F)
+            comp.params = params
+            comp.carry_in = carry
+            comp.position = jnp.int32(position0)
+            comp.host = {}
+            ctx = LowerCtx(comp, f, Window(0, S * F))
+            ysum = (f.family_sum(ctx, (F, S), (k, S * F))
+                    if use_kernel_sum else None)          # (S, F, k)|None
+            enabled_f = comp.node_param(f, 'enabled')
+
+            def sub_sum(const, w):
+                """Voice sum of the root with the filter output
+                substituted by ``const`` (fresh memo per trace; XLA CSEs
+                the shared subexpressions across the 0/1 traces)."""
+                sub = _Compiler(index)
+                sub.mega = comp.mega
+                sub.packed_family = comp.packed_family
+                sub.params = comp.params
+                sub.carry_in = comp.carry_in
+                sub.position = comp.position
+                sub.host = comp.host
+                sub.node_const = {id(f): const}
+                r = sub.lower(root, w)
+                return jnp.broadcast_to(r, (S * F, V)).sum(
+                    axis=1, keepdims=True)
+
+            inv_v = F32(1.0 / V)
+            mixes = []
+            for j in range(k):
+                w = Window(j * S * F, S * F)
+                if ysum is not None:
+                    # family_sum output is pre-gate; apply the filter's
+                    # enabled gating exactly as lower() would
+                    ys = jnp.where(enabled_f,
+                                   ysum[:, :, j].reshape(S * F, 1),
+                                   F32(0.0))
+                else:
+                    # backend without the in-kernel path: ordinary
+                    # per-stream lowering (already gated), summed — the
+                    # algebra still holds, none of the pass savings
+                    ys = jnp.broadcast_to(
+                        comp.lower(f, w), (S * F, V)).sum(
+                        axis=1, keepdims=True)
+                s0 = sub_sum(0.0, w)
+                s1 = sub_sum(1.0, w)
+                mixes.append((s1 - s0) * (ys * inv_v) + s0)
+            comp.passthrough_carry()
+            return mixes, comp.carry_out
+
+        return many_mix, k, S
 
     def render_core(self, n_blocks: int):
         """Un-jitted ``(params, carry, position0, host_staged) ->

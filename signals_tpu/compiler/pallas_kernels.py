@@ -576,11 +576,22 @@ def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
 
 
 def _seg_kernel_reuse(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
-                      in_sems, out_sems, *, nsec: int, row_chunk: int,
-                      c_chunks: int, seg_frames: int, unroll: int,
-                      parts: int, total_chunks: int):
+                      in_sems, out_sems, *scratch, nsec: int,
+                      row_chunk: int, c_chunks: int, seg_frames: int,
+                      unroll: int, parts: int, total_chunks: int,
+                      sum_lanes: int = 0):
     """Context-reusing variant of :func:`_seg_kernel` for ``group == 1``
     (the packed 1024-lane layout).
+
+    ``sum_lanes > 0`` is the **mix-epilogue** mode
+    (:meth:`CompiledPatch.packed_mega_mix`): instead of DMA-ing the full
+    (row_chunk, 1024) filtered chunk to HBM, the kernel reduces each
+    contiguous ``sum_lanes``-lane group (one packed stream's voices) to
+    its sum via per-sublane MXU matmuls with a 0/1 group matrix and
+    writes only the (row_chunk, 128)-padded sums — the full-width y is
+    never materialized, saving its HBM write *and* the consumer's
+    read-back (the two largest passes of a voice-mix render).  ``scratch``
+    then carries one extra ``sbuf`` (2, row_chunk, 128) output buffer.
 
     Consecutive lane groups' windows overlap by the context rows: with
     context = F, plain double-buffering DMAs every timeline row twice.
@@ -644,6 +655,18 @@ def _seg_kernel_reuse(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
 
     # ybuf: plain double buffer over *output* steps
     yslot = step % 2
+    sbuf = scratch[0] if sum_lanes else None
+
+    def out_copy(yslot_, lg_, rc_, p):
+        if sum_lanes:
+            dst_row = (rc_ * row_chunk - c_chunks * row_chunk
+                       + p * part_rows)
+            return pltpu.make_async_copy(
+                sbuf.at[yslot_, pl.ds(p * part_rows, part_rows), :],
+                out_hbm.at[lg_, pl.ds(dst_row, part_rows)],
+                out_sems.at[yslot_, p])
+        return _seg_out_dma(out_hbm, ybuf, out_sems, yslot_, lg_, rc_, p,
+                            row_chunk, part_rows, c_chunks, pl, pltpu)
 
     @pl.when(step >= 2)
     def _():
@@ -653,9 +676,7 @@ def _seg_kernel_reuse(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
         @pl.when(prc >= c_chunks)
         def _():
             for p in range(parts):
-                _seg_out_dma(out_hbm, ybuf, out_sems, prev % 2,
-                             prev // n_rc, prc, p, row_chunk, part_rows,
-                             c_chunks, pl, pltpu).wait()
+                out_copy(prev % 2, prev // n_rc, prc, p).wait()
 
     @pl.when(rc == 0)
     def _():
@@ -709,9 +730,23 @@ def _seg_kernel_reuse(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
 
     @pl.when(rc >= c_chunks)
     def _():
+        if sum_lanes:
+            # reduce each sum_lanes-lane group of the filtered chunk to
+            # its sum: 8 per-sublane (row_chunk, 128) @ (128, 128) MXU
+            # matmuls against 0/1 group-membership matrices (groups are
+            # contiguous lane runs; group j of sublane s covers absolute
+            # lanes [j*sum_lanes, (j+1)*sum_lanes))
+            col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            acc = jnp.zeros((row_chunk, 128), dtype=jnp.float32)
+            for s in range(8):
+                m = (((s * 128 + lane) // sum_lanes) == col
+                     ).astype(jnp.float32)
+                acc = acc + jnp.dot(ybuf[yslot, :, s, :], m,
+                                    preferred_element_type=jnp.float32)
+            sbuf[yslot] = acc
         for p in range(parts):
-            _seg_out_dma(out_hbm, ybuf, out_sems, yslot, lg, rc, p,
-                         row_chunk, part_rows, c_chunks, pl, pltpu).start()
+            out_copy(yslot, lg, rc, p).start()
 
     # (the refill for the slot this step vacates is issued at the TOP of
     # the next step — see above; issuing it here as well would start the
@@ -729,9 +764,7 @@ def _seg_kernel_reuse(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
             @pl.when((prev >= 0) & (prc >= c_chunks))
             def _(prev=prev, prc=prc):
                 for p in range(parts):
-                    _seg_out_dma(out_hbm, ybuf, out_sems, prev % 2,
-                                 prev // n_rc, prc, p, row_chunk,
-                                 part_rows, c_chunks, pl, pltpu).wait()
+                    out_copy(prev % 2, prev // n_rc, prc, p).wait()
 
 
 def _seg_out_dma(out_hbm, ybuf, out_sems, yslot, lg_, rc_, p, row_chunk,
@@ -747,7 +780,8 @@ def _seg_out_dma(out_hbm, ybuf, out_sems, yslot, lg_, rc_, p, row_chunk,
 @functools.lru_cache(maxsize=32)
 def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
                     seg_frames: int, context: int, interpret: bool,
-                    reuse_flag: bool, dma_parts: int, slots_flag: int):
+                    reuse_flag: bool, dma_parts: int, slots_flag: int,
+                    sum_lanes: int = 0):
     """``reuse_flag``/``dma_parts``/``slots_flag`` are the SEG_* module
     flags, required arguments so they participate in the lru_cache key —
     flipping a flag at runtime (tests, hardware bisections) can then
@@ -777,6 +811,12 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
     t_chunks = w - c_chunks
     reuse = (reuse_flag and group == 1 and c_chunks >= 1
              and t_chunks >= 1 and w <= 6)
+    if sum_lanes and not (reuse and sum_lanes <= 128
+                          and LANE_GROUP % sum_lanes == 0):
+        # mix-epilogue mode is only built on the context-reuse kernel
+        # (group == 1, the packed family layout); callers fall back to
+        # the full-output kernel + an external grouped sum
+        raise ValueError('sum_lanes requires the context-reuse layout')
     if reuse:
         total_chunks = (lane_groups - 1) * t_chunks + w
         # parts=1: the ring issues each chunk several steps ahead of
@@ -787,7 +827,7 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
         kernel = functools.partial(
             _seg_kernel_reuse, nsec=nsec, row_chunk=row_chunk,
             c_chunks=c_chunks, seg_frames=seg_frames, unroll=unroll,
-            parts=parts, total_chunks=total_chunks)
+            parts=parts, total_chunks=total_chunks, sum_lanes=sum_lanes)
         x_slots, y_slots = w, 2
     else:
         kernel = functools.partial(
@@ -796,7 +836,21 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
             unroll=unroll, parts=parts, slots=slots)
         x_slots = y_slots = slots
 
-    out_dims = (n_seg_pad, tail, v // 128, 128)
+    out_dims = ((n_seg_pad, tail, 128) if sum_lanes
+                else (n_seg_pad, tail, v // 128, 128))
+    scratch = [
+        pltpu.VMEM((x_slots, row_chunk, 8, 128), np.float32),
+        pltpu.VMEM((y_slots, row_chunk, 8, 128), np.float32),
+        pltpu.VMEM((2 * nsec, 8, 128), np.float32),
+        pltpu.SemaphoreType.DMA((x_slots, group, parts)
+                                if not reuse
+                                else (x_slots, parts)),
+        pltpu.SemaphoreType.DMA((y_slots, group, parts)
+                                if not reuse
+                                else (y_slots, parts)),
+    ]
+    if sum_lanes:
+        scratch.append(pltpu.VMEM((y_slots, row_chunk, 128), np.float32))
 
     def call(coeffs, x):
         # x: (T_pad, v) — or (T_pad, v//128, 128) for wide channels —
@@ -812,17 +866,7 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             out_shape=jax.ShapeDtypeStruct(out_dims, np.float32),
-            scratch_shapes=[
-                pltpu.VMEM((x_slots, row_chunk, 8, 128), np.float32),
-                pltpu.VMEM((y_slots, row_chunk, 8, 128), np.float32),
-                pltpu.VMEM((2 * nsec, 8, 128), np.float32),
-                pltpu.SemaphoreType.DMA((x_slots, group, parts)
-                                        if not reuse
-                                        else (x_slots, parts)),
-                pltpu.SemaphoreType.DMA((y_slots, group, parts)
-                                        if not reuse
-                                        else (y_slots, parts)),
-            ],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(coeffs, x)
@@ -832,7 +876,8 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
 
 def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
                      context: int,
-                     interpret: typing.Optional[bool] = None):
+                     interpret: typing.Optional[bool] = None,
+                     sum_groups: int = 0):
     """Filter ``n_segments`` overlapping timeline segments, zero-state,
     with per-segment coefficients, returning only each segment's tail.
 
@@ -845,6 +890,14 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
 
     Requires ``ch`` to divide 128 and ``context % row-chunk == 0``;
     callers fall back to :func:`sosfilt_batch` otherwise.
+
+    ``sum_groups = g`` returns each contiguous ``g``-lane group's SUM
+    instead of the full lanes — shape ``(n_segments, seg_frames, ch//g)``
+    — computed *inside* the kernel (the mix epilogue: the full-width
+    output is never written to HBM).  Falls back to the full kernel + an
+    external grouped sum when the epilogue layout doesn't apply; the
+    fallback sums in a different order, so results agree to f32
+    reassociation (~1 ulp per summand), not bit-exactly.
     """
     import jax
     import jax.numpy as jnp
@@ -868,6 +921,18 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
                          f'DMA-segment kernel (needs >= 32)')
     x = jnp.broadcast_to(x, (T, chx))
     coeffs = jnp.broadcast_to(coeffs, (n_segments, nsec, chx, 11))
+
+    if sum_groups and chx < 128:
+        # narrow layouts take the lane-packing recursion below, which the
+        # epilogue kernel doesn't cover: full output + external sum
+        y = sosfilt_segments(coeffs, x, n_segments=n_segments,
+                             seg_frames=seg_frames, context=context,
+                             interpret=interpret)
+        if chx % sum_groups:
+            raise ValueError(f'sum_groups {sum_groups} must divide the '
+                             f'channel count {chx}')
+        return y.reshape(n_segments, seg_frames, -1,
+                         sum_groups).sum(axis=3)
 
     if chx < 128:
         # lane packing: Mosaic DMA lanes come in 128s, so a 64-channel
@@ -930,6 +995,28 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
     sel = sel.reshape(nsec, 5, n_seg_pad // group, 8, 128)
 
     x = x.reshape(x.shape[0], vpad // 128, 128)
+    if sum_groups:
+        if chx % sum_groups:
+            raise ValueError(f'sum_groups {sum_groups} must divide the '
+                             f'channel count {chx}')
+        try:
+            call = _build_seg_call(int(x.shape[0]), vpad, nsec,
+                                   n_segments, seg_frames, context,
+                                   interpret, SEG_CONTEXT_REUSE,
+                                   SEG_DMA_PARTS, SEG_SLOTS,
+                                   sum_lanes=sum_groups)
+        except ValueError:
+            # epilogue layout unavailable (reuse disabled, huge context):
+            # full kernel + external grouped sum — same values up to f32
+            # reassociation, none of the pass savings
+            y = sosfilt_segments(coeffs, x.reshape(x.shape[0], vpad),
+                                 n_segments=n_segments,
+                                 seg_frames=seg_frames, context=context,
+                                 interpret=interpret)
+            return y.reshape(n_segments, seg_frames, -1,
+                             sum_groups).sum(axis=3)
+        y = call(sel, x)                          # (n_seg_pad, F, 128)
+        return y[:n_segments, :, :chx // sum_groups]
     call = _build_seg_call(int(x.shape[0]), vpad, nsec, n_segments,
                            seg_frames, context, interpret,
                            SEG_CONTEXT_REUSE, SEG_DMA_PARTS, SEG_SLOTS)

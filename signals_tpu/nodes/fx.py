@@ -396,7 +396,36 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
             return None
         return memo[mkey][:, :, j * chx:(j + 1) * chx].reshape(sf, chx)
 
-    def _family_compute(self, ctx, k, sf, F_, nb_s, C, chx, chs, nyquist):
+    def family_sum(self, ctx, grid, fam):
+        """Per-stream voice sums of this filter's packed-family output —
+        ``(S, F, k)`` with stream ``j``'s ``chx``-lane-group sum at
+        ``[..., j]`` — computed *in-kernel* (the mix epilogue: the
+        full-width filtered output is never written to HBM, saving that
+        write and the mix's read-back).  ``None`` when the family can't
+        pack; the caller (:meth:`CompiledPatch.packed_mega_mix`) then
+        sums the ordinary per-stream lowering instead."""
+        F_, nb_s = grid
+        k, sf = fam
+        if _filters.resolve_mega_impl() != 'pallas':
+            return None
+        chx = self.packed_lane_fit(k, F_)
+        if chx is None:
+            return None
+        C = self.context_frames()
+        nyquist = ctx.rate_f32 * F32(0.5)
+        sib0 = ctx.at_window(0, sf)
+        grids0 = self._crits_grid(sib0)
+        chs = max(g.shape[1] for g in grids0)
+        memo = ctx.family_memo
+        mkey = (id(self), 'packed_family_sum')
+        if mkey not in memo:
+            memo[mkey] = self._family_compute(ctx, k, sf, F_, nb_s, C,
+                                              chx, chs, nyquist,
+                                              sum_groups=chx)
+        return memo[mkey]
+
+    def _family_compute(self, ctx, k, sf, F_, nb_s, C, chx, chs, nyquist,
+                        sum_groups=0):
         import jax.numpy as jnp
         from signals_tpu.compiler.pallas_kernels import sosfilt_segments
         sib0 = ctx.at_window(0, sf)
@@ -419,7 +448,8 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         co = jnp.broadcast_to(co, (nb_s, nsec, k, chx, 11))
         co = co.reshape(nb_s, nsec, k * chx, 11)
         return sosfilt_segments(co, xp_, n_segments=nb_s, seg_frames=F_,
-                                context=C)                 # (S, F, k*chx)
+                                context=C,
+                                sum_groups=sum_groups)     # (S, F, k*chx)
 
     def _mega_kernel(self, ctx, grid, nyquist):
         """Mega-window lowering: the window spans many blocks.  The input is

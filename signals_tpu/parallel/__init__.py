@@ -65,7 +65,8 @@ class PolyPatch:
                  channels: typing.Optional[int] = None,
                  mesh=None,
                  layout: typing.Optional[str] = None,
-                 axis_name: str = 'voices'):
+                 axis_name: str = 'voices',
+                 mix_epilogue: bool = False):
         if layout is None:
             layout = 'vmap' if mesh is not None else 'channels'
         if layout not in ('channels', 'vmap'):
@@ -164,6 +165,10 @@ class PolyPatch:
                                  if p.sig is not None)
             self.compiled = compile_node(root, block_frames=block_frames,
                                          rate=rate, channels=n_local)
+            # opt-in mix epilogue: fold the voice-sum master mix into the
+            # packed filter kernel (CompiledPatch.packed_mega_mix) — the
+            # full (T, V) filtered array is then never materialized
+            self.compiled.enable_mix_epilogue = mix_epilogue
             self._out_channels = 1 if channels is None else channels
             return
 
@@ -302,6 +307,24 @@ class PolyPatch:
         V = compiled.channels          # per-device voice lanes
 
         stateless = not compiled.carry0
+
+        mixplan = (compiled.packed_mega_mix(n_blocks)
+                   if n_blocks > 1 else None)
+        if mixplan is not None:
+            # mix epilogue: the filter kernel itself emits per-stream
+            # voice sums — the full (T, V) filtered array is never
+            # written to HBM and this mix never reads it back
+            many_m, k, S = mixplan
+
+            def mega_mixsum(params, carry, position0, host_staged):
+                mixes, carry2 = many_m(params, carry, position0,
+                                       host_staged)  # k x (S*F, 1)
+                mix = jnp.concatenate(mixes, axis=0)[:n_blocks * F]
+                mix = mix.reshape(n_blocks, F, 1)
+                return (jnp.broadcast_to(mix, (n_blocks, F, out_ch)),
+                        carry2)
+
+            return self._finalize_channels(mega_mixsum)
 
         packed = (compiled.packed_mega_streams(n_blocks)
                   if n_blocks > 1 else None)

@@ -392,3 +392,119 @@ def test_poly_channels_layout_allows_mono_sidechain_delay():
     assert b.shape[0] == 4 * F and np.isfinite(np.asarray(b)).all()
     import signals_tpu.compiler as C
     C._compile_cache.clear()
+
+
+def _epilogue_voice(n_voices=8, dry=False, post='none'):
+    """Subtractive voice shaped like the bench flagship: saw -> swept LP
+    -> RingMod with a mono ADSR -> Gain.  ``dry=True`` adds a voice-wide
+    dry path around the filter (S0 != 0 in the epilogue algebra);
+    ``post`` inserts a nonlinear/ineligible consumer after the filter."""
+    from signals_tpu.nodes.fx import Drive, Mix, RingMod
+
+    hz = fixed(110.0)
+    saw = Sawtooth()
+    saw.hertz = hz
+    lp = LowPass()
+    lp.input = saw
+    lp.cutoff = fixed(2000.0)
+    gate = Square()
+    gate.hertz = fixed(2.0)
+    env = ADSR()
+    env.gate = gate
+    st = env.get_state()
+    st.attack, st.decay, st.sustain, st.release = 0.01, 0.08, 0.6, 0.1
+    if post == 'drive':
+        dr = Drive()
+        dr.input = lp
+        dr.drive = fixed(2.0)
+        filt_out = dr
+    elif post == 'gain_right':
+        # filter into the block-rate gain side: linear but block-sampled,
+        # outside the full-rate sum identity — must be rejected
+        gr = Gain()
+        gr.left = env
+        gr.right = lp
+        filt_out = gr
+    else:
+        filt_out = lp
+    voiced = RingMod()
+    voiced.left = filt_out
+    voiced.right = env
+    out = Gain()
+    out.left = voiced
+    out.right = fixed(1.0 / n_voices)
+    if dry:
+        m = Mix()
+        m.left = saw                 # voice-wide dry path around the filter
+        m.right = out
+        m.mix = fixed(0.3)
+        out = m
+    return out, hz
+
+
+def _epilogue_poly(n_voices, *, ep, dry=False, post='none'):
+    freqs = (110.0 * 2 ** (np.arange(n_voices) % 12 / 12.0)
+             ).astype(np.float32)
+    root, hz = _epilogue_voice(n_voices, dry=dry, post=post)
+    return PolyPatch(root, n_voices=n_voices,
+                     overrides={(hz, 'value'): freqs},
+                     block_frames=F, rate=RATE, layout='channels',
+                     mix_epilogue=ep)
+
+
+def _epilogue_vs_oracle(n_voices, n_blocks, *, dry=False, post='none'):
+    """Render with the epilogue plan; oracle = the numpy pull engine on
+    the (channel-overridden) V-wide root, summed over voices — one
+    compiled program per test instead of two."""
+    import signals_tpu.compiler as C
+    poly = _epilogue_poly(n_voices, ep=True, dry=dry, post=post)
+    plan = poly.compiled.packed_mega_mix(n_blocks)
+    a, _ = poly.render(n_blocks=n_blocks)
+    root = poly.compiled.root
+    oracle = pull_blocks(root, n_blocks, block_frames=F,
+                         channels=n_voices).sum(axis=1, keepdims=True)
+    C._compile_cache.clear()
+    return np.asarray(a), oracle, plan
+
+
+def test_mix_epilogue_matches_oracle():
+    """The voice-sum epilogue (sum_v root = A*sum_v y + S0) matches the
+    per-voice numpy pull oracle; the voice-wide dry path around the
+    filter exercises the S0 != 0 branch.  Opt-in: without the flag the
+    plan must stay None."""
+    import signals_tpu.compiler as C
+    a, oracle, plan = _epilogue_vs_oracle(8, 16, dry=True)
+    assert plan is not None             # engaged when opted in
+    scale = np.abs(oracle).max()
+    assert scale > 1e-3
+    assert np.abs(a - oracle).max() / scale < 1e-5
+    poly0 = _epilogue_poly(8, ep=False, dry=True)
+    assert poly0.compiled.packed_mega_mix(16) is None
+    C._compile_cache.clear()
+
+
+def test_mix_epilogue_rejects_ineligible_patches():
+    """Plan-level soundness gates (no render needed): Drive (tanh) after
+    the filter breaks voice-sum linearity; the filter feeding Gain's
+    block-rate side is linear but block-SAMPLED — both must decline."""
+    import signals_tpu.compiler as C
+    for post in ('drive', 'gain_right'):
+        poly = _epilogue_poly(8, ep=True, post=post)
+        assert poly.compiled.packed_mega_mix(16) is None, post
+        C._compile_cache.clear()
+
+
+def test_mix_epilogue_in_kernel_interpret():
+    """Force the pallas family path (interpret mode) so the in-kernel
+    lane-group sum itself is exercised: k * V fills the 1024-lane group
+    and family_sum returns the kernel-reduced (S, F, k)."""
+    import signals_tpu.compiler.filters as FI
+    old = FI.MEGA_FILTER_IMPL
+    FI.MEGA_FILTER_IMPL = 'pallas'
+    try:
+        a, oracle, plan = _epilogue_vs_oracle(64, 32)
+        assert plan is not None and plan[1] * 64 == 1024
+        scale = np.abs(oracle).max()
+        assert np.abs(a - oracle).max() / scale < 1e-5
+    finally:
+        FI.MEGA_FILTER_IMPL = old
