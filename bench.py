@@ -377,6 +377,10 @@ def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0,
                      block_frames=BLOCK, rate=RATE, layout='channels',
                      mix_epilogue=mix_epilogue)
     n_blocks = int(round(seconds * RATE / BLOCK))
+    if mix_epilogue and poly.compiled.packed_mega_mix(
+            n_blocks, force=True) is None:
+        # never publish a plain-path number under the epilogue label
+        raise RuntimeError('mix epilogue did not engage for this patch')
     params, _ = poly.params()
     carry0 = poly.init_carry()
     fn = poly.render_fn(n_blocks)
@@ -393,10 +397,13 @@ def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0,
 
     t = time_render_pipelined(launch, n_outstanding=4)
     samples = loops * n_blocks * BLOCK
-    return {'label': f'poly-{n_voices}-device', 'n_voices': n_voices,
-            'loops_per_dispatch': loops,
-            'x_realtime': samples / RATE / t,
-            'samples_per_sec': samples / t, 'wall_per_call_s': t}
+    out = {'label': f'poly-{n_voices}-device', 'n_voices': n_voices,
+           'loops_per_dispatch': loops,
+           'x_realtime': samples / RATE / t,
+           'samples_per_sec': samples / t, 'wall_per_call_s': t}
+    if mix_epilogue:
+        out['mix_epilogue_engaged'] = True      # checked above
+    return out
 
 
 def bench_single_device(root, *, seconds=60.0, loops=8, label='',

@@ -1408,11 +1408,13 @@ class CompiledPatch:
     #: master mix INTO the packed filter kernel so the full (T, V)
     #: filtered array is never written to HBM nor read back — the two
     #: largest memory passes of a device-resident poly render.  Off by
-    #: default until measured per deployment; enable via
-    #: ``PolyPatch(..., mix_epilogue=True)`` or by setting this attribute.
+    #: default until measured per deployment.  ``PolyPatch(...,
+    #: mix_epilogue=True)`` opts in per-instance via the ``force``
+    #: argument — never by mutating this attribute, which lives on the
+    #: compile-cached object shared across PolyPatch instances.
     enable_mix_epilogue = False
 
-    def packed_mega_mix(self, n_blocks: int):
+    def packed_mega_mix(self, n_blocks: int, *, base=None, force=False):
         """Stream-packed render of the VOICE SUM ``sum_ch root`` — the
         polyphony master mix — with the voice reduction folded into the
         filter kernel (the mix epilogue), or ``None`` when ineligible.
@@ -1439,9 +1441,10 @@ class CompiledPatch:
         group-sum vs per-voice chains), so results match the plain
         packed path to f32 reassociation, not bit-exactly.
         """
-        if not self.enable_mix_epilogue:
+        if not (force or self.enable_mix_epilogue):
             return None
-        base = self.packed_mega_streams(n_blocks)
+        if base is None:
+            base = self.packed_mega_streams(n_blocks)
         if base is None:
             return None
         _, k, S = base

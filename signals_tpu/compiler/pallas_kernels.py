@@ -742,8 +742,12 @@ def _seg_kernel_reuse(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
             for s in range(8):
                 m = (((s * 128 + lane) // sum_lanes) == col
                      ).astype(jnp.float32)
+                # HIGHEST: default MXU precision rounds f32 operands
+                # through bf16 passes; with a 0/1 matrix HIGHEST makes
+                # the reduction exact f32 adds
                 acc = acc + jnp.dot(ybuf[yslot, :, s, :], m,
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
             sbuf[yslot] = acc
         for p in range(parts):
             out_copy(yslot, lg, rc, p).start()
@@ -812,7 +816,10 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
     reuse = (reuse_flag and group == 1 and c_chunks >= 1
              and t_chunks >= 1 and w <= 6)
     if sum_lanes and not (reuse and sum_lanes <= 128
-                          and LANE_GROUP % sum_lanes == 0):
+                          and LANE_GROUP % sum_lanes == 0
+                          and LANE_GROUP // sum_lanes <= 128):
+        # the group matrix has 128 columns: more than 128 groups
+        # (sum_lanes < 8) cannot be represented — fall back
         # mix-epilogue mode is only built on the context-reuse kernel
         # (group == 1, the packed family layout); callers fall back to
         # the full-output kernel + an external grouped sum

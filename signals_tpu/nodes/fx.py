@@ -359,7 +359,34 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         y = ctx.sosfilt(coeffs, x)
         return y[-ctx.nframes:]
 
-    def _family_kernel(self, ctx, grid, nyquist, fam):
+    def _family_prologue(self, ctx, grid, fam, mode):
+        """Shared eligibility + memoized compute of the packed stream
+        family — the SINGLE copy of the preconditions that
+        :meth:`packed_lane_fit` warns must not drift between the plan
+        and the lowering.  ``mode`` is ``'packed_family'`` (full packed
+        output) or ``'packed_family_sum'`` (the mix-epilogue lane-group
+        sums).  Returns ``(memoized array or None, chx)``."""
+        F_, nb_s = grid                    # blocks per stream (= S)
+        k, sf = fam
+        if _filters.resolve_mega_impl() != 'pallas':
+            return None, None
+        chx = self.packed_lane_fit(k, F_)
+        if chx is None:
+            return None, None
+        C = self.context_frames()
+        nyquist = ctx.rate_f32 * F32(0.5)
+        sib0 = ctx.at_window(0, sf)
+        grids0 = self._crits_grid(sib0)
+        chs = max(g.shape[1] for g in grids0)
+        memo = ctx.family_memo
+        mkey = (id(self), mode)
+        if mkey not in memo:
+            memo[mkey] = self._family_compute(
+                ctx, k, sf, F_, nb_s, C, chx, chs, nyquist,
+                sum_groups=chx if mode == 'packed_family_sum' else 0)
+        return memo[mkey], chx
+
+    def _family_kernel(self, ctx, grid, fam):
         """Stream-family lowering (``CompiledPatch.packed_mega_streams``):
         the patch is being lowered as ``k`` packed timeline streams and
         this window is one of them.  Run ONE packed cascade for the whole
@@ -371,30 +398,16 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         packed lane count doesn't fit the segment kernel or the input
         isn't stream-lowerable.
         """
-        import jax.numpy as jnp
-        F_, nb_s = grid                    # blocks per stream (= S)
         k, sf = fam
         w = ctx.window
         if w.frames != sf or w.offset % sf or not (0 <= w.offset // sf < k):
             return None
         j = w.offset // sf
-        C = self.context_frames()
-        if _filters.resolve_mega_impl() != 'pallas':
+        fam_y, chx = self._family_prologue(ctx, grid, fam,
+                                           'packed_family')
+        if fam_y is None:
             return None
-        chx = self.packed_lane_fit(k, F_)
-        if chx is None:
-            return None
-        sib0 = ctx.at_window(0, sf)
-        grids0 = self._crits_grid(sib0)
-        chs = max(g.shape[1] for g in grids0)
-        memo = ctx.family_memo
-        mkey = (id(self), 'packed_family')
-        if mkey not in memo:
-            memo[mkey] = self._family_compute(ctx, k, sf, F_, nb_s, C,
-                                              chx, chs, nyquist)
-        if memo[mkey] is None:
-            return None
-        return memo[mkey][:, :, j * chx:(j + 1) * chx].reshape(sf, chx)
+        return fam_y[:, :, j * chx:(j + 1) * chx].reshape(sf, chx)
 
     def family_sum(self, ctx, grid, fam):
         """Per-stream voice sums of this filter's packed-family output —
@@ -404,25 +417,9 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         write and the mix's read-back).  ``None`` when the family can't
         pack; the caller (:meth:`CompiledPatch.packed_mega_mix`) then
         sums the ordinary per-stream lowering instead."""
-        F_, nb_s = grid
-        k, sf = fam
-        if _filters.resolve_mega_impl() != 'pallas':
-            return None
-        chx = self.packed_lane_fit(k, F_)
-        if chx is None:
-            return None
-        C = self.context_frames()
-        nyquist = ctx.rate_f32 * F32(0.5)
-        sib0 = ctx.at_window(0, sf)
-        grids0 = self._crits_grid(sib0)
-        chs = max(g.shape[1] for g in grids0)
-        memo = ctx.family_memo
-        mkey = (id(self), 'packed_family_sum')
-        if mkey not in memo:
-            memo[mkey] = self._family_compute(ctx, k, sf, F_, nb_s, C,
-                                              chx, chs, nyquist,
-                                              sum_groups=chx)
-        return memo[mkey]
+        fam_sum, _ = self._family_prologue(ctx, grid, fam,
+                                           'packed_family_sum')
+        return fam_sum
 
     def _family_compute(self, ctx, k, sf, F_, nb_s, C, chx, chs, nyquist,
                         sum_groups=0):
@@ -462,7 +459,7 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         F_, nb = grid
         fam = getattr(ctx, 'packed_family', None)
         if fam is not None:
-            out = self._family_kernel(ctx, grid, nyquist, fam)
+            out = self._family_kernel(ctx, grid, fam)
             if out is not None:
                 return out
         C = self.context_frames()

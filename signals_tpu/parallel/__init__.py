@@ -75,6 +75,7 @@ class PolyPatch:
         self.n_voices = n_voices
         self.mesh = mesh
         self.axis_name = axis_name
+        self._mix_epilogue = mix_epilogue and layout == 'channels'
         self._render_cache: dict[int, typing.Any] = {}
 
         if layout == 'channels':
@@ -103,11 +104,19 @@ class PolyPatch:
                         f'{arr.shape[0]}, expected n_voices={n_voices}')
                 state = node.get_state()
                 old = getattr(state, pname)
-                if not (isinstance(old, np.ndarray) and old.shape[0] == 1):
+                # accept an already-stacked row count too: constructing a
+                # second PolyPatch over the same root must re-install the
+                # same layout, not re-stack the stacked value (a (1, V)
+                # scalar row used to re-stack into a bogus (V, V) track)
+                if not (isinstance(old, np.ndarray)
+                        and old.shape[0] in (1, n_voices)):
                     raise ValueError(
                         f'channel layout requires single-row array params; '
                         f'{pname!r} is {old!r} — use layout="vmap"')
-                if old.shape == (1, 1):
+                # the OVERRIDE's rank picks the layout (the state's shape
+                # is mutated by this very install, so it cannot): 1-D =
+                # one scalar per voice, 2-D = per-voice event rows
+                if arr.ndim == 1:
                     # scalar param: voices become columns of a (1, V) row
                     stacked = arr.reshape(1, n_voices)
                     axis = 1
@@ -165,10 +174,11 @@ class PolyPatch:
                                  if p.sig is not None)
             self.compiled = compile_node(root, block_frames=block_frames,
                                          rate=rate, channels=n_local)
-            # opt-in mix epilogue: fold the voice-sum master mix into the
-            # packed filter kernel (CompiledPatch.packed_mega_mix) — the
-            # full (T, V) filtered array is then never materialized
-            self.compiled.enable_mix_epilogue = mix_epilogue
+            # the mix-epilogue opt-in stays per-PolyPatch (passed as
+            # force= at plan time): compile_node caches CompiledPatch
+            # per root, so mutating a flag on it would leak this
+            # instance's choice into every other PolyPatch sharing the
+            # compilation.
             self._out_channels = 1 if channels is None else channels
             return
 
@@ -308,8 +318,11 @@ class PolyPatch:
 
         stateless = not compiled.carry0
 
-        mixplan = (compiled.packed_mega_mix(n_blocks)
-                   if n_blocks > 1 else None)
+        packed = (compiled.packed_mega_streams(n_blocks)
+                  if n_blocks > 1 else None)
+        mixplan = (compiled.packed_mega_mix(n_blocks, base=packed,
+                                            force=True)
+                   if packed is not None and self._mix_epilogue else None)
         if mixplan is not None:
             # mix epilogue: the filter kernel itself emits per-stream
             # voice sums — the full (T, V) filtered array is never
@@ -326,8 +339,6 @@ class PolyPatch:
 
             return self._finalize_channels(mega_mixsum)
 
-        packed = (compiled.packed_mega_streams(n_blocks)
-                  if n_blocks > 1 else None)
         if packed is not None:
             # stream-packed mega: the patch lowers as k timeline
             # streams side by side; the filter runs one packed

@@ -458,7 +458,7 @@ def _epilogue_vs_oracle(n_voices, n_blocks, *, dry=False, post='none'):
     compiled program per test instead of two."""
     import signals_tpu.compiler as C
     poly = _epilogue_poly(n_voices, ep=True, dry=dry, post=post)
-    plan = poly.compiled.packed_mega_mix(n_blocks)
+    plan = poly.compiled.packed_mega_mix(n_blocks, force=True)
     a, _ = poly.render(n_blocks=n_blocks)
     root = poly.compiled.root
     oracle = pull_blocks(root, n_blocks, block_frames=F,
@@ -479,6 +479,9 @@ def test_mix_epilogue_matches_oracle():
     assert scale > 1e-3
     assert np.abs(a - oracle).max() / scale < 1e-5
     poly0 = _epilogue_poly(8, ep=False, dry=True)
+    # opt-in is per-PolyPatch (force=), never a flag on the shared
+    # compile-cached CompiledPatch
+    assert not poly0._mix_epilogue
     assert poly0.compiled.packed_mega_mix(16) is None
     C._compile_cache.clear()
 
@@ -490,7 +493,7 @@ def test_mix_epilogue_rejects_ineligible_patches():
     import signals_tpu.compiler as C
     for post in ('drive', 'gain_right'):
         poly = _epilogue_poly(8, ep=True, post=post)
-        assert poly.compiled.packed_mega_mix(16) is None, post
+        assert poly.compiled.packed_mega_mix(16, force=True) is None, post
         C._compile_cache.clear()
 
 
@@ -508,3 +511,25 @@ def test_mix_epilogue_in_kernel_interpret():
         assert np.abs(a - oracle).max() / scale < 1e-5
     finally:
         FI.MEGA_FILTER_IMPL = old
+
+
+def test_poly_reconstruction_over_same_root_is_stable():
+    """Constructing a second PolyPatch over the same root re-installs the
+    same stacked override layout: the (1, V) scalar row used to re-stack
+    into a bogus (V, V) per-voice track (different graph hash, corrupt
+    values) because the branch keyed off the state shape the first
+    install had just mutated."""
+    import signals_tpu.compiler as C
+    root, hz, _ = _voice()
+    freqs = np.linspace(100, 800, 8).astype(np.float32)
+    kw = dict(n_voices=8, overrides={(hz, 'value'): freqs},
+              block_frames=F, rate=RATE, layout='channels')
+    p1 = PolyPatch(root, **kw)
+    a1, _ = p1.render(n_blocks=4)
+    p2 = PolyPatch(root, **kw)
+    assert hz.get_state().value.shape == (1, 8)
+    assert p2.compiled.graph_hash == p1.compiled.graph_hash
+    assert p2.compiled is p1.compiled        # compile cache hit
+    a2, _ = p2.render(n_blocks=4)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    C._compile_cache.clear()
