@@ -533,3 +533,31 @@ def test_poly_reconstruction_over_same_root_is_stable():
     a2, _ = p2.render(n_blocks=4)
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     C._compile_cache.clear()
+
+
+def test_mix_epilogue_composes_with_mesh():
+    """The epilogue mixdown under shard_map: per-device voice lanes run
+    the A/S0 algebra inside each device's program, the psum master mix
+    matches the single-device epilogue render."""
+    import signals_tpu.compiler as C
+    freqs = (110.0 * 2 ** (np.arange(16) % 12 / 12.0)).astype(np.float32)
+
+    root_a, hz_a = _epilogue_voice(16)
+    single = PolyPatch(root_a, n_voices=16,
+                       overrides={(hz_a, 'value'): freqs},
+                       block_frames=F, rate=RATE, layout='channels',
+                       mix_epilogue=True)
+    ref, _ = single.render(n_blocks=16)
+    C._compile_cache.clear()
+
+    mesh = voice_mesh(2)
+    root_b, hz_b = _epilogue_voice(16)
+    sharded = PolyPatch(root_b, n_voices=16,
+                        overrides={(hz_b, 'value'): freqs},
+                        block_frames=F, rate=RATE, mesh=mesh,
+                        layout='channels', mix_epilogue=True)
+    assert sharded._mix_epilogue
+    out, _ = sharded.render(n_blocks=16)
+    scale = np.abs(np.asarray(ref)).max()
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() / scale < 1e-5
+    C._compile_cache.clear()
