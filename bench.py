@@ -360,7 +360,7 @@ def bench_poly(root, hz_node, n_voices, *, seconds=1.0, label='',
 
 
 def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0,
-                      loops=8, mix_epilogue=False):
+                      loops=8, mix_epilogue=False, require_gen=False):
     """Sustained render rate when only a scalar reduction leaves the
     device: each dispatch renders ``loops`` consecutive ``seconds``-long
     batches (advancing positions, like a production offline render loop),
@@ -381,6 +381,8 @@ def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0,
             n_blocks, force=True) is None:
         # never publish a plain-path number under the epilogue label
         raise RuntimeError('mix epilogue did not engage for this patch')
+    if require_gen and not poly.compiled.packed_gen_engaged(n_blocks):
+        raise RuntimeError('in-kernel generator did not engage')
     params, _ = poly.params()
     carry0 = poly.init_carry()
     fn = poly.render_fn(n_blocks)
@@ -403,6 +405,8 @@ def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0,
            'samples_per_sec': samples / t, 'wall_per_call_s': t}
     if mix_epilogue:
         out['mix_epilogue_engaged'] = True      # checked above
+    if require_gen:
+        out['source_gen_engaged'] = True        # checked above
     return out
 
 
@@ -747,6 +751,25 @@ def main(argv=None):
               lambda: bench_poly_device(voice4g, hz4g, 64,
                                         seconds=seconds,
                                         mix_epilogue=True))
+
+        # config 4h: + the in-kernel generator (the saw synthesized on
+        # the VPU from iota + per-lane params): the render's HBM traffic
+        # is the coefficients in and the skinny per-stream sums out —
+        # zero full-size passes.  Flag flip participates in the graph
+        # hash, so this compiles (and caches) a separate program.
+        progress('bench: config 4h (poly-64 device-resident, gen source '
+                 '+ mix epilogue)...')
+        from signals_tpu.compiler import filters as _fmod
+        voice4h, hz4h = build_subtractive_voice()
+        _fmod.SEG_SOURCE_GEN = True
+        try:
+            guard('c4_poly64_device_resident_gen_mixsum',
+                  lambda: bench_poly_device(voice4h, hz4h, 64,
+                                            seconds=seconds,
+                                            mix_epilogue=True,
+                                            require_gen=True))
+        finally:
+            _fmod.SEG_SOURCE_GEN = False
 
     extra['parity_max_abs_err'] = parity
     extra['parity_ok'] = all(v <= TOL for v in parity.values())

@@ -226,7 +226,8 @@ class _GraphIndex:
         from signals_tpu.compiler import filters as _filters
         h = hashlib.sha3_256()
         h.update(f'F={self.block_frames};R={self.rate};C={self.channels};'
-                 f'I={_filters.FILTER_IMPL};M={_filters.MEGA_FILTER_IMPL}'
+                 f'I={_filters.FILTER_IMPL};M={_filters.MEGA_FILTER_IMPL};'
+                 f'G={_filters.SEG_SOURCE_GEN}'
                  .encode())
         for node in self.order:
             info = self.info(node)
@@ -1525,6 +1526,33 @@ class CompiledPatch:
             return mixes, comp.carry_out
 
         return many_mix, k, S
+
+    def packed_gen_engaged(self, n_blocks: int) -> bool:
+        """Whether a packed render at this batch size would synthesize
+        the filter input IN-KERNEL (``filters.SEG_SOURCE_GEN`` on, and
+        every context filter's input is an eligible generator at the
+        full-lane-group layout).  Benchmarks use this so a silently
+        declined generator path can never publish under its label."""
+        from signals_tpu.compiler import filters as _f
+        if not _f.SEG_SOURCE_GEN:
+            return False
+        base = self.packed_mega_streams(n_blocks)
+        if base is None:
+            return False
+        _, k, _S = base
+        from signals_tpu.compiler.pallas_kernels import LANE_GROUP
+        from signals_tpu.nodes.fx import CritFilter
+        filters = [n for n in self.index.order
+                   if isinstance(n, CritFilter)]
+        if not filters:
+            return False
+        F = self.block_frames
+        for f in filters:
+            chx = f.packed_lane_fit(k, F)
+            if (chx is None or k * chx != LANE_GROUP
+                    or f._gen_input_spec(chx) is None):
+                return False
+        return True
 
     def render_core(self, n_blocks: int):
         """Un-jitted ``(params, carry, position0, host_staged) ->

@@ -55,6 +55,15 @@ CHUNK_FRAMES = 16
 #: Mosaic kernels would run interpreted)
 MEGA_FILTER_IMPL = 'auto'
 
+#: opt-in generator-fed cascade: when a packed filter family's input is a
+#: plain oscillator (Saw/Square/Triangle) driven by ``Fixed`` controls,
+#: synthesize it INSIDE the segment kernel from iota + per-lane params
+#: (:func:`signals_tpu.compiler.pallas_kernels.sosfilt_segments_gen`) —
+#: the packed input timeline is then never written to HBM nor DMA-read
+#: back.  Participates in the graph hash, so flipping it compiles (and
+#: caches) separate programs.  Off by default until measured on hardware.
+SEG_SOURCE_GEN = False
+
 
 def resolve_mega_impl() -> str:
     if MEGA_FILTER_IMPL == 'auto':

@@ -881,6 +881,21 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
     return jax.jit(call)
 
 
+def _seg_coeff_sel(coeffs, nsec, n_segments, n_seg_pad, group, vpad):
+    """Per-lane kernel coefficients: lane = (segment % group)*ch + c
+    within the group's 1024 lanes; groups stacked on the leading axis.
+    (nsec, 5, lane_groups, 8, 128) from (n_segments, nsec, vpad, 11)."""
+    import jax.numpy as jnp
+    sel = jnp.stack([coeffs[..., 6], coeffs[..., 7], coeffs[..., 8],
+                     coeffs[..., 9], coeffs[..., 10]], axis=0)
+    sel = jnp.pad(sel, ((0, 0), (0, n_seg_pad - n_segments), (0, 0),
+                        (0, 0)))
+    # (5, n_seg_pad, nsec, vpad) -> (nsec, 5, LG, group*vpad=1024)
+    sel = sel.transpose(2, 0, 1, 3).reshape(
+        nsec, 5, n_seg_pad // group, group * vpad)
+    return sel.reshape(nsec, 5, n_seg_pad // group, 8, 128)
+
+
 def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
                      context: int,
                      interpret: typing.Optional[bool] = None,
@@ -990,16 +1005,7 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
     if T_need > T:
         x = jnp.pad(x, ((0, T_need - T), (0, 0)))
 
-    # per-lane coefficients: lane = (segment % group)*ch + c within the
-    # group's 1024 lanes; groups stacked on the leading axis
-    sel = jnp.stack([coeffs[..., 6], coeffs[..., 7], coeffs[..., 8],
-                     coeffs[..., 9], coeffs[..., 10]], axis=0)
-    sel = jnp.pad(sel, ((0, 0), (0, n_seg_pad - n_segments), (0, 0),
-                        (0, 0)))
-    # (5, n_seg_pad, nsec, vpad) -> (nsec, 5, LG, group*vpad=1024)
-    sel = sel.transpose(2, 0, 1, 3).reshape(
-        nsec, 5, n_seg_pad // group, group * vpad)
-    sel = sel.reshape(nsec, 5, n_seg_pad // group, 8, 128)
+    sel = _seg_coeff_sel(coeffs, nsec, n_segments, n_seg_pad, group, vpad)
 
     x = x.reshape(x.shape[0], vpad // 128, 128)
     if sum_groups:
@@ -1030,3 +1036,268 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
     y = call(sel, x)
     y = y.reshape(y.shape[0], y.shape[1], vpad)   # (n_seg_pad, F, vpad)
     return y[:n_segments, :, :chx]
+
+
+# --- generator-fed segments: zero-input-DMA cascade --------------------------
+#
+# When the packed family's input is a plain oscillator with Fixed controls
+# (the subtractive-voice shape: saw -> LP), the input timeline is a pure
+# function of the absolute frame index and per-lane constants — so instead
+# of lowering the producers to HBM (one full write) and DMA-reading them
+# back (one full read), the kernel synthesizes each chunk's rows from an
+# iota and (8, 128) per-lane parameter tiles.  Combined with the mix
+# epilogue, a 64-voice subtractive render's HBM traffic drops to the
+# coefficients in and the skinny per-stream sums out.
+
+OSC_SQUARE, OSC_SAW, OSC_TRIANGLE = 1, 2, 3
+
+
+def _seg_kernel_gen(coef_ref, toff_ref, lanef_ref, out_hbm, xgen, ybuf,
+                    state_ref, out_sems, *scratch, nsec: int,
+                    row_chunk: int, c_chunks: int, seg_frames: int,
+                    unroll: int, osc_code: int, sum_lanes: int):
+    """Generator-fed variant of :func:`_seg_kernel_reuse` (group == 1,
+    the packed 1024-lane family layout): no input DMA at all — each
+    chunk's rows are synthesized on the VPU.
+
+    ``toff_ref`` (8, 128) int32: per-lane absolute frame offset
+    (``position + stream*sf - context``); ``lanef_ref`` (4, 8, 128) f32:
+    per-lane hertz, phase, amplitude (``enabled`` gates folded into the
+    values by the caller) and the broadcast ``1/rate``.  The oscillator
+    arithmetic replicates ``nodes/osc.py``'s exact op sequence — int32
+    frame -> f32, ``(t * inv_rate) * hz``, range reduction as
+    ``x - floor(x)``.  ``inv_rate`` rides as a runtime INPUT, not a
+    baked constant: the compiler path fences it with an
+    optimization_barrier precisely so ``inv_rate * hz`` cannot fold into
+    one differently-rounded constant — a 1-ulp phase difference flips
+    saw/square wraps into full-amplitude spikes against the oracle.
+    Pre-timeline rows (t < 0) are zero, matching
+    ``LowerCtx.in_packed_streams``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lg = pl.program_id(0)
+    rc = pl.program_id(1)
+    n_rc = pl.num_programs(1)
+    step = lg * n_rc + rc
+    f32 = jnp.float32
+
+    # ---- synthesize this chunk's input rows --------------------------------
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (row_chunk, 8, 128), 0)
+    t_i = toff_ref[...][None] + (lg * seg_frames + rc * row_chunk) + r_i
+    tf = t_i.astype(f32)
+    hz = lanef_ref[0][None]
+    ph = lanef_ref[1][None]
+    amp = lanef_ref[2][None]
+    inv_rate = lanef_ref[3][None]
+
+    def frac(v):
+        return v - jnp.floor(v)
+
+    turns = frac(tf * inv_rate * hz)
+    tt = frac(turns + ph)
+    if osc_code == OSC_SQUARE:
+        x = jnp.sign(f32(0.5) - frac(tt))
+    elif osc_code == OSC_SAW:
+        x = f32(2.0) * frac(tt - f32(0.5)) - f32(1.0)
+    else:                                   # OSC_TRIANGLE
+        t3 = tt - f32(0.25)
+        x = ((f32(4.0) * (f32(0.5) * frac(t3 * f32(2.0))) - f32(1.0))
+             * jnp.sign(frac(t3) - f32(0.5)))
+    x = jnp.where(t_i >= 0, amp * x, f32(0.0))
+    xgen[...] = x
+
+    # ---- cascade + output (double-buffered, as _seg_kernel_reuse) ----------
+    yslot = step % 2
+    sbuf = scratch[0] if sum_lanes else None
+
+    def out_copy(yslot_, lg_, rc_):
+        dst_row = rc_ * row_chunk - c_chunks * row_chunk
+        if sum_lanes:
+            return pltpu.make_async_copy(
+                sbuf.at[yslot_, pl.ds(0, row_chunk), :],
+                out_hbm.at[lg_, pl.ds(dst_row, row_chunk)],
+                out_sems.at[yslot_, 0])
+        return pltpu.make_async_copy(
+            ybuf.at[yslot_, pl.ds(0, row_chunk), :, :],
+            out_hbm.at[lg_, pl.ds(dst_row, row_chunk)],
+            out_sems.at[yslot_, 0])
+
+    @pl.when(step >= 2)
+    def _():
+        prev = step - 2
+        prc = prev % n_rc
+
+        @pl.when(prc >= c_chunks)
+        def _():
+            out_copy(prev % 2, prev // n_rc, prc).wait()
+
+    @pl.when(rc == 0)
+    def _():
+        state_ref[...] = jnp.zeros_like(state_ref)
+
+    params = [tuple(coef_ref[s, k, 0] for k in range(5))
+              for s in range(nsec)]
+
+    def load_state():
+        return tuple(state_ref[i] for i in range(2 * nsec))
+
+    def one_row(r, state):
+        val = xgen[r]
+        st = list(state)
+        for s in range(nsec):
+            prc_, prs_, d0, d1, d2 = params[s]
+            s1, s2 = st[2 * s], st[2 * s + 1]
+            y = d0 * val + d1 * s1 + d2 * s2
+            st[2 * s] = prc_ * s1 - prs_ * s2 + val
+            st[2 * s + 1] = prs_ * s1 + prc_ * s2
+            val = y
+        ybuf[yslot, r] = val
+        return tuple(st)
+
+    if unroll == 8:
+        powers = _make_powers(params, nsec)
+
+        def body(i, state):
+            r0 = i * 8
+            v = [xgen[r0 + j] for j in range(8)]
+            y, state = _chunk8_cascade(v, state, params, powers, nsec)
+            for j in range(8):
+                ybuf[yslot, r0 + j] = y[j]
+            return state
+    else:
+        def body(i, state):
+            r0 = i * unroll
+            for j in range(unroll):
+                state = one_row(r0 + j, state)
+            return state
+
+    state = jax.lax.fori_loop(0, row_chunk // unroll, body, load_state())
+    for i in range(2 * nsec):
+        state_ref[i] = state[i]
+
+    @pl.when(rc >= c_chunks)
+    def _():
+        if sum_lanes:
+            col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            acc = jnp.zeros((row_chunk, 128), dtype=jnp.float32)
+            for s in range(8):
+                m = (((s * 128 + lane) // sum_lanes) == col
+                     ).astype(jnp.float32)
+                acc = acc + jnp.dot(ybuf[yslot, :, s, :], m,
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
+            sbuf[yslot] = acc
+        out_copy(yslot, lg, rc).start()
+
+    last = pl.num_programs(0) * n_rc - 1
+
+    @pl.when(step == last)
+    def _():
+        for back in (1, 0):
+            prev = step - back
+            prc = prev % n_rc
+
+            @pl.when((prev >= 0) & (prc >= c_chunks))
+            def _(prev=prev, prc=prc):
+                out_copy(prev % 2, prev // n_rc, prc).wait()
+
+
+@functools.lru_cache(maxsize=32)
+def _build_seg_gen_call(nsec: int, n_segments: int, seg_frames: int,
+                        context: int, interpret: bool, osc_code: int,
+                        sum_lanes: int):
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if sum_lanes and not (8 <= sum_lanes <= 128
+                          and LANE_GROUP % sum_lanes == 0):
+        raise ValueError('sum_lanes must give <= 128 groups')
+    row_chunk = ROW_CHUNK
+    while context % row_chunk or seg_frames % row_chunk:
+        row_chunk //= 2
+    chunks_per_seg = (context + seg_frames) // row_chunk
+    c_chunks = context // row_chunk
+    unroll = ROW_UNROLL if row_chunk % ROW_UNROLL == 0 else 1
+    kernel = functools.partial(
+        _seg_kernel_gen, nsec=nsec, row_chunk=row_chunk,
+        c_chunks=c_chunks, seg_frames=seg_frames, unroll=unroll,
+        osc_code=osc_code, sum_lanes=sum_lanes)
+    out_dims = ((n_segments, seg_frames, 128) if sum_lanes
+                else (n_segments, seg_frames, 8, 128))
+    scratch = [
+        pltpu.VMEM((row_chunk, 8, 128), np.float32),      # xgen
+        pltpu.VMEM((2, row_chunk, 8, 128), np.float32),   # ybuf
+        pltpu.VMEM((2 * nsec, 8, 128), np.float32),       # state
+        pltpu.SemaphoreType.DMA((2, 1)),                  # out sems
+    ]
+    if sum_lanes:
+        scratch.append(pltpu.VMEM((2, row_chunk, 128), np.float32))
+
+    def call(coeffs, toff, lanef):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_segments, chunks_per_seg),
+            in_specs=[
+                pl.BlockSpec((nsec, 5, 1, 8, 128),
+                             lambda lg, rc: (0, 0, lg, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct(out_dims, np.float32),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(coeffs, toff, lanef)
+
+    return jax.jit(call)
+
+
+def sosfilt_segments_gen(coeffs, toff, lanef, *, n_segments: int,
+                         seg_frames: int, context: int, osc_code: int,
+                         rate: int,
+                         interpret: typing.Optional[bool] = None,
+                         sum_groups: int = 0):
+    """:func:`sosfilt_segments` with the input synthesized IN-KERNEL from
+    an oscillator spec — zero input HBM traffic.
+
+    ``coeffs``: ``(n_segments, nsec, 1024, 11)`` (the full 1024-lane
+    family layout is required); ``toff``: ``(1024,)`` int32 per-lane
+    absolute frame offsets; ``lanef``: ``(3, 1024)`` f32 per-lane
+    (hertz, phase, amplitude) — ``1/rate`` is appended internally as a
+    runtime input row (see the kernel's folding note).  ``sum_groups``
+    as in
+    :func:`sosfilt_segments` (the mix epilogue composes).  Returns
+    ``(n_segments, seg_frames, 1024)`` or the group sums.
+    """
+    import jax.numpy as jnp
+
+    if interpret is None:
+        from signals_tpu.compiler.filters import default_backend
+        interpret = default_backend() != 'tpu'
+    coeffs = jnp.asarray(coeffs, dtype=jnp.float32)
+    nsec = coeffs.shape[1]
+    if coeffs.shape[2] != LANE_GROUP:
+        raise ValueError('generator-fed segments need the full '
+                         f'{LANE_GROUP}-lane family layout, got '
+                         f'{coeffs.shape[2]} lanes')
+    sel = _seg_coeff_sel(coeffs, nsec, n_segments, n_segments, 1,
+                         LANE_GROUP)
+    toff = jnp.asarray(toff, dtype=jnp.int32).reshape(8, 128)
+    lanef = jnp.asarray(lanef, dtype=jnp.float32).reshape(3, 8, 128)
+    inv_row = jnp.full((1, 8, 128), jnp.float32(1.0 / rate),
+                       dtype=jnp.float32)
+    lanef = jnp.concatenate([lanef, inv_row], axis=0)
+    call = _build_seg_gen_call(nsec, n_segments, seg_frames, context,
+                               interpret, osc_code, sum_groups)
+    y = call(sel, toff, lanef)
+    if sum_groups:
+        return y[:, :, :LANE_GROUP // sum_groups]
+    return y.reshape(n_segments, seg_frames, LANE_GROUP)

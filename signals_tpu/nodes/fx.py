@@ -425,10 +425,16 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
                         sum_groups=0):
         import jax.numpy as jnp
         from signals_tpu.compiler.pallas_kernels import sosfilt_segments
-        sib0 = ctx.at_window(0, sf)
-        xp_ = sib0.in_packed_streams('input', k, sf, C, chx)
-        if xp_ is None:
-            return None
+        from signals_tpu.compiler.pallas_kernels import LANE_GROUP
+        gen = (self._gen_input_spec(chx)
+               if _filters.SEG_SOURCE_GEN and k * chx == LANE_GROUP
+               else None)
+        xp_ = None
+        if gen is None:
+            sib0 = ctx.at_window(0, sf)
+            xp_ = sib0.in_packed_streams('input', k, sf, C, chx)
+            if xp_ is None:
+                return None
         # per-stream crit grids stacked as (S, k, chs) -> flat channel dim
         per_stream = [self._crits_grid(ctx.at_window(jj * sf, sf))
                       for jj in range(k)]
@@ -444,9 +450,84 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         co = coeffs.reshape(nsec, nb_s, k, chs, 11).transpose(1, 0, 2, 3, 4)
         co = jnp.broadcast_to(co, (nb_s, nsec, k, chx, 11))
         co = co.reshape(nb_s, nsec, k * chx, 11)
+        if gen is not None:
+            out = self._family_gen(ctx, gen, co, k, sf, F_, nb_s, C, chx,
+                                   sum_groups)
+            if out is not None:
+                return out
+            # builder declined (layout constraints): lower the producers
+            # and take the DMA kernel instead
+            sib0 = ctx.at_window(0, sf)
+            xp_ = sib0.in_packed_streams('input', k, sf, C, chx)
+            if xp_ is None:
+                return None
         return sosfilt_segments(co, xp_, n_segments=nb_s, seg_frames=F_,
                                 context=C,
                                 sum_groups=sum_groups)     # (S, F, k*chx)
+
+    def _gen_input_spec(self, chx):
+        """``(osc_code, osc, hz_node, phase_node)`` when this filter's
+        input is a generator the segment kernel can synthesize in-kernel
+        (:func:`~signals_tpu.compiler.pallas_kernels.sosfilt_segments_gen`):
+        a Saw/Square/Triangle oscillator whose ``hertz``/``phase`` are
+        ``Fixed`` (or unconnected) with widths broadcastable to the
+        packed lane count.  ``Sine`` is excluded: its cross-engine-exact
+        ``sin2pi`` needs an f64 Horner chain Mosaic doesn't offer."""
+        from signals_tpu.compiler.pallas_kernels import (
+            OSC_SAW, OSC_SQUARE, OSC_TRIANGLE)
+        from signals_tpu.nodes.fixed import Fixed
+        from signals_tpu.nodes.osc import Sawtooth, Square, Triangle
+        inp = self._ports['input'].sig
+        code = {Sawtooth: OSC_SAW, Square: OSC_SQUARE,
+                Triangle: OSC_TRIANGLE}.get(type(inp))
+        if code is None:
+            return None
+        nodes = []
+        for pname in ('hertz', 'phase'):
+            sig = inp._ports[pname].sig
+            if sig is not None:
+                if type(sig) is not Fixed:
+                    return None
+                v = sig.get_state().value
+                if v.shape not in ((1, 1), (1, chx)):
+                    return None
+            nodes.append(sig)
+        return code, inp, nodes[0], nodes[1]
+
+    def _family_gen(self, ctx, gen, co, k, sf, F_, nb_s, C, chx,
+                    sum_groups):
+        """Generator-fed family lowering: per-lane params from the traced
+        Fixed values (edits apply without recompiling), zero input HBM
+        traffic.  Returns None when the kernel layout declines."""
+        import jax.numpy as jnp
+        from signals_tpu.compiler.pallas_kernels import (
+            sosfilt_segments_gen)
+        code, osc_node, hz_node, ph_node = gen
+        comp = ctx.compiler
+
+        def lane_row(node):
+            if node is None:
+                return jnp.zeros((k * chx,), dtype=jnp.float32)
+            v = comp.node_param(node, 'value').reshape(1, -1)
+            v = jnp.where(comp.node_param(node, 'enabled'), v, F32(0.0))
+            v = jnp.broadcast_to(v, (1, chx)).reshape(chx)
+            return jnp.tile(v, k)
+
+        hz_l = lane_row(hz_node)
+        ph_l = lane_row(ph_node)
+        amp = jnp.where(comp.node_param(osc_node, 'enabled'),
+                        F32(1.0), F32(0.0))
+        amp_l = jnp.broadcast_to(amp, (k * chx,)).astype(jnp.float32)
+        j_lane = np.repeat(np.arange(k, dtype=np.int32), chx)
+        toff = (comp.position + jnp.asarray(j_lane) * np.int32(sf)
+                - np.int32(C))
+        try:
+            return sosfilt_segments_gen(
+                co, toff, jnp.stack([hz_l, ph_l, amp_l]),
+                n_segments=nb_s, seg_frames=F_, context=C,
+                osc_code=code, rate=ctx.rate, sum_groups=sum_groups)
+        except ValueError:
+            return None
 
     def _mega_kernel(self, ctx, grid, nyquist):
         """Mega-window lowering: the window spans many blocks.  The input is

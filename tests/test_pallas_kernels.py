@@ -412,3 +412,60 @@ def test_context_reuse_ring_matches_double_buffer():
     finally:
         pk.SEG_CONTEXT_REUSE = old
     np.testing.assert_array_equal(ring, plain)
+
+
+def test_sosfilt_segments_gen_bit_exact_source():
+    """Generator-fed segments (interpret): the in-kernel saw is
+    bit-exact vs the same primitive-op sequence evaluated in numpy, and
+    the filtered output equals the DMA kernel fed that input; the
+    sum_groups epilogue composes."""
+    from signals_tpu.compiler.pallas_kernels import (
+        OSC_SAW, sosfilt_segments, sosfilt_segments_gen)
+    rng = np.random.default_rng(1)
+    S, F, C = 4, 256, 256
+    k, chx = 16, 64
+    rate = 44100
+    sf = S * F
+    ch = k * chx
+    hz = (110.0 * 2 ** (np.arange(chx) % 12 / 12.0)).astype(np.float32)
+    hz_lane = np.tile(hz, k)
+    ph = np.zeros(ch, np.float32)
+    amp = np.ones(ch, np.float32)
+    lanef = np.stack([hz_lane, ph, amp])
+    toff = np.repeat(np.arange(k, dtype=np.int32), chx) * sf - C
+
+    rows = np.arange(C + sf, dtype=np.int64)
+    t = toff[None, :].astype(np.int64) + rows[:, None]
+    tf = t.astype(np.float32)
+    inv = np.float32(1.0 / rate)
+
+    def frac(v):
+        return v - np.floor(v)
+
+    tt = frac(frac(tf * inv * hz_lane[None, :].astype(np.float32)))
+    x = np.where(t >= 0,
+                 np.float32(2.0) * frac(tt - np.float32(0.5))
+                 - np.float32(1.0),
+                 np.float32(0.0)).astype(np.float32)
+
+    co_id = np.zeros((S, 1, ch, 11), np.float32)
+    co_id[..., 8] = 1.0                       # d0 = 1: identity cascade
+    got = np.asarray(sosfilt_segments_gen(
+        co_id, toff, lanef, n_segments=S, seg_frames=F, context=C,
+        osc_code=OSC_SAW, rate=rate, interpret=True))
+    xtails = np.stack([x[b * F + C:b * F + C + F] for b in range(S)])
+    assert np.abs(got - xtails).max() == 0.0   # saw wraps demand bits
+
+    co = rng.standard_normal((S, 1, ch, 11)).astype(np.float32) * 0.1
+    ref = np.asarray(sosfilt_segments(co, x, n_segments=S, seg_frames=F,
+                                      context=C, interpret=True))
+    got = np.asarray(sosfilt_segments_gen(
+        co, toff, lanef, n_segments=S, seg_frames=F, context=C,
+        osc_code=OSC_SAW, rate=rate, interpret=True))
+    assert np.abs(got - ref).max() == 0.0
+
+    gots = np.asarray(sosfilt_segments_gen(
+        co, toff, lanef, n_segments=S, seg_frames=F, context=C,
+        osc_code=OSC_SAW, rate=rate, interpret=True, sum_groups=chx))
+    refs = ref.reshape(S, F, k, chx).sum(axis=3)
+    assert np.abs(gots - refs).max() / np.abs(refs).max() < 1e-5

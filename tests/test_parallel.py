@@ -561,3 +561,56 @@ def test_mix_epilogue_composes_with_mesh():
     scale = np.abs(np.asarray(ref)).max()
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() / scale < 1e-5
     C._compile_cache.clear()
+
+
+def test_source_gen_in_kernel_matches_oracle():
+    """SEG_SOURCE_GEN (interpret-mode pallas): the saw synthesized
+    in-kernel, composed with the mix epilogue — matches the per-voice
+    numpy pull oracle, and the engagement probe reports it."""
+    import signals_tpu.compiler as C
+    import signals_tpu.compiler.filters as FI
+    oldm, oldg = FI.MEGA_FILTER_IMPL, FI.SEG_SOURCE_GEN
+    FI.MEGA_FILTER_IMPL = 'pallas'
+    FI.SEG_SOURCE_GEN = True
+    try:
+        probe = _epilogue_poly(64, ep=True)
+        assert probe.compiled.packed_gen_engaged(32)
+        C._compile_cache.clear()
+        a, oracle, plan = _epilogue_vs_oracle(64, 32)
+        assert plan is not None
+        scale = np.abs(oracle).max()
+        assert np.abs(a - oracle).max() / scale < 1e-5
+    finally:
+        FI.MEGA_FILTER_IMPL, FI.SEG_SOURCE_GEN = oldm, oldg
+        C._compile_cache.clear()
+
+
+def test_source_gen_not_engaged_for_sine():
+    """A Sine-fed filter must NOT claim the in-kernel generator (sin2pi
+    needs an f64 Horner chain Mosaic doesn't offer)."""
+    import signals_tpu.compiler as C
+    import signals_tpu.compiler.filters as FI
+    from signals_tpu.nodes.fx import RingMod
+
+    oldm, oldg = FI.MEGA_FILTER_IMPL, FI.SEG_SOURCE_GEN
+    FI.MEGA_FILTER_IMPL = 'pallas'
+    FI.SEG_SOURCE_GEN = True
+    try:
+        hz = fixed(110.0)
+        osc = Sine()
+        osc.hertz = hz
+        lp = LowPass()
+        lp.input = osc
+        lp.cutoff = fixed(2000.0)
+        out = Gain()
+        out.left = lp
+        out.right = fixed(1.0 / 64)
+        freqs = (110.0 * 2 ** (np.arange(64) % 12 / 12.0)
+                 ).astype(np.float32)
+        poly = PolyPatch(out, n_voices=64,
+                         overrides={(hz, 'value'): freqs},
+                         block_frames=F, rate=RATE, layout='channels')
+        assert not poly.compiled.packed_gen_engaged(32)
+    finally:
+        FI.MEGA_FILTER_IMPL, FI.SEG_SOURCE_GEN = oldm, oldg
+        C._compile_cache.clear()
