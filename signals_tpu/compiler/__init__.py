@@ -200,9 +200,17 @@ class _GraphIndex:
 
     def __init__(self, root: Emitter, block_frames: int, rate: int,
                  channels: int):
+        from signals_tpu.compiler import filters as _filters
         self.block_frames = block_frames
         self.rate = rate
         self.channels = channels
+        #: SEG_SOURCE_GEN snapshot: the flag is read here, where the
+        #: graph hash that keys the compile cache is computed, and
+        #: NOWHERE later — traces happen lazily (render_fn on first
+        #: call), so consulting the mutable global at trace time would
+        #: let a flag flip make a patch's traces disagree with its hash
+        #: (and with the packed_gen_engaged probe)
+        self.seg_source_gen = bool(_filters.SEG_SOURCE_GEN)
         self.infos: dict[int, _NodeInfo] = {}
         self.order: list[Emitter] = []
         self._walk(root)
@@ -227,7 +235,7 @@ class _GraphIndex:
         h = hashlib.sha3_256()
         h.update(f'F={self.block_frames};R={self.rate};C={self.channels};'
                  f'I={_filters.FILTER_IMPL};M={_filters.MEGA_FILTER_IMPL};'
-                 f'G={_filters.SEG_SOURCE_GEN}'
+                 f'G={self.seg_source_gen}'
                  .encode())
         for node in self.order:
             info = self.info(node)
@@ -1529,12 +1537,18 @@ class CompiledPatch:
 
     def packed_gen_engaged(self, n_blocks: int) -> bool:
         """Whether a packed render at this batch size would synthesize
-        the filter input IN-KERNEL (``filters.SEG_SOURCE_GEN`` on, and
-        every context filter's input is an eligible generator at the
+        the filter input IN-KERNEL (``filters.SEG_SOURCE_GEN`` snapshot
+        taken at compile time, the pallas family path available, and
+        every context filter's input an eligible generator at the
         full-lane-group layout).  Benchmarks use this so a silently
         declined generator path can never publish under its label."""
         from signals_tpu.compiler import filters as _f
-        if not _f.SEG_SOURCE_GEN:
+        if not self.index.seg_source_gen:
+            return False
+        if _f.resolve_mega_impl() != 'pallas':
+            # _family_prologue requires the pallas family path; without
+            # it the generator kernel is unreachable no matter what the
+            # flag says
             return False
         base = self.packed_mega_streams(n_blocks)
         if base is None:

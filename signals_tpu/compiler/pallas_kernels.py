@@ -189,6 +189,84 @@ def _tree_sum(terms):
         terms = nxt
     return terms[0]
 
+def _run_cascade(coef_ref, xread, ybuf, yslot, state_ref, *, nsec: int,
+                 row_chunk: int, unroll: int):
+    """The biquad cascade over one row chunk: rows come from ``xread(r)``
+    (a VMEM input slot, or the generator's synthesized chunk), filtered
+    rows land in ``ybuf[yslot]``, and the (2*nsec, 8, 128) carry crosses
+    chunks in ``state_ref``.  The ONE copy of the recurrence shared by
+    the DMA kernels (:func:`_seg_kernel`, :func:`_seg_kernel_reuse`) and
+    the generator kernel (:func:`_seg_kernel_gen`) — their numerics must
+    never drift.
+    """
+    import jax
+
+    params = [tuple(coef_ref[s, k, 0] for k in range(5))
+              for s in range(nsec)]
+
+    def load_state():
+        return tuple(state_ref[i] for i in range(2 * nsec))
+
+    def one_row(r, state):
+        val = xread(r)
+        st = list(state)
+        for s in range(nsec):
+            prc_, prs_, d0, d1, d2 = params[s]
+            s1, s2 = st[2 * s], st[2 * s + 1]
+            y = d0 * val + d1 * s1 + d2 * s2
+            st[2 * s] = prc_ * s1 - prs_ * s2 + val
+            st[2 * s + 1] = prs_ * s1 + prc_ * s2
+            val = y
+        ybuf[yslot, r] = val
+        return tuple(st)
+
+    # with input DMA out of the way, the serial recurrence's dependence
+    # chain (~23 cycles/row measured) is the floor — the 8-row causal-
+    # combination cascade breaks it (2x the FLOPs, no serial edge within
+    # a chunk)
+    if unroll == 8:
+        powers = _make_powers(params, nsec)
+
+        def body(i, state):
+            r0 = i * 8
+            v = [xread(r0 + j) for j in range(8)]
+            y, state = _chunk8_cascade(v, state, params, powers, nsec)
+            for j in range(8):
+                ybuf[yslot, r0 + j] = y[j]
+            return state
+    else:
+        def body(i, state):
+            r0 = i * unroll
+            for j in range(unroll):
+                state = one_row(r0 + j, state)
+            return state
+
+    state = jax.lax.fori_loop(0, row_chunk // unroll, body, load_state())
+    for i in range(2 * nsec):
+        state_ref[i] = state[i]
+
+
+def _group_sum_chunk(ybuf, yslot, row_chunk: int, sum_lanes: int):
+    """Reduce each contiguous ``sum_lanes``-lane group of the filtered
+    chunk to its sum (the mix epilogue): 8 per-sublane (row_chunk, 128)
+    x (128, 128) MXU matmuls against iota-built 0/1 group matrices.
+    HIGHEST precision: default MXU precision rounds f32 operands through
+    bf16 passes; with a 0/1 matrix HIGHEST makes the reduction exact f32
+    adds.  Shared by the DMA and generator kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    acc = jnp.zeros((row_chunk, 128), dtype=jnp.float32)
+    for s in range(8):
+        m = (((s * 128 + lane) // sum_lanes) == col).astype(jnp.float32)
+        acc = acc + jnp.dot(ybuf[yslot, :, s, :], m,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    return acc
+
+
 
 def _batch_kernel(coef_ref, x_ref, out_ref, state_ref, *, nsec: int,
                   rows: int, unroll: int):
@@ -514,45 +592,9 @@ def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
     def _():
         state_ref[...] = jnp.zeros_like(state_ref)
 
-    params = [tuple(coef_ref[s, k, 0] for k in range(5))
-              for s in range(nsec)]
-
-    def load_state():
-        return tuple(state_ref[i] for i in range(2 * nsec))
-
-    def one_row(r, state):
-        val = xbuf[slot, r]
-        st = list(state)
-        for s in range(nsec):
-            prc_, prs_, d0, d1, d2 = params[s]
-            s1, s2 = st[2 * s], st[2 * s + 1]
-            y = d0 * val + d1 * s1 + d2 * s2
-            st[2 * s] = prc_ * s1 - prs_ * s2 + val
-            st[2 * s + 1] = prs_ * s1 + prc_ * s2
-            val = y
-        ybuf[slot, r] = val
-        return tuple(st)
-
-    if unroll == 8:
-        powers = _make_powers(params, nsec)
-
-        def body(i, state):
-            r0 = i * 8
-            v = [xbuf[slot, r0 + j] for j in range(8)]
-            y, state = _chunk8_cascade(v, state, params, powers, nsec)
-            for j in range(8):
-                ybuf[slot, r0 + j] = y[j]
-            return state
-    else:
-        def body(i, state):
-            r0 = i * unroll
-            for j in range(unroll):
-                state = one_row(r0 + j, state)
-            return state
-
-    state = jax.lax.fori_loop(0, row_chunk // unroll, body, load_state())
-    for i in range(2 * nsec):
-        state_ref[i] = state[i]
+    _run_cascade(coef_ref, lambda r: xbuf[slot, r], ybuf, slot,
+                 state_ref, nsec=nsec, row_chunk=row_chunk,
+                 unroll=unroll)
 
     @pl.when(rc >= c_chunks)
     def _():
@@ -682,73 +724,16 @@ def _seg_kernel_reuse(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
     def _():
         state_ref[...] = jnp.zeros_like(state_ref)
 
-    params = [tuple(coef_ref[s, k, 0] for k in range(5))
-              for s in range(nsec)]
-
-    def load_state():
-        return tuple(state_ref[i] for i in range(2 * nsec))
-
     xslot = a_cur % w
-
-    def one_row(r, state):
-        val = xbuf[xslot, r]
-        st = list(state)
-        for s in range(nsec):
-            prc_, prs_, d0, d1, d2 = params[s]
-            s1, s2 = st[2 * s], st[2 * s + 1]
-            y = d0 * val + d1 * s1 + d2 * s2
-            st[2 * s] = prc_ * s1 - prs_ * s2 + val
-            st[2 * s + 1] = prs_ * s1 + prc_ * s2
-            val = y
-        ybuf[yslot, r] = val
-        return tuple(st)
-
-    # with input DMA halved by the ring, the serial recurrence's
-    # dependence chain (~23 cycles/row measured) becomes the floor — the
-    # 8-row causal-combination cascade breaks it (2x the FLOPs, no
-    # serial edge within a chunk)
-    if unroll == 8:
-        powers = _make_powers(params, nsec)
-
-        def body(i, state):
-            r0 = i * 8
-            v = [xbuf[xslot, r0 + j] for j in range(8)]
-            y, state = _chunk8_cascade(v, state, params, powers, nsec)
-            for j in range(8):
-                ybuf[yslot, r0 + j] = y[j]
-            return state
-    else:
-        def body(i, state):
-            r0 = i * unroll
-            for j in range(unroll):
-                state = one_row(r0 + j, state)
-            return state
-
-    state = jax.lax.fori_loop(0, row_chunk // unroll, body, load_state())
-    for i in range(2 * nsec):
-        state_ref[i] = state[i]
+    _run_cascade(coef_ref, lambda r: xbuf[xslot, r], ybuf, yslot,
+                 state_ref, nsec=nsec, row_chunk=row_chunk,
+                 unroll=unroll)
 
     @pl.when(rc >= c_chunks)
     def _():
         if sum_lanes:
-            # reduce each sum_lanes-lane group of the filtered chunk to
-            # its sum: 8 per-sublane (row_chunk, 128) @ (128, 128) MXU
-            # matmuls against 0/1 group-membership matrices (groups are
-            # contiguous lane runs; group j of sublane s covers absolute
-            # lanes [j*sum_lanes, (j+1)*sum_lanes))
-            col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-            acc = jnp.zeros((row_chunk, 128), dtype=jnp.float32)
-            for s in range(8):
-                m = (((s * 128 + lane) // sum_lanes) == col
-                     ).astype(jnp.float32)
-                # HIGHEST: default MXU precision rounds f32 operands
-                # through bf16 passes; with a 0/1 matrix HIGHEST makes
-                # the reduction exact f32 adds
-                acc = acc + jnp.dot(ybuf[yslot, :, s, :], m,
-                                    preferred_element_type=jnp.float32,
-                                    precision=jax.lax.Precision.HIGHEST)
-            sbuf[yslot] = acc
+            sbuf[yslot] = _group_sum_chunk(ybuf, yslot, row_chunk,
+                                           sum_lanes)
         for p in range(parts):
             out_copy(yslot, lg, rc, p).start()
 
@@ -1139,59 +1124,14 @@ def _seg_kernel_gen(coef_ref, toff_ref, lanef_ref, out_hbm, xgen, ybuf,
     def _():
         state_ref[...] = jnp.zeros_like(state_ref)
 
-    params = [tuple(coef_ref[s, k, 0] for k in range(5))
-              for s in range(nsec)]
-
-    def load_state():
-        return tuple(state_ref[i] for i in range(2 * nsec))
-
-    def one_row(r, state):
-        val = xgen[r]
-        st = list(state)
-        for s in range(nsec):
-            prc_, prs_, d0, d1, d2 = params[s]
-            s1, s2 = st[2 * s], st[2 * s + 1]
-            y = d0 * val + d1 * s1 + d2 * s2
-            st[2 * s] = prc_ * s1 - prs_ * s2 + val
-            st[2 * s + 1] = prs_ * s1 + prc_ * s2
-            val = y
-        ybuf[yslot, r] = val
-        return tuple(st)
-
-    if unroll == 8:
-        powers = _make_powers(params, nsec)
-
-        def body(i, state):
-            r0 = i * 8
-            v = [xgen[r0 + j] for j in range(8)]
-            y, state = _chunk8_cascade(v, state, params, powers, nsec)
-            for j in range(8):
-                ybuf[yslot, r0 + j] = y[j]
-            return state
-    else:
-        def body(i, state):
-            r0 = i * unroll
-            for j in range(unroll):
-                state = one_row(r0 + j, state)
-            return state
-
-    state = jax.lax.fori_loop(0, row_chunk // unroll, body, load_state())
-    for i in range(2 * nsec):
-        state_ref[i] = state[i]
+    _run_cascade(coef_ref, lambda r: xgen[r], ybuf, yslot, state_ref,
+                 nsec=nsec, row_chunk=row_chunk, unroll=unroll)
 
     @pl.when(rc >= c_chunks)
     def _():
         if sum_lanes:
-            col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-            acc = jnp.zeros((row_chunk, 128), dtype=jnp.float32)
-            for s in range(8):
-                m = (((s * 128 + lane) // sum_lanes) == col
-                     ).astype(jnp.float32)
-                acc = acc + jnp.dot(ybuf[yslot, :, s, :], m,
-                                    preferred_element_type=jnp.float32,
-                                    precision=jax.lax.Precision.HIGHEST)
-            sbuf[yslot] = acc
+            sbuf[yslot] = _group_sum_chunk(ybuf, yslot, row_chunk,
+                                           sum_lanes)
         out_copy(yslot, lg, rc).start()
 
     last = pl.num_programs(0) * n_rc - 1

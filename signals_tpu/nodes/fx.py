@@ -426,8 +426,11 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         import jax.numpy as jnp
         from signals_tpu.compiler.pallas_kernels import sosfilt_segments
         from signals_tpu.compiler.pallas_kernels import LANE_GROUP
+        # compile-time snapshot, not the live flag: traces are lazy, so
+        # the flag state must be the one the graph hash was keyed under
         gen = (self._gen_input_spec(chx)
-               if _filters.SEG_SOURCE_GEN and k * chx == LANE_GROUP
+               if ctx.compiler.index.seg_source_gen
+               and k * chx == LANE_GROUP
                else None)
         xp_ = None
         if gen is None:
@@ -451,16 +454,8 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         co = jnp.broadcast_to(co, (nb_s, nsec, k, chx, 11))
         co = co.reshape(nb_s, nsec, k * chx, 11)
         if gen is not None:
-            out = self._family_gen(ctx, gen, co, k, sf, F_, nb_s, C, chx,
-                                   sum_groups)
-            if out is not None:
-                return out
-            # builder declined (layout constraints): lower the producers
-            # and take the DMA kernel instead
-            sib0 = ctx.at_window(0, sf)
-            xp_ = sib0.in_packed_streams('input', k, sf, C, chx)
-            if xp_ is None:
-                return None
+            return self._family_gen(ctx, gen, co, k, sf, F_, nb_s, C,
+                                    chx, sum_groups)
         return sosfilt_segments(co, xp_, n_segments=nb_s, seg_frames=F_,
                                 context=C,
                                 sum_groups=sum_groups)     # (S, F, k*chx)
@@ -498,7 +493,10 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
                     sum_groups):
         """Generator-fed family lowering: per-lane params from the traced
         Fixed values (edits apply without recompiling), zero input HBM
-        traffic.  Returns None when the kernel layout declines."""
+        traffic.  Layout preconditions are guaranteed by the caller's
+        ``k * chx == LANE_GROUP`` gate (which forces ``chx >= 32``), so
+        errors here are genuine bugs and must propagate, not silently
+        demote the render to the DMA path."""
         import jax.numpy as jnp
         from signals_tpu.compiler.pallas_kernels import (
             sosfilt_segments_gen)
@@ -521,13 +519,10 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         j_lane = np.repeat(np.arange(k, dtype=np.int32), chx)
         toff = (comp.position + jnp.asarray(j_lane) * np.int32(sf)
                 - np.int32(C))
-        try:
-            return sosfilt_segments_gen(
-                co, toff, jnp.stack([hz_l, ph_l, amp_l]),
-                n_segments=nb_s, seg_frames=F_, context=C,
-                osc_code=code, rate=ctx.rate, sum_groups=sum_groups)
-        except ValueError:
-            return None
+        return sosfilt_segments_gen(
+            co, toff, jnp.stack([hz_l, ph_l, amp_l]),
+            n_segments=nb_s, seg_frames=F_, context=C,
+            osc_code=code, rate=ctx.rate, sum_groups=sum_groups)
 
     def _mega_kernel(self, ctx, grid, nyquist):
         """Mega-window lowering: the window spans many blocks.  The input is

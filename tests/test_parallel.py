@@ -590,7 +590,6 @@ def test_source_gen_not_engaged_for_sine():
     needs an f64 Horner chain Mosaic doesn't offer)."""
     import signals_tpu.compiler as C
     import signals_tpu.compiler.filters as FI
-    from signals_tpu.nodes.fx import RingMod
 
     oldm, oldg = FI.MEGA_FILTER_IMPL, FI.SEG_SOURCE_GEN
     FI.MEGA_FILTER_IMPL = 'pallas'
