@@ -1471,6 +1471,8 @@ class CompiledPatch:
             return None
         if not _voice_linear_to_root(f, self.root):
             return None
+        k = self._mix_plan_k(n_blocks, k, f)
+        S = -(-n_blocks // k)
         from signals_tpu.compiler.pallas_kernels import LANE_GROUP
         # the in-kernel lane-group sum needs the full-group packed layout
         # with exactly V lanes per stream; other layouts keep the algebra
@@ -1535,6 +1537,27 @@ class CompiledPatch:
 
         return many_mix, k, S
 
+    def _mix_plan_k(self, n_blocks: int, k_base: int, f) -> int:
+        """Stream count for the mix-epilogue plan: prefer the FULL
+        1024-lane group when it is sane for this batch size — the
+        in-kernel voice sum (and generator source) save full-size HBM
+        passes, worth far more than the padding-waste delta the base
+        cost model optimizes — else keep the base plan's ``k``."""
+        from signals_tpu.compiler import filters as _filters
+        from signals_tpu.compiler.pallas_kernels import LANE_GROUP
+        V = self.channels
+        F = self.block_frames
+        if LANE_GROUP % V:
+            return k_base
+        k_full = LANE_GROUP // V
+        kmax = 32 if _filters.resolve_mega_impl() == 'pallas' else 8
+        if (k_full != k_base and 2 <= k_full <= kmax
+                and n_blocks >= max(16, 2 * k_full)
+                and k_full * (-(-n_blocks // k_full)) <= 2 * n_blocks
+                and f.packed_lane_fit(k_full, F) is not None):
+            return k_full
+        return k_base
+
     def packed_gen_engaged(self, n_blocks: int) -> bool:
         """Whether a packed render at this batch size would synthesize
         the filter input IN-KERNEL (``filters.SEG_SOURCE_GEN`` snapshot
@@ -1560,6 +1583,10 @@ class CompiledPatch:
                    if isinstance(n, CritFilter)]
         if not filters:
             return False
+        if len(filters) == 1:
+            # single-filter patches take the mix-epilogue plan's k (the
+            # full lane group when sane) — probe the k the trace will use
+            k = self._mix_plan_k(n_blocks, k, filters[0])
         F = self.block_frames
         for f in filters:
             chx = f.packed_lane_fit(k, F)
