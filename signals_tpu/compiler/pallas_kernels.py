@@ -1034,7 +1034,7 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
 # epilogue, a 64-voice subtractive render's HBM traffic drops to the
 # coefficients in and the skinny per-stream sums out.
 
-OSC_SQUARE, OSC_SAW, OSC_TRIANGLE = 1, 2, 3
+OSC_SINE, OSC_SQUARE, OSC_SAW, OSC_TRIANGLE = 0, 1, 2, 3
 
 
 def _seg_kernel_gen(coef_ref, toff_ref, lanef_ref, out_hbm, xgen, ybuf,
@@ -1084,7 +1084,23 @@ def _seg_kernel_gen(coef_ref, toff_ref, lanef_ref, out_hbm, xgen, ybuf,
 
     turns = frac(tf * inv_rate * hz)
     tt = frac(turns + ph)
-    if osc_code == OSC_SQUARE:
+    if osc_code == OSC_SINE:
+        # core/mathx.py sin2pi with the Horner chain in f32 instead of
+        # f64 (Mosaic has no f64): NOT bit-exact vs the lowered
+        # producers, but sine is continuous — a ulp of phase error stays
+        # a ulp of output error (~1e-7 absolute vs the f64 chain), far
+        # inside the 1e-5 parity budget.  The discontinuous waves below
+        # DO need the bit-exact treatment (a ulp at a wrap is ±2.0).
+        from signals_tpu.core.mathx import _SIN2PI_COEFFS
+        r = tt - f32(0.5)
+        y = jnp.where(r > f32(0.25), f32(0.5) - r,
+                      jnp.where(r < f32(-0.25), f32(-0.5) - r, r))
+        z = y * y
+        acc = jnp.full_like(z, f32(_SIN2PI_COEFFS[-1]))
+        for c_ in _SIN2PI_COEFFS[-2::-1]:
+            acc = f32(c_) + z * acc
+        x = -(y * acc)
+    elif osc_code == OSC_SQUARE:
         x = jnp.sign(f32(0.5) - frac(tt))
     elif osc_code == OSC_SAW:
         x = f32(2.0) * frac(tt - f32(0.5)) - f32(1.0)

@@ -464,16 +464,19 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         """``(osc_code, osc, hz_node, phase_node)`` when this filter's
         input is a generator the segment kernel can synthesize in-kernel
         (:func:`~signals_tpu.compiler.pallas_kernels.sosfilt_segments_gen`):
-        a Saw/Square/Triangle oscillator whose ``hertz``/``phase`` are
-        ``Fixed`` (or unconnected) with widths broadcastable to the
-        packed lane count.  ``Sine`` is excluded: its cross-engine-exact
-        ``sin2pi`` needs an f64 Horner chain Mosaic doesn't offer."""
+        a Sine/Saw/Square/Triangle oscillator whose ``hertz``/``phase``
+        are ``Fixed`` (or unconnected) with widths broadcastable to the
+        packed lane count.  The discontinuous waves are synthesized
+        bit-exactly; Sine runs the ``sin2pi`` Horner chain in f32
+        (Mosaic has no f64) — ~1e-7 absolute vs the lowered producers,
+        tolerance-level parity, safe because sine has no wraps for a
+        ulp to amplify."""
         from signals_tpu.compiler.pallas_kernels import (
-            OSC_SAW, OSC_SQUARE, OSC_TRIANGLE)
+            OSC_SAW, OSC_SINE, OSC_SQUARE, OSC_TRIANGLE)
         from signals_tpu.nodes.fixed import Fixed
-        from signals_tpu.nodes.osc import Sawtooth, Square, Triangle
+        from signals_tpu.nodes.osc import Sawtooth, Sine, Square, Triangle
         inp = self._ports['input'].sig
-        code = {Sawtooth: OSC_SAW, Square: OSC_SQUARE,
+        code = {Sine: OSC_SINE, Sawtooth: OSC_SAW, Square: OSC_SQUARE,
                 Triangle: OSC_TRIANGLE}.get(type(inp))
         if code is None:
             return None

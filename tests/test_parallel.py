@@ -585,9 +585,10 @@ def test_source_gen_in_kernel_matches_oracle():
         C._compile_cache.clear()
 
 
-def test_source_gen_not_engaged_for_sine():
-    """A Sine-fed filter must NOT claim the in-kernel generator (sin2pi
-    needs an f64 Horner chain Mosaic doesn't offer)."""
+def test_source_gen_sine_matches_oracle():
+    """A Sine-fed filter engages the in-kernel generator too (f32
+    sin2pi Horner — tolerance parity, sine has no wraps to amplify a
+    ulp) and matches the pull oracle."""
     import signals_tpu.compiler as C
     import signals_tpu.compiler.filters as FI
 
@@ -600,6 +601,46 @@ def test_source_gen_not_engaged_for_sine():
         osc.hertz = hz
         lp = LowPass()
         lp.input = osc
+        lp.cutoff = fixed(2000.0)
+        out = Gain()
+        out.left = lp
+        out.right = fixed(1.0 / 64)
+        freqs = (110.0 * 2 ** (np.arange(64) % 12 / 12.0)
+                 ).astype(np.float32)
+        poly = PolyPatch(out, n_voices=64,
+                         overrides={(hz, 'value'): freqs},
+                         block_frames=F, rate=RATE, layout='channels')
+        assert poly.compiled.packed_gen_engaged(32)
+        a, _ = poly.render(n_blocks=32)
+        oracle = pull_blocks(out, 32, block_frames=F,
+                             channels=64).sum(axis=1, keepdims=True)
+        scale = np.abs(oracle).max()
+        assert np.abs(np.asarray(a).sum(axis=1, keepdims=True)
+                      - oracle).max() / scale < 1e-5
+    finally:
+        FI.MEGA_FILTER_IMPL, FI.SEG_SOURCE_GEN = oldm, oldg
+        C._compile_cache.clear()
+
+
+def test_source_gen_not_engaged_for_shaped_input():
+    """A filter fed through a waveshaper (not a bare oscillator) must
+    not claim the in-kernel generator."""
+    import signals_tpu.compiler as C
+    import signals_tpu.compiler.filters as FI
+    from signals_tpu.nodes.fx import Drive
+
+    oldm, oldg = FI.MEGA_FILTER_IMPL, FI.SEG_SOURCE_GEN
+    FI.MEGA_FILTER_IMPL = 'pallas'
+    FI.SEG_SOURCE_GEN = True
+    try:
+        hz = fixed(110.0)
+        osc = Sawtooth()
+        osc.hertz = hz
+        dr = Drive()
+        dr.input = osc
+        dr.drive = fixed(2.0)
+        lp = LowPass()
+        lp.input = dr
         lp.cutoff = fixed(2000.0)
         out = Gain()
         out.left = lp
