@@ -381,7 +381,8 @@ def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0,
             n_blocks, force=True) is None:
         # never publish a plain-path number under the epilogue label
         raise RuntimeError('mix epilogue did not engage for this patch')
-    if require_gen and not poly.compiled.packed_gen_engaged(n_blocks):
+    if require_gen and not poly.compiled.packed_gen_engaged(
+            n_blocks, mix_epilogue=mix_epilogue):
         raise RuntimeError('in-kernel generator did not engage')
     params, _ = poly.params()
     carry0 = poly.init_carry()

@@ -136,6 +136,25 @@ def _subgraph_streamable(node) -> bool:
     return walk(node)
 
 
+def _packed_k_ok(k, kmax, n_blocks, filters, block_frames) -> bool:
+    """Sanity gate for a packed-stream count ``k`` — the ONE copy of the
+    eligibility rules shared by the base planner's k-search
+    (:meth:`CompiledPatch.packed_mega_streams`) and the mix plan's
+    full-group override (:meth:`CompiledPatch._mix_plan_k`), so the two
+    can never silently drift.
+
+    Floor: short batches (the 8-block realtime render-ahead call) keep
+    the per-block vmap path — packing there buys nothing and would break
+    its bit-stability across batch sizes.  Cap: padding streams render
+    the timeline's true continuation and are dropped, but covering more
+    than twice the requested blocks is waste no layout bonus justifies.
+    """
+    return (2 <= k <= kmax and n_blocks >= max(16, 2 * k)
+            and k * (-(-n_blocks // k)) <= 2 * n_blocks
+            and all(f.packed_lane_fit(k, block_frames) is not None
+                    for f in filters))
+
+
 def _voice_linear_to_root(filt, root) -> bool:
     """Soundness proof for the mix epilogue
     (:meth:`CompiledPatch.packed_mega_mix`): every path from ``filt``'s
@@ -1374,17 +1393,10 @@ class CompiledPatch:
         while pk >= 32:
             if pk % V == 0:
                 k = pk // V
-                # floor: short batches (the 8-block realtime render-ahead
-                # call) keep the per-block vmap path — packing there buys
-                # nothing and would break its bit-stability across batch
-                # sizes
-                if (2 <= k <= kmax and n_blocks >= max(16, 2 * k)
-                        and all(f.packed_lane_fit(k, F) is not None
-                                for f in filters)):
+                if _packed_k_ok(k, kmax, n_blocks, filters, F):
                     covered = k * (-(-n_blocks // k))
                     cost = covered * (0.85 if pk == LANE_GROUP else 1.0)
-                    if covered <= 2 * n_blocks and (
-                            best_cost is None or cost < best_cost):
+                    if best_cost is None or cost < best_cost:
                         best_k, best_cost = k, cost
             pk //= 2
         if best_k is None:
@@ -1551,20 +1563,25 @@ class CompiledPatch:
             return k_base
         k_full = LANE_GROUP // V
         kmax = 32 if _filters.resolve_mega_impl() == 'pallas' else 8
-        if (k_full != k_base and 2 <= k_full <= kmax
-                and n_blocks >= max(16, 2 * k_full)
-                and k_full * (-(-n_blocks // k_full)) <= 2 * n_blocks
-                and f.packed_lane_fit(k_full, F) is not None):
+        if k_full != k_base and _packed_k_ok(k_full, kmax, n_blocks,
+                                             [f], F):
             return k_full
         return k_base
 
-    def packed_gen_engaged(self, n_blocks: int) -> bool:
+    def packed_gen_engaged(self, n_blocks: int, *,
+                           mix_epilogue: bool = False) -> bool:
         """Whether a packed render at this batch size would synthesize
         the filter input IN-KERNEL (``filters.SEG_SOURCE_GEN`` snapshot
         taken at compile time, the pallas family path available, and
         every context filter's input an eligible generator at the
         full-lane-group layout).  Benchmarks use this so a silently
-        declined generator path can never publish under its label."""
+        declined generator path can never publish under its label.
+
+        ``mix_epilogue`` must mirror how the render will actually run:
+        the epilogue plan overrides the stream count with the full lane
+        group (:meth:`_mix_plan_k`), which can make the generator layout
+        reachable at batch sizes where the base plan's k declines it —
+        probing the wrong plan's k would over- or under-claim."""
         from signals_tpu.compiler import filters as _f
         if not self.index.seg_source_gen:
             return False
@@ -1583,9 +1600,9 @@ class CompiledPatch:
                    if isinstance(n, CritFilter)]
         if not filters:
             return False
-        if len(filters) == 1:
-            # single-filter patches take the mix-epilogue plan's k (the
-            # full lane group when sane) — probe the k the trace will use
+        if mix_epilogue and len(filters) == 1:
+            # the epilogue plan overrides k with the full lane group
+            # when sane — probe the k that trace will actually use
             k = self._mix_plan_k(n_blocks, k, filters[0])
         F = self.block_frames
         for f in filters:

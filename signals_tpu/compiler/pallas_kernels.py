@@ -1085,21 +1085,13 @@ def _seg_kernel_gen(coef_ref, toff_ref, lanef_ref, out_hbm, xgen, ybuf,
     turns = frac(tf * inv_rate * hz)
     tt = frac(turns + ph)
     if osc_code == OSC_SINE:
-        # core/mathx.py sin2pi with the Horner chain in f32 instead of
-        # f64 (Mosaic has no f64): NOT bit-exact vs the lowered
-        # producers, but sine is continuous — a ulp of phase error stays
-        # a ulp of output error (~1e-7 absolute vs the f64 chain), far
-        # inside the 1e-5 parity budget.  The discontinuous waves below
-        # DO need the bit-exact treatment (a ulp at a wrap is ±2.0).
-        from signals_tpu.core.mathx import _SIN2PI_COEFFS
-        r = tt - f32(0.5)
-        y = jnp.where(r > f32(0.25), f32(0.5) - r,
-                      jnp.where(r < f32(-0.25), f32(-0.5) - r, r))
-        z = y * y
-        acc = jnp.full_like(z, f32(_SIN2PI_COEFFS[-1]))
-        for c_ in _SIN2PI_COEFFS[-2::-1]:
-            acc = f32(c_) + z * acc
-        x = -(y * acc)
+        # the f32 sin2pi chain (Mosaic has no f64): NOT bit-exact vs the
+        # lowered producers (~1e-7 absolute), but sine is continuous —
+        # a ulp of phase error stays a ulp of output error, far inside
+        # the 1e-5 parity budget.  The discontinuous waves below DO need
+        # the bit-exact treatment (a ulp at a wrap is ±2.0).
+        from signals_tpu.core.mathx import sin2pi_f32
+        x = sin2pi_f32(jnp, tt)
     elif osc_code == OSC_SQUARE:
         x = jnp.sign(f32(0.5) - frac(tt))
     elif osc_code == OSC_SAW:

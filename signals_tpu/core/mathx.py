@@ -78,6 +78,25 @@ def sin2pi(xp, t, exact=None):
     return -(y * p)
 
 
+def sin2pi_f32(xp, t):
+    """``sin2pi`` with the Horner chain in FLOAT32 — for contexts with no
+    f64 (Mosaic kernels, :func:`~signals_tpu.compiler.pallas_kernels.
+    _seg_kernel_gen`).  NOT bit-identical to :func:`sin2pi` (~1e-7
+    absolute) and therefore NOT cross-engine reproducible; safe only
+    where a ulp of output error stays a ulp (sine is continuous — unlike
+    saw/square wraps).  Same quadrant folding (exact f32 ops), same
+    coefficient table: one source of truth for the polynomial."""
+    F = xp.float32
+    r = t - F32(0.5)
+    y = xp.where(r > F32(0.25), F32(0.5) - r,
+                 xp.where(r < F32(-0.25), F32(-0.5) - r, r))
+    z = y * y
+    acc = xp.full_like(z, F(_SIN2PI_COEFFS[-1]))
+    for c in _SIN2PI_COEFFS[-2::-1]:
+        acc = F(c) + z * acc
+    return -(y * acc)
+
+
 def cos2pi(xp, t, exact=None):
     """``cos(2*pi*t)`` for ``t`` in ``[0, 1)`` via the quarter-turn shift
     (the shift and re-reduction are exact ops)."""
