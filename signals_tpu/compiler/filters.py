@@ -35,11 +35,30 @@ import numpy as np
 
 F32 = np.float32
 
-#: filter type codes
+#: filter type codes — Butterworth (reference ``fx.py:124-163``) ...
 LOWPASS, HIGHPASS, BANDPASS, BANDSTOP = 'lp', 'hp', 'bp', 'bs'
+#: ... and the RBJ cookbook EQ biquads (no reference counterpart): peaking
+#: EQ, notch, allpass, low/high shelf.  Same SOS/coupled-form contract as
+#: the Butterworth codes, so every execution path (context windows,
+#: streaming scan, mega windows, the packed Pallas cascade) runs them
+#: unchanged.
+PEAK, NOTCH, ALLPASS, LOWSHELF, HIGHSHELF = 'pk', 'nt', 'ap', 'ls', 'hs'
+
+#: EQ types taking a gain crit (freq, gain_db, q); the others take (freq, q)
+_EQ_GAIN_TYPES = (PEAK, LOWSHELF, HIGHSHELF)
+_EQ_TYPES = _EQ_GAIN_TYPES + (NOTCH, ALLPASS)
 
 _WN_MIN = 1e-5
 _WN_MAX = 1.0 - 1e-5
+
+#: EQ parameter domains.  ``q <= 0`` (e.g. an unconnected ``q`` port, which
+#: reads as silence/zero) means "default Q" = 1/sqrt(2), the Butterworth-
+#: slope choice.  Gain is clipped to ±40 dB (A in [0.1, 10] at the
+#: ``10^(g/40)`` convention).
+_Q_DEFAULT = 0.7071067811865476
+_Q_MIN = 0.05
+_Q_MAX = 40.0
+_GAIN_DB_MAX = 40.0
 
 #: IIR execution strategy for the compiled engine: 'assoc' (associative
 #: scan), 'chunked' (state-space chunk scan), or 'pallas' (VMEM-resident
@@ -238,6 +257,105 @@ def _design_band(xp, btype, w1, w2):
     return xp.stack(sections, axis=0)  # (2, ch, 6)
 
 
+def _design_eq(xp, btype, wn, gain_db, q):
+    """RBJ audio-EQ-cookbook biquads, vectorized over channels.
+
+    ``wn`` is the center/corner frequency normalized by Nyquist (already
+    clipped to the open interval), ``gain_db`` the boost/cut in dB
+    (``10^(g/40)`` convention; ignored for notch/allpass), ``q`` the
+    quality factor (shelves use the Q parameterization of the shelf
+    slope; ``q = _Q_DEFAULT`` gives the classic slope-1 shelf).
+
+    **Coupled-form domain clip:** the scan kernels factor each biquad
+    into a scaled rotation, which requires a *complex* pole pair.  RBJ
+    responses with very low Q (a peaking cut needs ``2·Q·A > 1``, the
+    others ``Q > 0.5``) have real poles; those denominators are clipped
+    to the nearest complex-pair denominator (``|a1| <= 2·sqrt(a2)``,
+    tiny margin) — the numerator (and thus the overall gain shape) is
+    kept, the response near the clip differs from the textbook filter
+    but stays finite and stable.  Musical settings never hit the clip.
+    """
+    w0 = math.pi * wn
+    cw = xp.cos(w0)
+    sw = xp.sin(w0)
+    alpha = sw / (2.0 * q)
+    one = xp.ones_like(cw)
+    if btype == PEAK:
+        A = 10.0 ** (gain_db / 40.0)
+        b0, b1, b2 = 1.0 + alpha * A, -2.0 * cw, 1.0 - alpha * A
+        a0, a1, a2 = 1.0 + alpha / A, -2.0 * cw, 1.0 - alpha / A
+    elif btype == NOTCH:
+        b0, b1, b2 = one, -2.0 * cw, one
+        a0, a1, a2 = 1.0 + alpha, -2.0 * cw, 1.0 - alpha
+    elif btype == ALLPASS:
+        b0, b1, b2 = 1.0 - alpha, -2.0 * cw, 1.0 + alpha
+        a0, a1, a2 = 1.0 + alpha, -2.0 * cw, 1.0 - alpha
+    else:
+        A = 10.0 ** (gain_db / 40.0)
+        sqA = xp.sqrt(A)
+        t = 2.0 * sqA * alpha
+        if btype == LOWSHELF:
+            b0 = A * ((A + 1.0) - (A - 1.0) * cw + t)
+            b1 = 2.0 * A * ((A - 1.0) - (A + 1.0) * cw)
+            b2 = A * ((A + 1.0) - (A - 1.0) * cw - t)
+            a0 = (A + 1.0) + (A - 1.0) * cw + t
+            a1 = -2.0 * ((A - 1.0) + (A + 1.0) * cw)
+            a2 = (A + 1.0) + (A - 1.0) * cw - t
+        elif btype == HIGHSHELF:
+            b0 = A * ((A + 1.0) + (A - 1.0) * cw + t)
+            b1 = -2.0 * A * ((A - 1.0) + (A + 1.0) * cw)
+            b2 = A * ((A + 1.0) + (A - 1.0) * cw - t)
+            a0 = (A + 1.0) - (A - 1.0) * cw + t
+            a1 = 2.0 * ((A - 1.0) - (A + 1.0) * cw)
+            a2 = (A + 1.0) - (A - 1.0) * cw - t
+        else:
+            raise ValueError(btype)
+    b0, b1, b2 = b0 / a0, b1 / a0, b2 / a0
+    a1, a2 = a1 / a0, a2 / a0
+    # complex-pole-pair domain: a2 = pole radius² in (0, 1) (RBJ is
+    # always stable, the upper clip is belt and braces), |a1| < 2·sqrt(a2)
+    # with a relative margin far below sin²(w0_min) so valid designs —
+    # including near-DC shelves, whose pole angle is tiny — never bind
+    a2 = xp.clip(a2, 1e-12, 1.0 - 1e-9)
+    bound = 2.0 * xp.sqrt(a2) * (1.0 - 1e-10)
+    a1 = xp.clip(a1, -bound, bound)
+    return xp.stack([b0, b1, b2, one, a1, a2], axis=-1)[None]  # (1, ch, 6)
+
+
+def _design64(xp, btype: str, crits, nyquist):
+    """The shared float64 design body of :func:`design_sos` /
+    :func:`design_coupled`: crit normalization + per-type dispatch.
+    Returns float64 SOS ``(nsec, ch, 6)``.  Must run inside the caller's
+    x64 guard."""
+    f64 = xp.float64
+    crits64 = [xp.asarray(c).astype(f64).reshape(-1) for c in crits]
+    if len(crits64) > 1:
+        ch = max(c.shape[0] for c in crits64)
+        crits64 = [xp.broadcast_to(c, (ch,)) for c in crits64]
+    nyq = xp.asarray(nyquist).astype(f64)
+    if btype in (LOWPASS, HIGHPASS):
+        (c,) = crits64
+        return _design_lp_hp(xp, btype, xp.clip(c / nyq, _WN_MIN, _WN_MAX))
+    if btype in (BANDPASS, BANDSTOP):
+        c1, c2 = crits64
+        return _design_band(xp, btype,
+                            xp.clip(c1 / nyq, _WN_MIN, _WN_MAX),
+                            xp.clip(c2 / nyq, _WN_MIN, _WN_MAX))
+    if btype in _EQ_TYPES:
+        if btype in _EQ_GAIN_TYPES:
+            freq, gain_db, q = crits64
+            gain_db = xp.clip(gain_db, -_GAIN_DB_MAX, _GAIN_DB_MAX)
+        else:
+            freq, q = crits64
+            gain_db = xp.zeros_like(freq)
+        wn = xp.clip(freq / nyq, _WN_MIN, _WN_MAX)
+        # q <= 0 (unconnected port reads as zero) means "default Q"
+        q = xp.where(q <= 0.0, _Q_DEFAULT, q)
+        q = xp.clip(q, _Q_MIN, _Q_MAX)
+        return _design_eq(xp, btype, wn, gain_db, q)
+    raise ValueError(btype)
+
+
 def design_sos(xp, btype: str, crits, nyquist) -> 'np.ndarray':
     """Design an order-2 Butterworth filter, vectorized over channels.
 
@@ -249,6 +367,10 @@ def design_sos(xp, btype: str, crits, nyquist) -> 'np.ndarray':
     (``fx.py:99-101``) — but scipy rejects the closed endpoints, so the
     reference crashes on out-of-band cutoffs; we clip to an open interval
     and stay finite instead.
+
+    EQ type codes (:data:`PEAK` etc.) take ``crits`` = (freq_hz, gain_db,
+    q) — or (freq_hz, q) for notch/allpass — and design the RBJ cookbook
+    biquads instead (see :func:`_design_eq`).
     """
     if xp is np:
         guard = contextlib.nullcontext()
@@ -256,22 +378,7 @@ def design_sos(xp, btype: str, crits, nyquist) -> 'np.ndarray':
         import jax
         guard = jax.enable_x64(True)
     with guard:
-        f64 = xp.float64
-        crits64 = [xp.asarray(c).astype(f64).reshape(-1) for c in crits]
-        if len(crits64) > 1:
-            ch = max(c.shape[0] for c in crits64)
-            crits64 = [xp.broadcast_to(c, (ch,)) for c in crits64]
-        nyq = xp.asarray(nyquist).astype(f64)
-        wns = [xp.clip(c / nyq, _WN_MIN, _WN_MAX) for c in crits64]
-        if btype in (LOWPASS, HIGHPASS):
-            (wn,) = wns
-            sos = _design_lp_hp(xp, btype, wn)
-        elif btype in (BANDPASS, BANDSTOP):
-            w1, w2 = wns
-            sos = _design_band(xp, btype, w1, w2)
-        else:
-            raise ValueError(btype)
-        return sos.astype(F32)
+        return _design64(xp, btype, crits, nyquist).astype(F32)
 
 
 def design_coupled(xp, btype: str, crits, nyquist) -> 'np.ndarray':
@@ -288,21 +395,7 @@ def design_coupled(xp, btype: str, crits, nyquist) -> 'np.ndarray':
         import jax
         guard = jax.enable_x64(True)
     with guard:
-        f64 = xp.float64
-        crits64 = [xp.asarray(c).astype(f64).reshape(-1) for c in crits]
-        if len(crits64) > 1:
-            ch = max(c.shape[0] for c in crits64)
-            crits64 = [xp.broadcast_to(c, (ch,)) for c in crits64]
-        nyq = xp.asarray(nyquist).astype(f64)
-        wns = [xp.clip(c / nyq, _WN_MIN, _WN_MAX) for c in crits64]
-        if btype in (LOWPASS, HIGHPASS):
-            (wn,) = wns
-            sos = _design_lp_hp(xp, btype, wn)
-        elif btype in (BANDPASS, BANDSTOP):
-            w1, w2 = wns
-            sos = _design_band(xp, btype, w1, w2)
-        else:
-            raise ValueError(btype)
+        sos = _design64(xp, btype, crits, nyquist)
         b0, b1, b2 = sos[..., 0], sos[..., 1], sos[..., 2]
         a1, a2 = sos[..., 4], sos[..., 5]
         rc = -0.5 * a1

@@ -679,6 +679,103 @@ class BandStop(DoubleCritFilter):
         return _filters.BANDSTOP
 
 
+class ParametricFilter(CritFilter, abc.ABC):
+    """RBJ audio-EQ-cookbook biquads (peaking EQ, shelves, notch,
+    allpass) — the parametric-EQ family the reference lacks (its only
+    filters are the four Butterworth types, ``fx.py:142-163``).
+
+    Same :class:`CritFilter` contract as the Butterworth nodes — the
+    center/corner frequency, Q, and gain are *signals* sampled at block
+    rate (an LFO on ``freq`` is a wah / sweepable EQ), coefficients are
+    designed in float64 inside the compiled program
+    (:func:`signals_tpu.compiler.filters._design_eq`), and every
+    execution path (context windows, exact streaming, mega windows, the
+    packed Pallas cascade, the mix epilogue) runs them unchanged.
+
+    Port conventions: an unconnected ``q`` reads as 0 and means
+    "default Q" (1/√2); an unconnected ``gain`` means 0 dB (neutral).
+    Q is clipped to the coupled-form complex-pole domain — a peaking cut
+    needs ``2·Q·10^(g/40) > 1`` — see the design docstring.
+
+    Precision: resonance amplifies float32 recurrence rounding, so
+    engine parity vs the float64 pull oracle scales with Q — ≤1e-5 for
+    Q ≤ ~4, ~5e-5 at Q = 8, ~1e-4 at Q = 16 (flat in render length; the
+    context windows are self-contained).  Measured and pinned in
+    ``tests/test_eq.py``.
+    """
+
+    freq: Receiver.BoundPort = port('freq')
+    q: Receiver.BoundPort = port('q')
+
+
+class GainParametricFilter(ParametricFilter, abc.ABC):
+    """Parametric types with a boost/cut amount: crits (freq, gain, q)."""
+
+    gain: Receiver.BoundPort = port('gain')
+
+    def _crits(self, ctx: KernelCtx) -> tuple:
+        return (ctx.in_block_rate('freq'), ctx.in_block_rate('gain'),
+                ctx.in_block_rate('q'))
+
+    def _crits_grid(self, ctx) -> tuple:
+        return (ctx.in_block_rate_grid('freq'),
+                ctx.in_block_rate_grid('gain'),
+                ctx.in_block_rate_grid('q'))
+
+
+class GainlessParametricFilter(ParametricFilter, abc.ABC):
+    """Parametric types without a gain: crits (freq, q)."""
+
+    def _crits(self, ctx: KernelCtx) -> tuple:
+        return (ctx.in_block_rate('freq'), ctx.in_block_rate('q'))
+
+    def _crits_grid(self, ctx) -> tuple:
+        return (ctx.in_block_rate_grid('freq'),
+                ctx.in_block_rate_grid('q'))
+
+
+@register()
+class Peak(GainParametricFilter):
+    """Peaking (bell) EQ: boost/cut of ``gain`` dB around ``freq``,
+    bandwidth set by ``q``; unity far from the center."""
+
+    def type_code(self) -> str:
+        return _filters.PEAK
+
+
+@register()
+class LowShelf(GainParametricFilter):
+    """Low shelf: ``gain`` dB below the corner, unity above."""
+
+    def type_code(self) -> str:
+        return _filters.LOWSHELF
+
+
+@register()
+class HighShelf(GainParametricFilter):
+    """High shelf: ``gain`` dB above the corner, unity below."""
+
+    def type_code(self) -> str:
+        return _filters.HIGHSHELF
+
+
+@register()
+class Notch(GainlessParametricFilter):
+    """Notch: kills a narrow band around ``freq``, unity elsewhere."""
+
+    def type_code(self) -> str:
+        return _filters.NOTCH
+
+
+@register()
+class Allpass(GainlessParametricFilter):
+    """Second-order allpass: unit magnitude everywhere, phase rotation
+    around ``freq`` — the phaser/dispersion building block."""
+
+    def type_code(self) -> str:
+        return _filters.ALLPASS
+
+
 @register()
 class Quantize(Effect):
     """Pitch quantizer: snap a control signal in Hz to the nearest tone of
