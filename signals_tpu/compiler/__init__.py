@@ -136,7 +136,8 @@ def _subgraph_streamable(node) -> bool:
     return walk(node)
 
 
-def _packed_k_ok(k, kmax, n_blocks, filters, block_frames) -> bool:
+def _packed_k_ok(k, kmax, n_blocks, filters, block_frames,
+                 ctx_extra=0) -> bool:
     """Sanity gate for a packed-stream count ``k`` — the ONE copy of the
     eligibility rules shared by the base planner's k-search
     (:meth:`CompiledPatch.packed_mega_streams`) and the mix plan's
@@ -148,9 +149,15 @@ def _packed_k_ok(k, kmax, n_blocks, filters, block_frames) -> bool:
     its bit-stability across batch sizes.  Cap: padding streams render
     the timeline's true continuation and are dropped, but covering more
     than twice the requested blocks is waste no layout bonus justifies.
+    ``ctx_extra`` (frames of non-filter context windows, e.g. a long-IR
+    :class:`~signals_tpu.nodes.conv.Convolve`) is re-pulled *per stream*:
+    packing is declined when that redundancy exceeds one extra pass of
+    the batch — the single mega window (which pulls context once) wins
+    there.
     """
     return (2 <= k <= kmax and n_blocks >= max(16, 2 * k)
             and k * (-(-n_blocks // k)) <= 2 * n_blocks
+            and k * ctx_extra <= n_blocks * block_frames
             and all(f.packed_lane_fit(k, block_frames) is not None
                     for f in filters))
 
@@ -1060,11 +1067,29 @@ class CompiledPatch:
     mega_min_channels = 8
 
     @property
+    def _context_extra(self) -> int:
+        """Frames of non-filter context windows in the patch (long-FIR
+        nodes like :class:`~signals_tpu.nodes.conv.Convolve`).  The
+        per-block path re-pulls this much upstream audio *every block*
+        and the packed-stream path every stream; only the single mega
+        window pulls it once — so both plan gates weigh it.  CritFilters
+        are excluded: their (small) context is served by the batched /
+        packed cascade machinery, not by per-window re-pulls."""
+        from signals_tpu.nodes.fx import CritFilter
+        return sum(n.context_frames() for n in self.index.order
+                   if not isinstance(n, CritFilter))
+
+    @property
     def _use_mega(self) -> bool:
         if not (self.enable_mega and self.mega_compatible):
             return False
         return (self.channels >= self.mega_min_channels
-                or bool(self.carry0))
+                or bool(self.carry0)
+                # narrow stateless patches normally tile better per-block,
+                # but a large context window (long-IR convolution) makes
+                # per-block re-evaluation dominate: ctx/F x redundant
+                # upstream compute per block vs one pull under mega
+                or self._context_extra >= 4 * self.block_frames)
 
     @property
     def mega_compatible(self) -> bool:
@@ -1387,13 +1412,14 @@ class CompiledPatch:
         # minutes on CPU, so cap lower there (narrow patches then fall
         # back to the vmapped per-block path, which CPU prefers anyway)
         kmax = 32 if _filters.resolve_mega_impl() == 'pallas' else 8
+        ctx_extra = self._context_extra
         best_k = None
         best_cost = None
         pk = LANE_GROUP
         while pk >= 32:
             if pk % V == 0:
                 k = pk // V
-                if _packed_k_ok(k, kmax, n_blocks, filters, F):
+                if _packed_k_ok(k, kmax, n_blocks, filters, F, ctx_extra):
                     covered = k * (-(-n_blocks // k))
                     cost = covered * (0.85 if pk == LANE_GROUP else 1.0)
                     if best_cost is None or cost < best_cost:
@@ -1564,7 +1590,7 @@ class CompiledPatch:
         k_full = LANE_GROUP // V
         kmax = 32 if _filters.resolve_mega_impl() == 'pallas' else 8
         if k_full != k_base and _packed_k_ok(k_full, kmax, n_blocks,
-                                             [f], F):
+                                             [f], F, self._context_extra):
             return k_full
         return k_base
 

@@ -115,6 +115,7 @@ _NODE_MODULES = (
     'signals_tpu.nodes.dyn',
     'signals_tpu.nodes.moddelay',
     'signals_tpu.nodes.phaser',
+    'signals_tpu.nodes.conv',
 )
 
 _loaded = False
