@@ -929,6 +929,25 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
     x = jnp.broadcast_to(x, (T, chx))
     coeffs = jnp.broadcast_to(coeffs, (n_segments, nsec, chx, 11))
 
+    if chx > LANE_GROUP:
+        # wider than one kernel instance (> 1024 voices): channels are
+        # independent through an SOS cascade, so split the lane dim into
+        # LANE_GROUP-wide kernel calls and concatenate.  sum_groups stays
+        # valid: a group's width divides LANE_GROUP (enforced by the
+        # epilogue gates), so no group straddles a split boundary.
+        if chx % LANE_GROUP:
+            raise ValueError(f'channel count {chx} > {LANE_GROUP} must be '
+                             f'a multiple of {LANE_GROUP}')
+        parts = [
+            sosfilt_segments(
+                coeffs[:, :, j * LANE_GROUP:(j + 1) * LANE_GROUP, :],
+                x[:, j * LANE_GROUP:(j + 1) * LANE_GROUP],
+                n_segments=n_segments, seg_frames=seg_frames,
+                context=context, interpret=interpret,
+                sum_groups=sum_groups)
+            for j in range(chx // LANE_GROUP)]
+        return jnp.concatenate(parts, axis=2)
+
     if sum_groups and chx < 128:
         # narrow layouts take the lane-packing recursion below, which the
         # epilogue kernel doesn't cover: full output + external sum

@@ -279,6 +279,33 @@ def test_sosfilt_segments_wide_channels():
         assert np.abs(got[b, :, c] - y[-F:]).max() <= 1e-5
 
 
+def test_sosfilt_segments_beyond_lane_group():
+    """2048 channels — wider than one kernel instance (LANE_GROUP=1024):
+    the lane dim splits into independent kernel calls (regression: this
+    used to ZeroDivisionError, killing the 2048-voice bench config)."""
+    from signals_tpu.compiler.pallas_kernels import sosfilt_segments
+    rng = np.random.default_rng(31)
+    F, C, nb, ch = 128, 128, 3, 2048
+    T = C + nb * F
+    x = rng.standard_normal((T, ch)).astype(np.float32)
+    cuts = rng.uniform(300.0, 8000.0, (nb, ch)).astype(np.float32)
+    co = np.stack([design_coupled(np, 'lp', [cuts[b:b + 1]], NYQ)
+                   for b in range(nb)], axis=0)
+    got = np.asarray(sosfilt_segments(
+        co, x, n_segments=nb, seg_frames=F, context=C, interpret=True))
+    assert got.shape == (nb, F, ch)
+    for b, c in ((0, 0), (1, 1024), (1, 1025), (2, 2047)):
+        seg = x[b * F:b * F + C + F, c].astype(np.float64)
+        y = scipy.signal.sosfilt(co[b, :, c, :6].astype(np.float64), seg)
+        assert np.abs(got[b, :, c] - y[-F:]).max() <= 1e-5
+    # the epilogue's grouped sums stay group-aligned across the split
+    s = np.asarray(sosfilt_segments(
+        co, x, n_segments=nb, seg_frames=F, context=C, interpret=True,
+        sum_groups=64))
+    ref = got.reshape(nb, F, ch // 64, 64).sum(axis=3)
+    assert np.abs(s - ref).max() <= 1e-4
+
+
 def test_packed_mega_streams_matches_plain_mega():
     """The stream-packed mega render (whole patch lowered as k packed
     timeline streams; one family-wide filter cascade; per-stream mixes)
