@@ -236,7 +236,7 @@ class _GraphIndex:
         #: call), so consulting the mutable global at trace time would
         #: let a flag flip make a patch's traces disagree with its hash
         #: (and with the packed_gen_engaged probe)
-        self.seg_source_gen = bool(_filters.SEG_SOURCE_GEN)
+        self.seg_source_gen = _filters.resolve_seg_source_gen()
         self.infos: dict[int, _NodeInfo] = {}
         self.order: list[Emitter] = []
         self._walk(root)
@@ -1451,12 +1451,13 @@ class CompiledPatch:
 
         return many, k, S
 
-    #: opt-in mix epilogue (:meth:`packed_mega_mix`): fold the voice-sum
+    #: mix epilogue (:meth:`packed_mega_mix`): fold the voice-sum
     #: master mix INTO the packed filter kernel so the full (T, V)
     #: filtered array is never written to HBM nor read back — the two
-    #: largest memory passes of a device-resident poly render.  Off by
-    #: default until measured per deployment.  ``PolyPatch(...,
-    #: mix_epilogue=True)`` opts in per-instance via the ``force``
+    #: largest memory passes of a device-resident poly render (measured
+    #: 4478x vs 4224x on the 64-voice bench; 6912x composed with the
+    #: in-kernel generator — v5e, BENCH_full.json).  ``PolyPatch``
+    #: engages it by default on TPU per-instance via the ``force``
     #: argument — never by mutating this attribute, which lives on the
     #: compile-cached object shared across PolyPatch instances.
     enable_mix_epilogue = False

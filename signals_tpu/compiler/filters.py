@@ -74,20 +74,30 @@ CHUNK_FRAMES = 16
 #: Mosaic kernels would run interpreted)
 MEGA_FILTER_IMPL = 'auto'
 
-#: opt-in generator-fed cascade: when a packed filter family's input is a
+#: generator-fed cascade: when a packed filter family's input is a
 #: plain oscillator (Saw/Square/Triangle) driven by ``Fixed`` controls,
 #: synthesize it INSIDE the segment kernel from iota + per-lane params
 #: (:func:`signals_tpu.compiler.pallas_kernels.sosfilt_segments_gen`) —
 #: the packed input timeline is then never written to HBM nor DMA-read
 #: back.  Participates in the graph hash, so flipping it compiles (and
-#: caches) separate programs.  Off by default until measured on hardware.
-SEG_SOURCE_GEN = False
+#: caches) separate programs.  'auto' = on where the Pallas kernels run
+#: compiled (TPU) — measured 6912x vs 4478x realtime on the 64-voice
+#: device-resident bench (v5e, BENCH_full.json c4h vs c4g); eligibility
+#: is probed per patch, so ineligible inputs take the lowered-producer
+#: path unchanged.  Set False to force the lowered producers everywhere.
+SEG_SOURCE_GEN = 'auto'
 
 
 def resolve_mega_impl() -> str:
     if MEGA_FILTER_IMPL == 'auto':
         return 'pallas' if default_backend() == 'tpu' else 'vmap'
     return MEGA_FILTER_IMPL
+
+
+def resolve_seg_source_gen() -> bool:
+    if SEG_SOURCE_GEN == 'auto':
+        return default_backend() == 'tpu'
+    return bool(SEG_SOURCE_GEN)
 
 
 def default_backend() -> str:

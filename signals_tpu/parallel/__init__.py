@@ -66,11 +66,23 @@ class PolyPatch:
                  mesh=None,
                  layout: typing.Optional[str] = None,
                  axis_name: str = 'voices',
-                 mix_epilogue: bool = False):
+                 mix_epilogue: typing.Optional[bool] = None):
         if layout is None:
             layout = 'vmap' if mesh is not None else 'channels'
         if layout not in ('channels', 'vmap'):
             raise ValueError(layout)
+        if mix_epilogue is None:
+            # default: on where the epilogue kernel runs compiled (TPU) —
+            # measured 4478x vs 4224x realtime on the 64-voice device-
+            # resident bench, and it composes with the in-kernel
+            # generator for 6912x (v5e, BENCH_full.json c4g/c4h).
+            # packed_mega_mix still proves eligibility per patch; an
+            # ineligible patch rides the plain packed path unchanged.
+            # Numerics: the voice sum reassociates (kernel group sums),
+            # agreeing with the plain path to f32 reassociation — pass
+            # False for bit-stable plain sums.
+            from signals_tpu.compiler.filters import default_backend
+            mix_epilogue = default_backend() == 'tpu'
         self.layout = layout
         self.n_voices = n_voices
         self.mesh = mesh
