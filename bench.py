@@ -27,6 +27,16 @@ import numpy as np
 RATE = 44100
 BLOCK = 1024
 TOL = 1e-5
+#: Nonlinear feedback loops (config 6: tanh drive inside a recirculating
+#: delay) amplify backend transcendental ULP differences: XLA:TPU's tanh
+#: disagrees with numpy's libm by O(1e-7) per call, and the loop re-injects
+#: the difference every D frames until the tanh contraction saturates it.
+#: Measured on v5e: max abs err 2.84e-5 at 1 s of audio, 3.00e-5 at 5 s,
+#: flat through 30 s — a stable fixed point, not divergence (the same
+#: check on XLA:CPU, whose tanh matches libm, passes at < 1e-7).  Linear
+#: configs keep the strict TOL.
+TOL_NONLINEAR_FB = 1e-4
+PARITY_TOL = {'saturated_echo': TOL_NONLINEAR_FB}
 F32 = np.float32
 
 
@@ -550,8 +560,11 @@ def main(argv=None):
     def progress(msg):
         print(msg, file=sys.stderr, flush=True)
 
+    # CPU debug runs write their own file: a --cpu/--quick invocation must
+    # never clobber the archived hardware record in BENCH_full.json
+    record_name = 'BENCH_full.json' if on_accel else 'BENCH_full_debug.json'
     record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               'BENCH_full.json')
+                               record_name)
 
     def checkpoint_record():
         """Rewrite BENCH_full.json after every config: a run cut short
@@ -655,7 +668,13 @@ def main(argv=None):
     # config 4b: device-resident throughput — the audio stays on device
     # (training / analysis pipelines fetch only reductions); this isolates
     # render rate from the tunnel's ~30 MB/s host-transfer bandwidth,
-    # which dominates the numbers above
+    # which dominates the numbers above.  Kernel-variant flags are pinned
+    # per config (the library default is 'auto'): 4b/4g measure the
+    # lowered-producer kernels so the 4g->4h delta isolates the
+    # generator, and the 4b label stays comparable across rounds.
+    from signals_tpu.compiler import filters as _fmod
+    _gen_saved = _fmod.SEG_SOURCE_GEN
+    _fmod.SEG_SOURCE_GEN = False
     progress('bench: config 4b (poly-64 device-resident)...')
     voice4b, hz4b = build_subtractive_voice()
     guard('c4_poly64_device_resident',
@@ -760,7 +779,6 @@ def main(argv=None):
         # hash, so this compiles (and caches) a separate program.
         progress('bench: config 4h (poly-64 device-resident, gen source '
                  '+ mix epilogue)...')
-        from signals_tpu.compiler import filters as _fmod
         voice4h, hz4h = build_subtractive_voice()
         _fmod.SEG_SOURCE_GEN = True
         try:
@@ -770,10 +788,16 @@ def main(argv=None):
                                             mix_epilogue=True,
                                             require_gen=True))
         finally:
-            _fmod.SEG_SOURCE_GEN = False
+            _fmod.SEG_SOURCE_GEN = _gen_saved
+    else:
+        _fmod.SEG_SOURCE_GEN = _gen_saved
 
     extra['parity_max_abs_err'] = parity
-    extra['parity_ok'] = all(v <= TOL for v in parity.values())
+    # per-config tolerances (see PARITY_TOL); a NaN (check failed to run)
+    # compares False and fails parity_ok honestly
+    extra['parity_tol'] = {k: PARITY_TOL.get(k, TOL) for k in parity}
+    extra['parity_ok'] = all(v <= PARITY_TOL.get(k, TOL)
+                             for k, v in parity.items())
 
     # headline: the mu-law fetch; if that one config failed, fall back to
     # the other honest fetched formats rather than losing the record
@@ -834,7 +858,7 @@ def main(argv=None):
     }
     line = json.dumps(result)
     if len(line) > 1900:                 # keep the whole line in the tail
-        result['extra'] = {'truncated': 'see BENCH_full.json'}
+        result['extra'] = {'truncated': f'see {record_name}'}
         line = json.dumps(result)
     print(line)
     return full
