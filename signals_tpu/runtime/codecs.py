@@ -472,6 +472,11 @@ _SLAC2_KMAX = 20
 _SLAC2_MAX_BITS = SLAC_BLOCK * _SLAC2_ESC_LEN           # 9216 bits/block
 _SLAC2_MAX_PAY = _SLAC2_MAX_BITS // 8                   # 1152 bytes
 
+# device stream-compaction strategy for slac2_encode_jax ('loop' |
+# 'gather'); byte-identical outputs, different lowerings — see the
+# docstring there
+SLAC2_COMPACT = 'loop'
+
 
 def _slac2_plan(xp, zz3):
     """Shared (np/jax) per-block (order, k) selection from the zigzag
@@ -718,10 +723,17 @@ def slac2_encode_jax(x):
     Contributions landing in the same word are disjoint bitfields
     (codes abut, never overlap), so the uint32 sum IS the bitwise OR —
     exact, no carries possible.  Stream compaction (variable-length
-    block records) is a fori_loop of dynamic_update_slice writes: each
-    record's garbage tail is overwritten by the next record (coverage
-    is contiguous through the live total), and bytes past ``total``
-    are zeroed."""
+    block records into one contiguous byte stream) has two
+    lowering strategies selected by ``SLAC2_COMPACT`` (byte-identical;
+    pick measured per backend):
+
+    - ``'loop'``: a fori_loop of dynamic_update_slice row writes; each
+      record's garbage tail is overwritten by the next record (coverage
+      is contiguous through the live total).  Sequential in the number
+      of blocks.
+    - ``'gather'``: one vectorized searchsorted of every output byte
+      position into the record-start table plus one (blocks, row)
+      gather.  O(cap) gather elements but no sequential loop."""
     import jax
     import jax.numpy as jnp
 
@@ -800,6 +812,17 @@ def slac2_encode_jax(x):
          bytes_], axis=1)                                # (nb, 3+max_pay)
     row_len = 3 + _SLAC2_MAX_PAY
     cap = nb * row_len
+
+    if SLAC2_COMPACT == 'gather':
+        pos = jnp.arange(cap, dtype=jnp.int32)
+        blk = jnp.clip(
+            jnp.searchsorted(row_starts, pos, side='right') - 1, 0, nb - 1)
+        within = pos - row_starts[blk]
+        # within < nbytes[blk] for every live pos (records abut); clip
+        # only guards the dead region past ``total``
+        out = rows[blk, jnp.minimum(within, row_len - 1)]
+        out = jnp.where(pos < total, out, 0).astype(jnp.uint8)
+        return out, total
 
     def write(i, acc):
         row = jax.lax.dynamic_index_in_dim(rows, i, keepdims=False)

@@ -384,6 +384,23 @@ class TestSlac2:
         assert int(total) == ref.shape[0]
         assert np.array_equal(np.asarray(buf)[:int(total)], ref)
 
+    def test_jax_encoder_compaction_strategies_identical(self):
+        # both stream-compaction lowerings (sequential row writer /
+        # vectorized searchsorted+gather) must produce the same bytes
+        import jax
+        x = self._sig()
+        ref, _ = codecs.slac2_encode_np(x)
+        saved = codecs.SLAC2_COMPACT
+        try:
+            for strategy in ('loop', 'gather'):
+                codecs.SLAC2_COMPACT = strategy
+                buf, total = jax.jit(codecs.slac2_encode_jax)(x)
+                assert int(total) == ref.shape[0], strategy
+                assert np.array_equal(np.asarray(buf)[:int(total)], ref), \
+                    strategy
+        finally:
+            codecs.SLAC2_COMPACT = saved
+
     def test_beats_v1_on_tonal_material(self):
         x = self._sig()
         v1, n = codecs.slac_encode_np(x)
