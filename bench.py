@@ -225,6 +225,36 @@ def check_parity(root, *, n_blocks=43, channels=1, tol=TOL, start_block=0):
     return err
 
 
+def check_poly_parity(n_voices=64, *, n_blocks=16):
+    """The 64-voice mix under PRODUCT DEFAULTS (mix epilogue / generator
+    kernel resolve by backend, exactly what the headline measures) vs the
+    numpy pull-interpreter oracle: the channel-overridden V-wide root
+    rendered per block and summed over voices.  Both sides are normalized
+    by the voice count so the returned error compares against the
+    per-voice 1e-5 budget of BASELINE.md (the raw mix is a V-voice sum,
+    so its absolute scale is ~V times a single patch's)."""
+    from signals_tpu.core import BlockLoc, Request, Shape
+    from signals_tpu.parallel import PolyPatch
+    root, hz = build_subtractive_voice()
+    freqs = (110.0 * 2 ** (np.arange(n_voices) % 12 / 12.0)
+             * (1 + 0.001 * np.arange(n_voices))).astype(np.float32)
+    poly = PolyPatch(root, n_voices=n_voices,
+                     overrides={(hz, 'value'): freqs},
+                     block_frames=BLOCK, rate=RATE, layout='channels')
+    mix, _ = poly.render(n_blocks=n_blocks)
+    wide_root = poly.compiled.root
+    oracle = []
+    for i in range(n_blocks):
+        loc = BlockLoc(position=i * BLOCK, rate=RATE,
+                       shape=Shape(BLOCK, n_voices))
+        block = wide_root.respond(
+            Request(requestor=None, port='bench', loc=loc))
+        oracle.append(np.broadcast_to(block, (BLOCK, n_voices)))
+    want = np.concatenate(oracle).sum(axis=1, keepdims=True)
+    got = np.asarray(mix).reshape(want.shape)
+    return float(np.abs(got - want).max()) / n_voices
+
+
 def time_render(render_once, *, min_seconds=2.0, min_iters=3):
     """Steady-state wall time per call (after a warmup call)."""
     render_once()                       # warmup/compile
@@ -416,8 +446,10 @@ def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0,
            'samples_per_sec': samples / t, 'wall_per_call_s': t}
     if mix_epilogue:
         out['mix_epilogue_engaged'] = True      # checked above
-    if require_gen:
-        out['source_gen_engaged'] = True        # checked above
+        # honest per-patch probe (require_gen merely asserts it): the
+        # generator may decline at a size the 64-voice case accepts
+        out['source_gen_engaged'] = bool(poly.compiled.packed_gen_engaged(
+            n_blocks, mix_epilogue=mix_epilogue))
     return out
 
 
@@ -643,6 +675,12 @@ def main(argv=None):
           lambda: bench_poly(voice4f, hz4f, 64, seconds=seconds,
                              label='poly-64-f32'))
 
+    # headline parity evidence: the 64-voice mix under product defaults
+    # (the exact path the device-resident headline measures) vs the numpy
+    # pull oracle, normalized per voice (see check_poly_parity)
+    progress('bench: poly-64 parity vs oracle...')
+    guard_parity('poly64_mix_per_voice', lambda: check_poly_parity(64))
+
     # config 6: nonlinear (saturated) feedback echo — the segmented
     # feedback scan path (the affine solver must decline; before round 3
     # this class of patch rode the per-block scan)
@@ -787,6 +825,25 @@ def main(argv=None):
                                             seconds=seconds,
                                             mix_epilogue=True,
                                             require_gen=True))
+            if not args.quick:
+                # configs 4i/4j: the epilogue+generator path at scale —
+                # chasing the voice-units/chip ceiling (voices x
+                # x_realtime); gen engagement reported per patch, not
+                # assumed (source_gen_engaged in each record)
+                progress('bench: config 4i (poly-512, gen+mix '
+                         'epilogue)...')
+                voice4i, hz4i = build_subtractive_voice()
+                guard('c4_poly512_device_resident_gen_mixsum',
+                      lambda: bench_poly_device(voice4i, hz4i, 512,
+                                                seconds=seconds / 2,
+                                                mix_epilogue=True))
+                progress('bench: config 4j (poly-1024, gen+mix '
+                         'epilogue)...')
+                voice4j, hz4j = build_subtractive_voice()
+                guard('c4_poly1024_device_resident_gen_mixsum',
+                      lambda: bench_poly_device(voice4j, hz4j, 1024,
+                                                seconds=seconds / 4,
+                                                mix_epilogue=True))
         finally:
             _fmod.SEG_SOURCE_GEN = _gen_saved
     else:
@@ -799,24 +856,46 @@ def main(argv=None):
     extra['parity_ok'] = all(v <= PARITY_TOL.get(k, TOL)
                              for k, v in parity.items())
 
-    # headline: the mu-law fetch; if that one config failed, fall back to
-    # the other honest fetched formats rather than losing the record
-    metric = ('audio samples/sec/chip (x realtime @44.1kHz), '
-              '64-voice subtractive patch, mix device-encoded to '
-              'G.711 mu-law (8-bit) and fetched to host')
-    headline = extra.get('c4_poly64', {}).get('x_realtime')
+    # headline: the BASELINE.json north-star metric — x realtime per chip
+    # rendering the 64-voice subtractive patch, i.e. the device-resident
+    # render under product defaults, parity-gated by the poly64 oracle
+    # check above.  The host-FETCHED rates (mu-law/PCM16/ADPCM/SLAC/f32)
+    # stay in extras and as headline_fetched_mulaw: every fetched format
+    # is bound by the ~20-45 MB/s host tunnel (bytes/sample sets the
+    # ceiling), not by the chip — rounds 1-2 used the mu-law fetch as the
+    # headline, so that number is still carried at top level for
+    # continuity.
+    metric = ('audio samples/sec/chip (x realtime @44.1kHz), 64-voice '
+              'subtractive patch, device-resident render under product '
+              'defaults; host-fetch rates in extras')
+    headline = None
+    for key, desc in (
+            ('c4_poly64_device_resident_gen_mixsum',
+             'in-kernel generator + mix epilogue, the TPU default path'),
+            ('c4_poly64_device_resident_mixsum', 'mix epilogue'),
+            ('c4_poly64_device_resident', 'plain packed cascade'),
+    ):
+        headline = extra.get(key, {}).get('x_realtime')
+        if headline is not None:
+            metric += f' [{desc}]'
+            break
     if headline is None:
-        for alt, desc in (('c4_poly64_pcm16_fetch', 'PCM16'),
+        # no device-resident 64-voice number at all this run: fall back
+        # to the fetched formats rather than losing the record
+        for alt, desc in (('c4_poly64', 'G.711 mu-law (8-bit)'),
+                          ('c4_poly64_pcm16_fetch', 'PCM16'),
                           ('c4_poly64_f32_fetch', 'float32')):
             headline = extra.get(alt, {}).get('x_realtime')
             if headline is not None:
                 metric = ('audio samples/sec/chip (x realtime @44.1kHz), '
-                          f'64-voice subtractive patch, mix fetched as '
-                          f'{desc} (mu-law config failed this run)')
+                          '64-voice subtractive patch, mix device-encoded '
+                          f'to {desc} and fetched to host (all device-'
+                          'resident 64-voice configs failed this run)')
                 break
     if headline is None:
         headline = 0.0
-        metric += ' [ALL 64-voice fetch configs failed this run]'
+        metric += ' [ALL 64-voice configs failed this run]'
+    fetched_mulaw = extra.get('c4_poly64', {}).get('x_realtime')
     if not on_accel:
         metric = ('CPU DEBUG RUN (NOT a TPU measurement): ' + metric)
 
@@ -833,6 +912,9 @@ def main(argv=None):
         'device': device_kind,
         'extra': extra,
     }
+    if fetched_mulaw is not None:
+        # rounds 1-2 used this as the headline; carried for continuity
+        full['headline_fetched_mulaw'] = round(fetched_mulaw, 1)
     with open(record_path, 'w') as f:
         json.dump(full, f, indent=1)
 
@@ -856,6 +938,8 @@ def main(argv=None):
         'device': device_kind,
         'extra': {k: compact_val(v) for k, v in extra.items()},
     }
+    if fetched_mulaw is not None:
+        result['headline_fetched_mulaw'] = round(fetched_mulaw, 1)
     line = json.dumps(result)
     if len(line) > 1900:                 # keep the whole line in the tail
         result['extra'] = {'truncated': f'see {record_name}'}
