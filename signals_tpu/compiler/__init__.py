@@ -1358,7 +1358,7 @@ class CompiledPatch:
 
         return many
 
-    def packed_mega_streams(self, n_blocks: int):
+    def packed_mega_streams(self, n_blocks: int, *, force_k=None):
         """Stream-packed mega render plan, or ``None`` when ineligible.
 
         Splits the batch into ``k = 1024 // channels`` timeline *streams*
@@ -1415,16 +1415,32 @@ class CompiledPatch:
         ctx_extra = self._context_extra
         best_k = None
         best_cost = None
-        pk = LANE_GROUP
-        while pk >= 32:
-            if pk % V == 0:
-                k = pk // V
-                if _packed_k_ok(k, kmax, n_blocks, filters, F, ctx_extra):
-                    covered = k * (-(-n_blocks // k))
-                    cost = covered * (0.85 if pk == LANE_GROUP else 1.0)
-                    if best_cost is None or cost < best_cost:
-                        best_k, best_cost = k, cost
-            pk //= 2
+        if force_k is not None:
+            # caller-pinned stream count, bypassing the k-search and its
+            # k >= 2 floor.  Used by the mix epilogue at V == LANE_GROUP
+            # (1024 voices): k = 1 is no packing win by itself (it is
+            # the mega window's layout), but it is the full-lane-group
+            # layout the in-kernel voice sum and generator require.
+            # Sanity terms mirror _packed_k_ok minus the floor.
+            k = force_k
+            if (k * V <= LANE_GROUP and n_blocks >= max(16, 2 * k)
+                    and k * ctx_extra <= n_blocks * F
+                    and all(f.packed_lane_fit(k, F) is not None
+                            for f in filters)):
+                best_k = k
+        else:
+            pk = LANE_GROUP
+            while pk >= 32:
+                if pk % V == 0:
+                    k = pk // V
+                    if _packed_k_ok(k, kmax, n_blocks, filters, F,
+                                    ctx_extra):
+                        covered = k * (-(-n_blocks // k))
+                        cost = covered * (0.85 if pk == LANE_GROUP
+                                          else 1.0)
+                        if best_cost is None or cost < best_cost:
+                            best_k, best_cost = k, cost
+                pk //= 2
         if best_k is None:
             return None
         k = best_k
@@ -1493,6 +1509,14 @@ class CompiledPatch:
             return None
         if base is None:
             base = self.packed_mega_streams(n_blocks)
+        if base is None:
+            from signals_tpu.compiler.pallas_kernels import LANE_GROUP
+            if self.channels == LANE_GROUP:
+                # 1024 voices: the k-search's k >= 2 floor can't apply
+                # (k would be 1), but the epilogue still saves the
+                # full-width HBM write/read — pin the single-stream
+                # full-group layout
+                base = self.packed_mega_streams(n_blocks, force_k=1)
         if base is None:
             return None
         _, k, S = base
@@ -1618,6 +1642,12 @@ class CompiledPatch:
             # flag says
             return False
         base = self.packed_mega_streams(n_blocks)
+        if base is None and mix_epilogue:
+            from signals_tpu.compiler.pallas_kernels import LANE_GROUP
+            if self.channels == LANE_GROUP:
+                # mirror packed_mega_mix's 1024-voice single-stream
+                # fallback — probe the plan the render will actually use
+                base = self.packed_mega_streams(n_blocks, force_k=1)
         if base is None:
             return False
         _, k, _S = base

@@ -800,11 +800,15 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
     t_chunks = w - c_chunks
     reuse = (reuse_flag and group == 1 and c_chunks >= 1
              and t_chunks >= 1 and w <= 6)
-    if sum_lanes and not (reuse and sum_lanes <= 128
+    if sum_lanes and not (reuse and sum_lanes <= LANE_GROUP
                           and LANE_GROUP % sum_lanes == 0
                           and LANE_GROUP // sum_lanes <= 128):
         # the group matrix has 128 columns: more than 128 groups
-        # (sum_lanes < 8) cannot be represented — fall back
+        # (sum_lanes < 8) cannot be represented — fall back.  Groups
+        # WIDER than 128 lanes are fine: a group then spans several
+        # 128-lane sublane slices and _group_sum_chunk accumulates the
+        # slices into the same output column (512-voice streams give 2
+        # columns, a 1024-voice stream gives 1).
         # mix-epilogue mode is only built on the context-reuse kernel
         # (group == 1, the packed family layout); callers fall back to
         # the full-output kernel + an external grouped sum
@@ -1182,8 +1186,11 @@ def _build_seg_gen_call(nsec: int, n_segments: int, seg_frames: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if sum_lanes and not (8 <= sum_lanes <= 128
+    if sum_lanes and not (8 <= sum_lanes <= LANE_GROUP
                           and LANE_GROUP % sum_lanes == 0):
+        # >= 8 keeps the group count <= the group matrix's 128 columns;
+        # groups wider than 128 lanes span sublane slices and accumulate
+        # (see _group_sum_chunk)
         raise ValueError('sum_lanes must give <= 128 groups')
     row_chunk = ROW_CHUNK
     while context % row_chunk or seg_frames % row_chunk:

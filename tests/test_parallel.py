@@ -513,6 +513,24 @@ def test_mix_epilogue_in_kernel_interpret():
         FI.MEGA_FILTER_IMPL = old
 
 
+def test_mix_epilogue_wide_voices_interpret():
+    """Groups WIDER than 128 lanes (512 voices: sum_lanes=512, two group
+    columns; 1024 voices: one column via the forced k=1 single-stream
+    base) reduce correctly — a group then spans several 128-lane sublane
+    slices and _group_sum_chunk accumulates them into one column."""
+    import signals_tpu.compiler.filters as FI
+    old = FI.MEGA_FILTER_IMPL
+    FI.MEGA_FILTER_IMPL = 'pallas'
+    try:
+        for nv, want_k in ((512, 2), (1024, 1)):
+            a, oracle, plan = _epilogue_vs_oracle(nv, 16)
+            assert plan is not None and plan[1] == want_k, nv
+            scale = np.abs(oracle).max()
+            assert np.abs(a - oracle).max() / scale < 1e-5, nv
+    finally:
+        FI.MEGA_FILTER_IMPL = old
+
+
 def test_poly_reconstruction_over_same_root_is_stable():
     """Constructing a second PolyPatch over the same root re-installs the
     same stacked override layout: the (1, V) scalar row used to re-stack
