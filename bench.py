@@ -670,6 +670,15 @@ def main(argv=None):
     guard('c4_poly64_slac_lossless_fetch',
           lambda: bench_poly(voice4s, hz4s, 64, seconds=seconds,
                              label='poly-64-slac', fetch='slac'))
+    # same lossless fetch at 4-minute batches: a ~1 MB SLAC payload pays
+    # ~2 tunnel round-trips (~58 ms) per fetch on top of the ~50 ms
+    # transfer, so 60 s batches spend half their wall on latency; a
+    # 240 s bounce per dispatch (the production offline-bounce shape)
+    # amortizes the round-trips across 4x the audio
+    voice4s2, hz4s2 = build_subtractive_voice()
+    guard('c4_poly64_slac_lossless_fetch_240s',
+          lambda: bench_poly(voice4s2, hz4s2, 64, seconds=4 * seconds,
+                             label='poly-64-slac-240s', fetch='slac'))
     voice4f, hz4f = build_subtractive_voice()
     guard('c4_poly64_f32_fetch',
           lambda: bench_poly(voice4f, hz4f, 64, seconds=seconds,
@@ -794,6 +803,11 @@ def main(argv=None):
     guard('c2_additive16',
           lambda: bench_poly(voice2, hz2, 16, seconds=seconds,
                              label='additive-16'))
+    # the fetched c2 number above is f32-tunnel-bound like every fetch;
+    # the device render rate of the additive patch is its own evidence
+    voice2b, hz2b = build_additive_voice()
+    guard('c2_additive16_device_resident',
+          lambda: bench_poly_device(voice2b, hz2b, 16, seconds=seconds))
 
     if on_accel:
         # config 4g LAST: the in-kernel voice-sum epilogue (the filter
