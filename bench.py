@@ -36,7 +36,11 @@ TOL = 1e-5
 #: check on XLA:CPU, whose tanh matches libm, passes at < 1e-7).  Linear
 #: configs keep the strict TOL.
 TOL_NONLINEAR_FB = 1e-4
-PARITY_TOL = {'saturated_echo': TOL_NONLINEAR_FB}
+PARITY_TOL = {'saturated_echo': TOL_NONLINEAR_FB,
+              # the poly mix is a 64-voice SUM: BASELINE.md's 1e-5
+              # max-abs budget is per rendered patch, so the mix's
+              # budget is 64x (check_poly_parity returns raw max-abs)
+              'poly64_mix': 64 * TOL}
 F32 = np.float32
 
 
@@ -225,21 +229,30 @@ def check_parity(root, *, n_blocks=43, channels=1, tol=TOL, start_block=0):
     return err
 
 
-def check_poly_parity(n_voices=64, *, n_blocks=16):
+def _poly_freqs(n_voices):
+    """The detuned per-voice frequency table — ONE copy shared by the
+    fetch benches, the device-resident benches and the parity check, so
+    the parity evidence always validates the patch the headline times."""
+    return (110.0 * 2 ** (np.arange(n_voices) % 12 / 12.0)
+            * (1 + 0.001 * np.arange(n_voices))).astype(np.float32)
+
+
+def check_poly_parity(n_voices=64, *, n_blocks=32):
     """The 64-voice mix under PRODUCT DEFAULTS (mix epilogue / generator
-    kernel resolve by backend, exactly what the headline measures) vs the
-    numpy pull-interpreter oracle: the channel-overridden V-wide root
-    rendered per block and summed over voices.  Both sides are normalized
-    by the voice count so the returned error compares against the
-    per-voice 1e-5 budget of BASELINE.md (the raw mix is a V-voice sum,
-    so its absolute scale is ~V times a single patch's)."""
+    kernel resolve by backend) vs the numpy pull-interpreter oracle: the
+    channel-overridden V-wide root rendered per block and summed over
+    voices.  ``n_blocks=32`` matters: the full-lane-group plan at 64
+    voices is k=16 streams, which needs n_blocks >= 2k — fewer blocks
+    would parity-check a smaller k whose path skips the in-kernel
+    group-sum/generator the headline actually runs.  Returns the RAW
+    max-abs error of the mix; the tolerance (PARITY_TOL) scales
+    BASELINE.md's per-voice 1e-5 budget by the voice count, since the
+    mix is a V-voice sum."""
     from signals_tpu.core import BlockLoc, Request, Shape
     from signals_tpu.parallel import PolyPatch
     root, hz = build_subtractive_voice()
-    freqs = (110.0 * 2 ** (np.arange(n_voices) % 12 / 12.0)
-             * (1 + 0.001 * np.arange(n_voices))).astype(np.float32)
     poly = PolyPatch(root, n_voices=n_voices,
-                     overrides={(hz, 'value'): freqs},
+                     overrides={(hz, 'value'): _poly_freqs(n_voices)},
                      block_frames=BLOCK, rate=RATE, layout='channels')
     mix, _ = poly.render(n_blocks=n_blocks)
     wide_root = poly.compiled.root
@@ -252,7 +265,7 @@ def check_poly_parity(n_voices=64, *, n_blocks=16):
         oracle.append(np.broadcast_to(block, (BLOCK, n_voices)))
     want = np.concatenate(oracle).sum(axis=1, keepdims=True)
     got = np.asarray(mix).reshape(want.shape)
-    return float(np.abs(got - want).max()) / n_voices
+    return float(np.abs(got - want).max())
 
 
 def time_render(render_once, *, min_seconds=2.0, min_iters=3):
@@ -336,8 +349,7 @@ def bench_poly(root, hz_node, n_voices, *, seconds=1.0, label='',
     import jax.numpy as jnp
     from signals_tpu.parallel import PolyPatch
     from signals_tpu.runtime import codecs
-    freqs = (110.0 * 2 ** (np.arange(n_voices) % 12 / 12.0)
-             * (1 + 0.001 * np.arange(n_voices))).astype(np.float32)
+    freqs = _poly_freqs(n_voices)
     poly = PolyPatch(root, n_voices=n_voices,
                      overrides={(hz_node, 'value'): freqs},
                      block_frames=BLOCK, rate=RATE, layout=layout,
@@ -410,8 +422,7 @@ def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0,
     import jax
     import jax.numpy as jnp
     from signals_tpu.parallel import PolyPatch
-    freqs = (110.0 * 2 ** (np.arange(n_voices) % 12 / 12.0)
-             * (1 + 0.001 * np.arange(n_voices))).astype(np.float32)
+    freqs = _poly_freqs(n_voices)
     poly = PolyPatch(root, n_voices=n_voices,
                      overrides={(hz_node, 'value'): freqs},
                      block_frames=BLOCK, rate=RATE, layout='channels',
@@ -688,7 +699,7 @@ def main(argv=None):
     # (the exact path the device-resident headline measures) vs the numpy
     # pull oracle, normalized per voice (see check_poly_parity)
     progress('bench: poly-64 parity vs oracle...')
-    guard_parity('poly64_mix_per_voice', lambda: check_poly_parity(64))
+    guard_parity('poly64_mix', lambda: check_poly_parity(64))
 
     # config 6: nonlinear (saturated) feedback echo — the segmented
     # feedback scan path (the affine solver must decline; before round 3
@@ -893,6 +904,13 @@ def main(argv=None):
         if headline is not None:
             metric += f' [{desc}]'
             break
+    # the gate is real, not prose: a missing/NaN/failed poly-64 oracle
+    # check brands the headline itself, not just a buried extras flag
+    if headline is not None and not (
+            parity.get('poly64_mix', float('nan'))
+            <= PARITY_TOL['poly64_mix']):
+        metric += (' [POLY-64 PARITY UNVERIFIED THIS RUN — see '
+                   'parity_max_abs_err]')
     if headline is None:
         # no device-resident 64-voice number at all this run: fall back
         # to the fetched formats rather than losing the record

@@ -137,7 +137,7 @@ def _subgraph_streamable(node) -> bool:
 
 
 def _packed_k_ok(k, kmax, n_blocks, filters, block_frames,
-                 ctx_extra=0) -> bool:
+                 ctx_extra=0, *, min_k=2) -> bool:
     """Sanity gate for a packed-stream count ``k`` — the ONE copy of the
     eligibility rules shared by the base planner's k-search
     (:meth:`CompiledPatch.packed_mega_streams`) and the mix plan's
@@ -155,7 +155,7 @@ def _packed_k_ok(k, kmax, n_blocks, filters, block_frames,
     the batch — the single mega window (which pulls context once) wins
     there.
     """
-    return (2 <= k <= kmax and n_blocks >= max(16, 2 * k)
+    return (min_k <= k <= kmax and n_blocks >= max(16, 2 * k)
             and k * (-(-n_blocks // k)) <= 2 * n_blocks
             and k * ctx_extra <= n_blocks * block_frames
             and all(f.packed_lane_fit(k, block_frames) is not None
@@ -1421,12 +1421,10 @@ class CompiledPatch:
             # (1024 voices): k = 1 is no packing win by itself (it is
             # the mega window's layout), but it is the full-lane-group
             # layout the in-kernel voice sum and generator require.
-            # Sanity terms mirror _packed_k_ok minus the floor.
             k = force_k
-            if (k * V <= LANE_GROUP and n_blocks >= max(16, 2 * k)
-                    and k * ctx_extra <= n_blocks * F
-                    and all(f.packed_lane_fit(k, F) is not None
-                            for f in filters)):
+            if (k * V <= LANE_GROUP
+                    and _packed_k_ok(k, kmax, n_blocks, filters, F,
+                                     ctx_extra, min_k=1)):
                 best_k = k
         else:
             pk = LANE_GROUP
@@ -1507,16 +1505,7 @@ class CompiledPatch:
         """
         if not (force or self.enable_mix_epilogue):
             return None
-        if base is None:
-            base = self.packed_mega_streams(n_blocks)
-        if base is None:
-            from signals_tpu.compiler.pallas_kernels import LANE_GROUP
-            if self.channels == LANE_GROUP:
-                # 1024 voices: the k-search's k >= 2 floor can't apply
-                # (k would be 1), but the epilogue still saves the
-                # full-width HBM write/read — pin the single-stream
-                # full-group layout
-                base = self.packed_mega_streams(n_blocks, force_k=1)
+        base = self._packed_base_for_mix(n_blocks, base)
         if base is None:
             return None
         _, k, S = base
@@ -1600,6 +1589,24 @@ class CompiledPatch:
 
         return many_mix, k, S
 
+    def _packed_base_for_mix(self, n_blocks: int, base=None):
+        """The packed-stream base plan the MIX-EPILOGUE paths build on:
+        the ordinary k-search plan, or — at the full-lane-group voice
+        width (1024) where the k-search's k >= 2 floor leaves no plan —
+        the pinned single-stream layout (``force_k=1``: no packing win
+        by itself, but the epilogue still saves the full-width HBM
+        write/read).  The SINGLE copy shared by :meth:`packed_mega_mix`,
+        :meth:`packed_gen_engaged` and ``PolyPatch``'s render wiring, so
+        an engagement probe can never claim a plan the render won't
+        take."""
+        if base is None:
+            base = self.packed_mega_streams(n_blocks)
+        if base is None:
+            from signals_tpu.compiler.pallas_kernels import LANE_GROUP
+            if self.channels == LANE_GROUP:
+                base = self.packed_mega_streams(n_blocks, force_k=1)
+        return base
+
     def _mix_plan_k(self, n_blocks: int, k_base: int, f) -> int:
         """Stream count for the mix-epilogue plan: prefer the FULL
         1024-lane group when it is sane for this batch size — the
@@ -1641,13 +1648,8 @@ class CompiledPatch:
             # it the generator kernel is unreachable no matter what the
             # flag says
             return False
-        base = self.packed_mega_streams(n_blocks)
-        if base is None and mix_epilogue:
-            from signals_tpu.compiler.pallas_kernels import LANE_GROUP
-            if self.channels == LANE_GROUP:
-                # mirror packed_mega_mix's 1024-voice single-stream
-                # fallback — probe the plan the render will actually use
-                base = self.packed_mega_streams(n_blocks, force_k=1)
+        base = (self._packed_base_for_mix(n_blocks) if mix_epilogue
+                else self.packed_mega_streams(n_blocks))
         if base is None:
             return False
         _, k, _S = base

@@ -332,9 +332,15 @@ class PolyPatch:
 
         packed = (compiled.packed_mega_streams(n_blocks)
                   if n_blocks > 1 else None)
+        # packed_mega_mix must be consulted even when `packed` is None:
+        # at the full-lane-group voice width (1024) the k-search leaves
+        # no base plan, but the mix plan pins its own single-stream base
+        # (CompiledPatch._packed_base_for_mix) — gating on `packed` here
+        # silently dropped those renders to the plain mega path while
+        # the engagement probes still said "engaged"
         mixplan = (compiled.packed_mega_mix(n_blocks, base=packed,
                                             force=True)
-                   if packed is not None and self._mix_epilogue else None)
+                   if n_blocks > 1 and self._mix_epilogue else None)
         if mixplan is not None:
             # mix epilogue: the filter kernel itself emits per-stream
             # voice sums — the full (T, V) filtered array is never
