@@ -869,6 +869,13 @@ def main(argv=None):
                       lambda: bench_poly_device(voice4j, hz4j, 1024,
                                                 seconds=seconds / 4,
                                                 mix_epilogue=True))
+                progress('bench: config 4k (poly-256, gen+mix '
+                         'epilogue)...')
+                voice4k, hz4k = build_subtractive_voice()
+                guard('c4_poly256_device_resident_gen_mixsum',
+                      lambda: bench_poly_device(voice4k, hz4k, 256,
+                                                seconds=seconds,
+                                                mix_epilogue=True))
         finally:
             _fmod.SEG_SOURCE_GEN = _gen_saved
     else:
