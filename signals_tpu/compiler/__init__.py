@@ -277,6 +277,13 @@ class _GraphIndex:
                         h.update(f';{name}@{v.shape}'.encode())
                 else:
                     h.update(f';{name}={getattr(state, name)!r}'.encode())
+            extra = getattr(node, 'structural_extra', None)
+            if extra is not None:
+                # node-defined structural identity beyond its params —
+                # e.g. Convolve folds the IR file's (mtime, taps) in so
+                # an on-disk edit recompiles instead of serving the
+                # baked-in stale spectrum
+                h.update(f';X={extra()}'.encode())
             if isinstance(node, Receiver):
                 for pname in node.port_names():
                     inp = node._ports[pname].sig
@@ -1417,12 +1424,15 @@ class CompiledPatch:
         best_cost = None
         if force_k is not None:
             # caller-pinned stream count, bypassing the k-search and its
-            # k >= 2 floor.  Used by the mix epilogue at V == LANE_GROUP
-            # (1024 voices): k = 1 is no packing win by itself (it is
+            # k >= 2 floor.  Used by the mix epilogue at V >= LANE_GROUP
+            # (1024+ voices): k = 1 is no packing win by itself (it is
             # the mega window's layout), but it is the full-lane-group
             # layout the in-kernel voice sum and generator require.
+            # Beyond one group (V a multiple of 1024) the segment kernel
+            # splits lanes into independent per-group calls.
             k = force_k
-            if (k * V <= LANE_GROUP
+            if ((k * V <= LANE_GROUP
+                 or (k == 1 and V % LANE_GROUP == 0))
                     and _packed_k_ok(k, kmax, n_blocks, filters, F,
                                      ctx_extra, min_k=1)):
                 best_k = k
@@ -1527,10 +1537,12 @@ class CompiledPatch:
         S = -(-n_blocks // k)
         from signals_tpu.compiler.pallas_kernels import LANE_GROUP
         # the in-kernel lane-group sum needs the full-group packed layout
-        # with exactly V lanes per stream; other layouts keep the algebra
-        # but sum an ordinary per-stream lowering instead
+        # with exactly V lanes per stream (one group, or — at k == 1 —
+        # whole multiples of the group, reduced per group and added);
+        # other layouts keep the algebra but sum an ordinary per-stream
+        # lowering instead
         use_kernel_sum = (f.packed_lane_fit(k, F) == V
-                          and k * V == LANE_GROUP)
+                          and k * V % LANE_GROUP == 0)
         index = self.index
         root = self.root
 
@@ -1603,7 +1615,8 @@ class CompiledPatch:
             base = self.packed_mega_streams(n_blocks)
         if base is None:
             from signals_tpu.compiler.pallas_kernels import LANE_GROUP
-            if self.channels == LANE_GROUP:
+            if (self.channels >= LANE_GROUP
+                    and self.channels % LANE_GROUP == 0):
                 base = self.packed_mega_streams(n_blocks, force_k=1)
         return base
 
@@ -1666,7 +1679,7 @@ class CompiledPatch:
         F = self.block_frames
         for f in filters:
             chx = f.packed_lane_fit(k, F)
-            if (chx is None or k * chx != LANE_GROUP
+            if (chx is None or k * chx % LANE_GROUP
                     or f._gen_input_spec(chx) is None):
                 return False
         return True

@@ -386,8 +386,10 @@ def sosfilt_batch(coeffs, x_t, *, interpret: typing.Optional[bool] = None,
     Returns ``(L, B, ch)``, or only the last ``tail`` rows when given —
     context rows then warm the state up in VMEM without ever being written
     back to HBM.  One HBM read of x and one write of y.
+
+    Differentiable: the primal runs the Pallas kernel; the VJP runs
+    through the associative-scan reference (see the autodiff section).
     """
-    import jax
     import jax.numpy as jnp
 
     if interpret is None:
@@ -406,7 +408,16 @@ def sosfilt_batch(coeffs, x_t, *, interpret: typing.Optional[bool] = None,
     coeffs = jnp.broadcast_to(coeffs, (B, nsec, chx, 11))
     if tail is None:
         tail = L
+    return _batch_cv(int(tail), bool(interpret))(coeffs, x_t)
 
+
+def _sosfilt_batch_impl(coeffs, x_t, *, interpret: bool, tail: int):
+    """Kernel body of :func:`sosfilt_batch` on canonical (broadcast, f32)
+    inputs."""
+    import jax.numpy as jnp
+
+    L, B, chx = x_t.shape
+    nsec = coeffs.shape[1]
     lanes = B * chx
     lanes_pad = _round_up(lanes, LANE_GROUP)
     rows_pad = _round_up(L, ROW_CHUNK)
@@ -434,16 +445,23 @@ def sosfilt_pallas(coeffs, x, *, interpret: bool = False):
     """Drop-in equivalent of
     :func:`signals_tpu.compiler.filters.sosfilt_scan` running as a Pallas
     kernel.  ``coeffs``: (nsec, ch, 11) from ``design_coupled``;
-    ``x``: (N, ch)."""
+    ``x``: (N, ch).  Differentiable via the scan reference VJP."""
     import jax.numpy as jnp
-    from signals_tpu.compiler.filters import _coupled_params
 
     coeffs = jnp.asarray(coeffs, dtype=jnp.float32)
     x = jnp.asarray(x, dtype=jnp.float32)
-    nsec = coeffs.shape[0]
     n, ch_x = x.shape
     ch = max(coeffs.shape[1], ch_x)
     x = jnp.broadcast_to(x, (n, ch))
+    return _pallas_cv(bool(interpret))(coeffs, x)
+
+
+def _sosfilt_pallas_impl(coeffs, x, *, interpret: bool):
+    import jax.numpy as jnp
+    from signals_tpu.compiler.filters import _coupled_params
+
+    nsec = coeffs.shape[0]
+    n, ch = x.shape
 
     n_pad = _round_up(n, CHUNK)
     c_pad = _round_up(ch, LANES)
@@ -909,8 +927,10 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
     external grouped sum when the epilogue layout doesn't apply; the
     fallback sums in a different order, so results agree to f32
     reassociation (~1 ulp per summand), not bit-exactly.
+
+    Differentiable: the primal runs the Pallas kernel; the VJP runs
+    through the associative-scan reference (see the autodiff section).
     """
-    import jax
     import jax.numpy as jnp
 
     if interpret is None:
@@ -922,6 +942,28 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
     nsec = coeffs.shape[1]
     chc = coeffs.shape[2]
     chx = max(ch, chc)
+    x = jnp.broadcast_to(x, (T, chx))
+    coeffs = jnp.broadcast_to(coeffs, (n_segments, nsec, chx, 11))
+    # the scan-reference VJP gathers each segment's full window: extend the
+    # timeline so every window is in range (the kernel pads internally too)
+    T_need = context + n_segments * seg_frames
+    if T_need > T:
+        x = jnp.pad(x, ((0, T_need - T), (0, 0)))
+    return _segments_cv(int(n_segments), int(seg_frames), int(context),
+                        bool(interpret), int(sum_groups))(coeffs, x)
+
+
+def _sosfilt_segments_impl(coeffs, x, *, n_segments: int, seg_frames: int,
+                           context: int, interpret: bool, sum_groups: int):
+    """Kernel body of :func:`sosfilt_segments` on canonical (broadcast,
+    f32, window-padded) inputs.  Recursions (wide-channel split, lane
+    packing, epilogue fallback) stay inside the impl so the custom-VJP
+    boundary wraps the whole computation exactly once."""
+    import jax
+    import jax.numpy as jnp
+
+    T, chx = x.shape
+    nsec = coeffs.shape[1]
     if 128 % chx and chx % 128:
         raise ValueError(f'channel count {chx} must divide (or be a '
                          f'multiple of) 128')
@@ -930,8 +972,6 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
         # the transposed-layout path (sosfilt_batch) is the right kernel
         raise ValueError(f'channel count {chx} too narrow for the '
                          f'DMA-segment kernel (needs >= 32)')
-    x = jnp.broadcast_to(x, (T, chx))
-    coeffs = jnp.broadcast_to(coeffs, (n_segments, nsec, chx, 11))
 
     if chx > LANE_GROUP:
         # wider than one kernel instance (> 1024 voices): channels are
@@ -942,8 +982,27 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
         if chx % LANE_GROUP:
             raise ValueError(f'channel count {chx} > {LANE_GROUP} must be '
                              f'a multiple of {LANE_GROUP}')
+        if sum_groups and sum_groups > LANE_GROUP:
+            # a sum group (e.g. the 2048-voice master mix) spans several
+            # lane-group kernel calls: each call reduces its own full
+            # group in-kernel and the partial columns add up — the wide
+            # mix epilogue
+            if sum_groups % LANE_GROUP or chx % sum_groups:
+                raise ValueError(f'sum_groups {sum_groups} must be a '
+                                 f'multiple of {LANE_GROUP} dividing the '
+                                 f'channel count {chx}')
+            cols = jnp.concatenate([
+                _sosfilt_segments_impl(
+                    coeffs[:, :, j * LANE_GROUP:(j + 1) * LANE_GROUP, :],
+                    x[:, j * LANE_GROUP:(j + 1) * LANE_GROUP],
+                    n_segments=n_segments, seg_frames=seg_frames,
+                    context=context, interpret=interpret,
+                    sum_groups=LANE_GROUP)
+                for j in range(chx // LANE_GROUP)], axis=2)
+            return cols.reshape(n_segments, seg_frames, -1,
+                                sum_groups // LANE_GROUP).sum(axis=3)
         parts = [
-            sosfilt_segments(
+            _sosfilt_segments_impl(
                 coeffs[:, :, j * LANE_GROUP:(j + 1) * LANE_GROUP, :],
                 x[:, j * LANE_GROUP:(j + 1) * LANE_GROUP],
                 n_segments=n_segments, seg_frames=seg_frames,
@@ -955,9 +1014,9 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
     if sum_groups and chx < 128:
         # narrow layouts take the lane-packing recursion below, which the
         # epilogue kernel doesn't cover: full output + external sum
-        y = sosfilt_segments(coeffs, x, n_segments=n_segments,
-                             seg_frames=seg_frames, context=context,
-                             interpret=interpret)
+        y = _sosfilt_segments_impl(coeffs, x, n_segments=n_segments,
+                                   seg_frames=seg_frames, context=context,
+                                   interpret=interpret, sum_groups=0)
         if chx % sum_groups:
             raise ValueError(f'sum_groups {sum_groups} must divide the '
                              f'channel count {chx}')
@@ -993,8 +1052,9 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
                                 (0, 0)))
         cpk = jnp.concatenate(
             [cpad[j * S:(j + 1) * S] for j in range(k)], axis=2)
-        y = sosfilt_segments(cpk, xp_, n_segments=S, seg_frames=F_,
-                             context=C_, interpret=interpret)
+        y = _sosfilt_segments_impl(cpk, xp_, n_segments=S, seg_frames=F_,
+                                   context=C_, interpret=interpret,
+                                   sum_groups=0)
         y = jnp.concatenate(
             [y[:, :, j * chx:(j + 1) * chx] for j in range(k)], axis=0)
         return y[:n_segments]
@@ -1030,10 +1090,11 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
             # epilogue layout unavailable (reuse disabled, huge context):
             # full kernel + external grouped sum — same values up to f32
             # reassociation, none of the pass savings
-            y = sosfilt_segments(coeffs, x.reshape(x.shape[0], vpad),
-                                 n_segments=n_segments,
-                                 seg_frames=seg_frames, context=context,
-                                 interpret=interpret)
+            y = _sosfilt_segments_impl(coeffs, x.reshape(x.shape[0], vpad),
+                                       n_segments=n_segments,
+                                       seg_frames=seg_frames,
+                                       context=context, interpret=interpret,
+                                       sum_groups=0)
             return y.reshape(n_segments, seg_frames, -1,
                              sum_groups).sum(axis=3)
         y = call(sel, x)                          # (n_seg_pad, F, 128)
@@ -1257,15 +1318,50 @@ def sosfilt_segments_gen(coeffs, toff, lanef, *, n_segments: int,
         from signals_tpu.compiler.filters import default_backend
         interpret = default_backend() != 'tpu'
     coeffs = jnp.asarray(coeffs, dtype=jnp.float32)
+    lanes = coeffs.shape[2]
+    if lanes % LANE_GROUP:
+        raise ValueError('generator-fed segments need whole '
+                         f'{LANE_GROUP}-lane family groups, got '
+                         f'{lanes} lanes')
+    toff = jnp.asarray(toff, dtype=jnp.int32).reshape(lanes)
+    lanef = jnp.asarray(lanef, dtype=jnp.float32).reshape(3, lanes)
+    if lanes > LANE_GROUP:
+        # > 1024 voices: independent per-lane-group kernel calls, exactly
+        # as sosfilt_segments' wide-channel split.  Sum groups spanning
+        # several lane groups (the wide mix epilogue) reduce per group
+        # in-kernel and add the partial columns.
+        sg_part = min(sum_groups, LANE_GROUP) if sum_groups else 0
+        if sum_groups and (sum_groups % sg_part or lanes % sum_groups):
+            raise ValueError(f'sum_groups {sum_groups} must divide the '
+                             f'lane count {lanes} in whole lane groups')
+        LG = LANE_GROUP
+        cols = jnp.concatenate([
+            sosfilt_segments_gen(
+                coeffs[:, :, j * LG:(j + 1) * LG, :], toff[j * LG:(j + 1) * LG],
+                lanef[:, j * LG:(j + 1) * LG], n_segments=n_segments,
+                seg_frames=seg_frames, context=context, osc_code=osc_code,
+                rate=rate, interpret=interpret, sum_groups=sg_part)
+            for j in range(lanes // LG)], axis=2)
+        if sum_groups and sum_groups > LANE_GROUP:
+            return cols.reshape(n_segments, seg_frames, -1,
+                                sum_groups // LANE_GROUP).sum(axis=3)
+        return cols
+    return _segments_gen_cv(int(n_segments), int(seg_frames), int(context),
+                            int(osc_code), int(rate), bool(interpret),
+                            int(sum_groups))(coeffs, toff, lanef)
+
+
+def _sosfilt_segments_gen_impl(coeffs, toff, lanef, *, n_segments: int,
+                               seg_frames: int, context: int,
+                               osc_code: int, rate: int, interpret: bool,
+                               sum_groups: int):
+    import jax.numpy as jnp
+
     nsec = coeffs.shape[1]
-    if coeffs.shape[2] != LANE_GROUP:
-        raise ValueError('generator-fed segments need the full '
-                         f'{LANE_GROUP}-lane family layout, got '
-                         f'{coeffs.shape[2]} lanes')
     sel = _seg_coeff_sel(coeffs, nsec, n_segments, n_segments, 1,
                          LANE_GROUP)
-    toff = jnp.asarray(toff, dtype=jnp.int32).reshape(8, 128)
-    lanef = jnp.asarray(lanef, dtype=jnp.float32).reshape(3, 8, 128)
+    toff = toff.reshape(8, 128)
+    lanef = lanef.reshape(3, 8, 128)
     inv_row = jnp.full((1, 8, 128), jnp.float32(1.0 / rate),
                        dtype=jnp.float32)
     lanef = jnp.concatenate([lanef, inv_row], axis=0)
@@ -1275,3 +1371,170 @@ def sosfilt_segments_gen(coeffs, toff, lanef, *, n_segments: int,
     if sum_groups:
         return y[:, :, :LANE_GROUP // sum_groups]
     return y.reshape(n_segments, seg_frames, LANE_GROUP)
+
+
+def _gen_source_rows(toff, lanef, *, n_segments: int, seg_frames: int,
+                     context: int, osc_code: int, rate: int):
+    """Pure-JAX mirror of the generator kernel's in-kernel synthesis
+    (:func:`_seg_kernel_gen`): ``(n_segments, context + seg_frames,
+    LANE_GROUP)`` input rows from per-lane oscillator parameters.  Same
+    op sequence as the kernel (up to the inv_rate constant folding, which
+    only matters for bit-exactness, not gradients)."""
+    import jax.numpy as jnp
+
+    f32 = jnp.float32
+    seg = (jnp.arange(n_segments, dtype=jnp.int32)
+           * jnp.int32(seg_frames))[:, None, None]
+    row = jnp.arange(context + seg_frames,
+                     dtype=jnp.int32)[None, :, None]
+    t_i = toff[None, None, :] + seg + row
+    tf = t_i.astype(f32)
+    hz = lanef[0][None, None, :]
+    ph = lanef[1][None, None, :]
+    amp = lanef[2][None, None, :]
+    inv_rate = f32(1.0 / rate)
+
+    def frac(v):
+        return v - jnp.floor(v)
+
+    turns = frac(tf * inv_rate * hz)
+    tt = frac(turns + ph)
+    if osc_code == OSC_SINE:
+        from signals_tpu.core.mathx import sin2pi_f32
+        x = sin2pi_f32(jnp, tt)
+    elif osc_code == OSC_SQUARE:
+        x = jnp.sign(f32(0.5) - frac(tt))
+    elif osc_code == OSC_SAW:
+        x = f32(2.0) * frac(tt - f32(0.5)) - f32(1.0)
+    else:                                   # OSC_TRIANGLE
+        t3 = tt - f32(0.25)
+        x = ((f32(4.0) * (f32(0.5) * frac(t3 * f32(2.0))) - f32(1.0))
+             * jnp.sign(frac(t3) - f32(0.5)))
+    return jnp.where(t_i >= 0, amp * x, f32(0.0))
+
+
+# --- autodiff: custom VJPs for the kernel entrypoints -------------------------
+#
+# Mosaic kernels have no JVP/transpose rules, so ``jax.value_and_grad``
+# through a compiled patch on the TPU fast paths (packed streams, mega
+# filters, the mix epilogue, the generator cascade) used to raise.  Every
+# public entrypoint above is wrapped in ``jax.custom_vjp``: the primal
+# stays the Pallas kernel; the backward differentiates the pure-JAX
+# associative-scan reference of the SAME math (a vmap of
+# ``filters.sosfilt_scan`` — the function the kernels are parity-tested
+# against in ``tests/test_pallas_kernels.py``), so gradients are exact
+# for the scan lowering and match the kernel's values to f32
+# reassociation.  The backward re-runs the scan forward once (as its own
+# residuals) plus the scan backward — a cost paid only by training steps
+# (``learn.fit``), never by plain renders.
+
+
+def _make_cv(prim, ref, nondiff_idx=()):
+    """``jax.custom_vjp`` wrapper: primal/fwd = ``prim`` (the Pallas
+    path), bwd = VJP of ``ref`` (the scan reference) at the primal
+    inputs.  ``nondiff_idx``: positional indices of integer-dtype array
+    args (their cotangent is ``float0``)."""
+    import jax
+
+    f = jax.custom_vjp(prim)
+
+    def fwd(*args):
+        return prim(*args), args
+
+    def bwd(res, g):
+        diff_idx = [i for i in range(len(res)) if i not in nondiff_idx]
+
+        def at_diff(*dargs):
+            full = list(res)
+            for i, a in zip(diff_idx, dargs):
+                full[i] = a
+            return ref(*full)
+
+        _, vjp = jax.vjp(at_diff, *[res[i] for i in diff_idx])
+        cts = iter(vjp(g))
+        return tuple(
+            np.zeros(np.shape(res[i]), dtype=jax.dtypes.float0)
+            if i in nondiff_idx else next(cts)
+            for i in range(len(res)))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+@functools.lru_cache(maxsize=64)
+def _pallas_cv(interpret: bool):
+    from signals_tpu.compiler.filters import sosfilt_scan
+
+    return _make_cv(
+        functools.partial(_sosfilt_pallas_impl, interpret=interpret),
+        sosfilt_scan)
+
+
+@functools.lru_cache(maxsize=64)
+def _batch_cv(tail: int, interpret: bool):
+    import jax
+
+    from signals_tpu.compiler.filters import sosfilt_scan
+
+    def prim(coeffs, x_t):
+        return _sosfilt_batch_impl(coeffs, x_t, interpret=interpret,
+                                   tail=tail)
+
+    def ref(coeffs, x_t):
+        y = jax.vmap(sosfilt_scan, in_axes=(0, 1), out_axes=1)(coeffs, x_t)
+        return y[y.shape[0] - tail:]
+
+    return _make_cv(prim, ref)
+
+
+@functools.lru_cache(maxsize=64)
+def _segments_cv(n_segments: int, seg_frames: int, context: int,
+                 interpret: bool, sum_groups: int):
+    import jax
+    import jax.numpy as jnp
+
+    from signals_tpu.compiler.filters import sosfilt_scan
+
+    def prim(coeffs, x):
+        return _sosfilt_segments_impl(
+            coeffs, x, n_segments=n_segments, seg_frames=seg_frames,
+            context=context, interpret=interpret, sum_groups=sum_groups)
+
+    def ref(coeffs, x):
+        idx = (jnp.arange(n_segments)[:, None] * seg_frames
+               + jnp.arange(context + seg_frames)[None, :])
+        xb = x[idx]                            # (nseg, C+F, ch)
+        yb = jax.vmap(sosfilt_scan)(coeffs, xb)[:, context:, :]
+        if sum_groups:
+            yb = yb.reshape(n_segments, seg_frames, -1,
+                            sum_groups).sum(axis=3)
+        return yb
+
+    return _make_cv(prim, ref)
+
+
+@functools.lru_cache(maxsize=64)
+def _segments_gen_cv(n_segments: int, seg_frames: int, context: int,
+                     osc_code: int, rate: int, interpret: bool,
+                     sum_groups: int):
+    import jax
+
+    from signals_tpu.compiler.filters import sosfilt_scan
+
+    def prim(coeffs, toff, lanef):
+        return _sosfilt_segments_gen_impl(
+            coeffs, toff, lanef, n_segments=n_segments,
+            seg_frames=seg_frames, context=context, osc_code=osc_code,
+            rate=rate, interpret=interpret, sum_groups=sum_groups)
+
+    def ref(coeffs, toff, lanef):
+        x = _gen_source_rows(toff, lanef, n_segments=n_segments,
+                             seg_frames=seg_frames, context=context,
+                             osc_code=osc_code, rate=rate)
+        yb = jax.vmap(sosfilt_scan)(coeffs, x)[:, context:, :]
+        if sum_groups:
+            yb = yb.reshape(n_segments, seg_frames, -1,
+                            sum_groups).sum(axis=3)
+        return yb
+
+    return _make_cv(prim, ref, nondiff_idx=(1,))

@@ -28,7 +28,7 @@ import os
 import numpy as np
 
 from signals_tpu import SignalFlags
-from signals_tpu.core.state import Param, all_of, ge, instance_of
+from signals_tpu.core.state import Param, all_of, ge, in_range, instance_of
 from signals_tpu.graph import KernelCtx, Receiver, port
 from signals_tpu.nodes.fx import Effect
 from signals_tpu.registry import register
@@ -78,8 +78,9 @@ class Convolve(Effect):
         seed: int = Param(0, validate=instance_of(int))
         #: structural: scale the IR to unit energy per channel
         normalize: bool = Param(True, validate=instance_of(bool))
-        #: wet/dry balance in [0, 1]: 0 = dry, 1 = wet
-        mix: float = Param(1.0, validate=ge(0.0), traced=True)
+        #: wet/dry balance in [0, 1]: 0 = dry, 1 = wet (bounded above —
+        #: mix > 1 would silently phase-invert the dry bleed)
+        mix: float = Param(1.0, validate=in_range(0.0, 1.0), traced=True)
         #: linear gain on the wet (convolved) signal
         gain: float = Param(1.0, validate=ge(0.0), traced=True)
 
@@ -154,6 +155,16 @@ class Convolve(Effect):
     @classmethod
     def flags(cls) -> SignalFlags:
         return super().flags() | SignalFlags.EFFECT
+
+    def structural_extra(self) -> str:
+        """Fold the resolved IR identity (file mtime + tap count, or the
+        synth params) into the graph hash: the compile cache and the
+        lazily-jitted traces bake the IR spectrum in as a constant, so an
+        IR file edited on disk must produce a DIFFERENT hash — otherwise
+        renders silently keep the stale IR and, if the length changed,
+        the re-trace's context window disagrees with the compile-time
+        window pass."""
+        return f'{self._ir_key()!r};K={self._ir_len()}'
 
     def context_frames(self) -> int:
         return self._ir_len() - 1

@@ -218,8 +218,16 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         chx = max(ch_in, chs)
         pk_ch = chx * k
         from signals_tpu.compiler.pallas_kernels import LANE_GROUP
-        if (pk_ch < 32 or pk_ch > LANE_GROUP
-                or (128 % pk_ch and pk_ch % 128)):
+        if pk_ch > LANE_GROUP:
+            # wider than one kernel instance (> 1024 voices): the segment
+            # kernel splits whole multiples of the lane group into
+            # independent calls (``sosfilt_segments``'s wide-channel
+            # branch).  Single-stream only — once one stream fills a full
+            # group, multi-stream packing buys nothing.
+            if k != 1 or pk_ch % LANE_GROUP:
+                return None
+            return chx
+        if pk_ch < 32 or (128 % pk_ch and pk_ch % 128):
             return None
         return chx
 
@@ -430,7 +438,7 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         # the flag state must be the one the graph hash was keyed under
         gen = (self._gen_input_spec(chx)
                if ctx.compiler.index.seg_source_gen
-               and k * chx == LANE_GROUP
+               and k * chx % LANE_GROUP == 0
                else None)
         xp_ = None
         if gen is None:

@@ -56,6 +56,29 @@ def paste_line(at: Coordinates, payload: tuple[str, str]) -> str:
     return f'+ {at} {cls_name} {state_text}'.rstrip()
 
 
+def clip_text(payload: tuple[str, str]) -> str:
+    """OS-clipboard text form of a copied node: the ``.sigs`` add line
+    (with a placeholder coordinate — paste re-targets it).  The Tk/text
+    analogue of the reference's ``application/prs.signals.signal`` MIME
+    payload, which is also a serialized Add command
+    (``ui/patcher/window.py:159-178``); being plain ``.sigs`` grammar it
+    pastes into any text editor and round-trips between processes."""
+    return paste_line(Coordinates.parse('1a'), payload)
+
+
+def parse_clip_text(text: str) -> typing.Optional[tuple[str, str]]:
+    """Recover a ``(cls_name, state_text)`` payload from OS-clipboard
+    text, or None when the text is not a ``.sigs`` add line."""
+    parts = text.strip().split(None, 3)
+    if len(parts) < 3 or parts[0] != '+':
+        return None
+    try:
+        Coordinates.parse(parts[1])
+    except Exception:
+        return None
+    return parts[2], parts[3] if len(parts) > 3 else ''
+
+
 def state_fields(controller, at: Coordinates) -> list[tuple[str, str]]:
     """``(name, value_text)`` pairs for a state-editor form (the
     reference's SigStateEditor, ``ui/patcher/dialog.py:72-115``)."""

@@ -415,13 +415,19 @@ class TkPatcherView:
         self.canvas.bind('<ButtonRelease-1>',
                          lambda e: self._gesture('release', e))
         self.canvas.bind('<Double-Button-1>', lambda e: self.edit_dialog())
+        # reference window.py:52-58 binds Alt+S/D/O/I for add/delete/
+        # sink/source alongside the clipboard and file accelerators
         for seq, fn in (('<Control-z>', lambda e: self._run('undo')),
                         ('<Control-y>', lambda e: self._run('redo')),
                         ('<Control-c>', lambda e: self._copy()),
                         ('<Control-x>', lambda e: self._cut()),
                         ('<Control-v>', lambda e: self._paste()),
                         ('<Delete>', lambda e: self._delete()),
-                        ('<Control-s>', lambda e: self.save_action())):
+                        ('<Control-s>', lambda e: self.save_action()),
+                        ('<Alt-s>', lambda e: self.add_dialog()),
+                        ('<Alt-d>', lambda e: self._delete()),
+                        ('<Alt-o>', lambda e: self.device_dialog('sink')),
+                        ('<Alt-i>', lambda e: self.device_dialog('source'))):
             self.root.bind(seq, fn)
         self.redraw()
         self._vis_tick()
@@ -450,13 +456,29 @@ class TkPatcherView:
         payload = self.p.copy()
         if payload is not None:
             self.clipboard = payload
+            # OS clipboard too (reference window.py:159-168 puts the
+            # serialized Add on the system clipboard): the text form is
+            # the `.sigs` add line, so it round-trips across processes
+            try:
+                self.root.clipboard_clear()
+                self.root.clipboard_append(actions.clip_text(payload))
+            except Exception:
+                pass                      # no clipboard (headless X)
 
     def _cut(self) -> None:
         self._copy()
         self._delete()
 
     def _paste(self) -> None:
-        self.p.paste(self.clipboard)
+        # prefer the OS clipboard when it holds a `.sigs` add line
+        # (reference window.py:170-178 reads the MIME payload back);
+        # fall back to the in-process payload
+        payload = None
+        try:
+            payload = actions.parse_clip_text(self.root.clipboard_get())
+        except Exception:
+            payload = None
+        self.p.paste(payload or self.clipboard)
         self.redraw()
 
     def _delete(self) -> None:
@@ -525,13 +547,15 @@ class TkPatcherView:
         self._log(self.p.message)
         self.redraw()
 
-    def device_dialog(self) -> None:
+    def device_dialog(self, kind_default: str = 'sink') -> None:
         """Browse the rack and bind a source/sink
-        (reference AddDevice, dialog.py:172-266)."""
+        (reference AddDevice, dialog.py:172-266).  ``kind_default``
+        preselects the radio group — Alt+O opens on sinks, Alt+I on
+        sources (reference window.py:55-58)."""
         import tkinter as tk
         top = tk.Toplevel(self.root)
         top.title('Add device')
-        kind = tk.StringVar(value='sink')
+        kind = tk.StringVar(value=kind_default)
         lb = tk.Listbox(top, height=10, width=48)
 
         def refresh(*_):

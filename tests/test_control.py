@@ -219,6 +219,53 @@ def test_reference_vis_fixture_loads():
     assert any(line.startswith('> 2a 6a.input') for line in dump)
 
 
+def test_reference_fixture_verbatim_end_to_end(tmp_path):
+    """The reference's BYTE-FOR-BYTE fixture patches — copied unmodified
+    from ``/root/reference/src/signals/{lowpass_test,vis_test}.sigs``
+    into ``tests/fixtures/reference/`` (sha256-identical) — load,
+    render, and side-effect like the reference: the lowpass patch's
+    FileWriter writes a valid WAV to the path baked into the artifact
+    (``/tmp/lowpass_test.wav``, reference ``lowpass_test.sigs:9``),
+    audio flows through the Merge of filtered+dry paths to the sink,
+    and the dump/hash round-trips through our save format."""
+    from signals_tpu.runtime import wavio
+    ref = FIXTURES / 'reference'
+    wav_path = pathlib.Path('/tmp/lowpass_test.wav')
+    if wav_path.exists():
+        wav_path.unlink()
+    ctl = make_controller()
+    ctl.default(f'load {ref / "lowpass_test.sigs"}')
+    out = tmp_path / 'ref_bounce.wav'
+    run(ctl, f'bounce 7a {out} 0.25')
+    try:
+        data, rate = wavio.read_wav(out)
+        assert rate == 44100 and data.shape[0] >= 0.2 * 44100
+        assert np.abs(data).max() > 1e-3
+        # the recorder side effect: the reference artifact's FileWriter
+        # wrote its hard-coded path during the render
+        wdata, wrate = wavio.read_wav(wav_path)
+        assert wrate == 44100 and wdata.shape[0] >= 0.2 * 44100
+        assert np.abs(wdata).max() > 1e-3
+    finally:
+        if wav_path.exists():
+            wav_path.unlink()
+    h1 = ctl.hash()
+    saved = tmp_path / 'resave.sigs'
+    run(ctl, f'save {saved}')
+    ctl2 = make_controller()
+    ctl2.default(f'load {saved}')
+    assert ctl2.hash() == h1
+
+    ctl3 = make_controller()
+    ctl3.default(f'load {ref / "vis_test.sigs"}')
+    dump = list(ctl3.dump())
+    assert any(line.startswith('sink 4c default') for line in dump)
+    vis_wav = tmp_path / 'vis.wav'
+    run(ctl3, f'bounce 4c {vis_wav} 0.1')
+    data, rate = wavio.read_wav(vis_wav)
+    assert np.abs(data).max() > 0.5      # 220 Hz sine at full scale
+
+
 def test_batch_rollback_is_atomic(tmp_path):
     """A load that fails mid-batch must restore the prior patch."""
     ctl = make_controller()

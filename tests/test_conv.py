@@ -203,3 +203,74 @@ def test_empty_ir_file_raises(tmp_path):
     cv = _convolve(_saw(), path=path)
     with pytest.raises(ValueError):
         cv.context_frames()
+
+
+def test_ir_file_edit_recompiles(tmp_path):
+    """Editing an IR file on disk changes the graph hash (the
+    ``structural_extra`` hook folds the file's mtime + tap count in), so
+    the compile cache cannot serve the stale baked-in spectrum — and a
+    length change cannot leave the re-trace's context window disagreeing
+    with the compile-time window pass."""
+    import os
+    import signals_tpu.compiler as C
+
+    def write_ir(data):
+        w = sndfile.open_writer(str(tmp_path / 'ir.wav'), rate=RATE,
+                                channels=1)
+        w.write(np.asarray(data, np.float32))
+        w.close()
+
+    path = tmp_path / 'ir.wav'
+    write_ir([[1.0], [0.5]])
+    cv = _convolve(_saw(), path=str(path))
+    c1 = compile_node(cv, block_frames=F, rate=RATE, channels=1)
+    h1 = c1.graph_hash
+    # longer IR, later mtime
+    write_ir([[1.0], [0.0], [0.0], [0.25]])
+    os.utime(path, ns=(1, int(os.stat(path).st_mtime_ns) + 10**9))
+    c2 = compile_node(cv, block_frames=F, rate=RATE, channels=1)
+    assert c2.graph_hash != h1
+    assert c2.index.order is not c1.index.order or c2 is not c1
+    C._compile_cache.clear()
+
+
+def test_mix_rejects_over_wet():
+    """State.mix is documented as [0, 1]; mix > 1 used to silently
+    phase-invert the dry bleed."""
+    from signals_tpu.core.state import BadStateValue
+    cv = _convolve(_saw())
+    with pytest.raises(BadStateValue):
+        cv.get_state().mix = 1.5
+
+
+def test_plan_selection_context_heuristic():
+    """The ``_context_extra`` plan gates weigh only true context-window
+    nodes: a long-IR Convolve flips a narrow patch onto the single mega
+    window (context pulled once, not per block) and declines stream
+    packing once k streams would re-pull more than a batch of context;
+    a FracDelay's bounded lookback — served by the window-collect pass,
+    not ``context_frames`` — leaves plan selection unchanged."""
+    import signals_tpu.compiler as C
+    import signals_tpu.compiler.filters as FI
+    from signals_tpu.nodes.moddelay import FracDelay
+
+    old = FI.MEGA_FILTER_IMPL
+    FI.MEGA_FILTER_IMPL = 'pallas'   # mono lane-packing needs k up to 32
+    try:
+        fd = FracDelay()
+        fd.input = _saw()
+        fd.delay = fixed(0.01)
+        c = compile_node(fd, block_frames=F, rate=RATE, channels=1)
+        assert c._context_extra == 0
+        assert not c._use_mega             # narrow stateless: per-block
+        assert c.packed_mega_streams(64) is not None
+
+        cv = _convolve(_saw(), ir_frames=8192)  # ctx_extra = 8191 > 4*F
+        c2 = compile_node(cv, block_frames=F, rate=RATE, channels=1)
+        assert c2._context_extra == 8191
+        assert c2._use_mega
+        # k=32 streams would re-pull 32*8191 frames of context > 64*F
+        assert c2.packed_mega_streams(64) is None
+    finally:
+        FI.MEGA_FILTER_IMPL = old
+        C._compile_cache.clear()

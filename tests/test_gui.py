@@ -358,3 +358,42 @@ def test_failed_load_keeps_state(tmp_path):
     assert p.path == good                 # Revert still targets the real file
     scene = p.scene()
     assert len(scene['nodes']) == 2       # patch untouched
+
+
+def test_tk_clipboard_and_alt_accelerators(monkeypatch):
+    """OS-clipboard + accelerator parity (reference window.py:39-66,
+    159-178): copy pushes the node's `.sigs` add line onto the system
+    clipboard, paste prefers a parseable OS-clipboard line over the
+    in-process payload, and Alt+S/D/O/I are bound."""
+    view, fake = make_fake_view(monkeypatch)
+    view._run('+ 1a signals_tpu.nodes.osc.Sine')
+    view.p.selected = Coordinates.parse('1a')
+    view._copy()
+    names = [c[0] for c in view.root.calls]
+    assert 'clipboard_clear' in names
+    appended = [c for c in view.root.calls if c[0] == 'clipboard_append']
+    assert appended
+    text = appended[-1][1][0]
+    assert text.startswith('+ 1a signals_tpu.nodes.osc.Sine')
+    # a `.sigs` add line arriving from ANOTHER process via the OS
+    # clipboard pastes (re-targeted to a free cell)
+    view.root.clipboard_get = lambda: ('+ 9z signals_tpu.nodes.osc.Square'
+                                       ' enabled=true')
+    view.clipboard = None
+    view._paste()
+    assert any('Square' in ln for ln in view.p.controller.dump())
+    for seq in ('<Alt-s>', '<Alt-d>', '<Alt-o>', '<Alt-i>'):
+        assert seq in view.root.bindings
+    view.device_dialog('source')        # Alt+I path: preselects sources
+
+
+def test_clip_text_round_trip():
+    """The OS-clipboard text form is the `.sigs` add grammar and
+    round-trips through parse."""
+    from signals_tpu.ui import actions
+    payload = ('signals_tpu.nodes.osc.Sine', 'enabled=true')
+    text = actions.clip_text(payload)
+    assert text == '+ 1a signals_tpu.nodes.osc.Sine enabled=true'
+    assert actions.parse_clip_text(text) == payload
+    assert actions.parse_clip_text('not a sigs line') is None
+    assert actions.parse_clip_text('+ zz bad.coord x=1') is None

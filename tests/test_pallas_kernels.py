@@ -496,3 +496,161 @@ def test_sosfilt_segments_gen_bit_exact_source():
         osc_code=OSC_SAW, rate=rate, interpret=True, sum_groups=chx))
     refs = ref.reshape(S, F, k, chx).sum(axis=3)
     assert np.abs(gots - refs).max() / np.abs(refs).max() < 1e-5
+
+
+def test_kernel_grads_match_scan_reference():
+    """custom_vjp coverage: ``value_and_grad`` through the Pallas
+    entrypoints (interpret mode) equals the gradient of the vmap/scan
+    reference of the same math — the machinery that makes the TPU fast
+    paths differentiable (``pallas_kernels._make_cv``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from signals_tpu.compiler.filters import sosfilt_scan
+    from signals_tpu.compiler.pallas_kernels import (
+        sosfilt_batch, sosfilt_segments)
+
+    rng = np.random.default_rng(0)
+    B, L, ch, tail = 3, 64, 4, 32
+    x = jnp.asarray(rng.standard_normal((L, B, ch)), jnp.float32)
+    crits = jnp.asarray(rng.uniform(500, 5000, (1, B * ch)), jnp.float32)
+    co = design_coupled(jnp, 'lp', (crits,), NYQ).reshape(
+        1, B, ch, 11).transpose(1, 0, 2, 3)
+
+    def loss(co, x):
+        return jnp.sum(sosfilt_batch(co, x, interpret=True,
+                                     tail=tail) ** 2)
+
+    def loss_ref(co, x):
+        y = jax.vmap(sosfilt_scan, in_axes=(0, 1), out_axes=1)(co, x)
+        return jnp.sum(y[L - tail:] ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1))(co, x)
+    r = jax.grad(loss_ref, argnums=(0, 1))(co, x)
+    for a, b in zip(g, r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-4)
+
+    ns, sf, C, chs = 4, 128, 128, 64
+    T = C + ns * sf
+    x = jnp.asarray(rng.standard_normal((T, chs)), jnp.float32)
+    crits = jnp.asarray(rng.uniform(500, 5000, (1, ns * chs)), jnp.float32)
+    co = design_coupled(jnp, 'lp', (crits,), NYQ).reshape(
+        1, ns, chs, 11).transpose(1, 0, 2, 3)
+    idx = np.arange(ns)[:, None] * sf + np.arange(C + sf)[None, :]
+
+    def loss_s(co, x):
+        return jnp.sum(sosfilt_segments(
+            co, x, n_segments=ns, seg_frames=sf, context=C,
+            interpret=True, sum_groups=8) ** 2)
+
+    def loss_sr(co, x):
+        yb = jax.vmap(sosfilt_scan)(co, x[idx])[:, C:, :]
+        return jnp.sum(yb.reshape(ns, sf, -1, 8).sum(axis=3) ** 2)
+
+    g = jax.grad(loss_s, argnums=(0, 1))(co, x)
+    r = jax.grad(loss_sr, argnums=(0, 1))(co, x)
+    for a, b in zip(g, r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-3)
+
+
+def test_gen_kernel_grads_flow_to_oscillator_params():
+    """The generator-fed cascade is differentiable in hertz/phase/amp
+    (``lanef``) and coefficients; ``toff`` (int32) gets a float0
+    cotangent.  Grads equal the pure-JAX synth+scan reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from signals_tpu.compiler.filters import sosfilt_scan
+    from signals_tpu.compiler.pallas_kernels import (
+        OSC_SINE, _gen_source_rows, sosfilt_segments_gen)
+
+    rng = np.random.default_rng(2)
+    ns, sf, C = 2, 128, 128
+    crits = jnp.asarray(rng.uniform(500, 5000, (1, ns * 1024)), jnp.float32)
+    co = design_coupled(jnp, 'lp', (crits,), NYQ).reshape(
+        1, ns, 1024, 11).transpose(1, 0, 2, 3)
+    toff = jnp.zeros((1024,), jnp.int32) - C
+    lanef = jnp.stack([
+        jnp.asarray(rng.uniform(100, 1000, (1024,)), jnp.float32),
+        jnp.zeros((1024,), jnp.float32),
+        jnp.ones((1024,), jnp.float32)])
+
+    def loss(co, lanef):
+        y = sosfilt_segments_gen(
+            co, toff, lanef, n_segments=ns, seg_frames=sf, context=C,
+            osc_code=OSC_SINE, rate=44100, interpret=True,
+            sum_groups=1024)
+        return jnp.sum(y ** 2)
+
+    def loss_ref(co, lanef):
+        x = _gen_source_rows(toff, lanef, n_segments=ns, seg_frames=sf,
+                             context=C, osc_code=OSC_SINE, rate=44100)
+        yb = jax.vmap(sosfilt_scan)(co, x)[:, C:, :]
+        return jnp.sum(yb.reshape(ns, sf, 1, 1024).sum(axis=3) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1))(co, lanef)
+    r = jax.grad(loss_ref, argnums=(0, 1))(co, lanef)
+    assert float(jnp.linalg.norm(g[1][0])) > 0        # hz grads nonzero
+    for a, b in zip(g, r):
+        # primal values differ by ~1e-7 relative (kernel vs scan
+        # reassociation), which the quadratic loss scales into the
+        # cotangents — a relative comparison is the honest one
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4)
+
+
+def test_sosfilt_segments_wide_sum_groups():
+    """Sum groups WIDER than one lane group (the 2048-voice mix
+    epilogue): each 1024-lane kernel call reduces its own group and the
+    partial columns add — matches the full-output grouped sum."""
+    from signals_tpu.compiler.pallas_kernels import sosfilt_segments
+
+    rng = np.random.default_rng(3)
+    S, F, C, ch = 2, 128, 128, 2048
+    T = C + S * F
+    x = rng.standard_normal((T, ch)).astype(np.float32)
+    co = (rng.standard_normal((S, 1, ch, 11)) * 0.1).astype(np.float32)
+    full = np.asarray(sosfilt_segments(co, x, n_segments=S, seg_frames=F,
+                                       context=C, interpret=True))
+    got = np.asarray(sosfilt_segments(co, x, n_segments=S, seg_frames=F,
+                                      context=C, interpret=True,
+                                      sum_groups=2048))
+    ref = full.reshape(S, F, 1, 2048).sum(axis=3)
+    assert got.shape == (S, F, 1)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-5
+
+
+def test_sosfilt_segments_gen_wide_lanes():
+    """Generator-fed segments beyond one lane group (2048 voices): the
+    wide split matches per-group calls, and the wide epilogue
+    (sum_groups=2048) matches the summed full output."""
+    from signals_tpu.compiler.pallas_kernels import (
+        OSC_SAW, sosfilt_segments_gen)
+
+    rng = np.random.default_rng(4)
+    ns, sf, C, ch = 2, 128, 128, 2048
+    co = (rng.standard_normal((ns, 1, ch, 11)) * 0.1).astype(np.float32)
+    toff = np.full((ch,), -C, np.int32)
+    lanef = np.stack([
+        rng.uniform(100, 1000, (ch,)).astype(np.float32),
+        np.zeros((ch,), np.float32),
+        np.ones((ch,), np.float32)])
+    wide = np.asarray(sosfilt_segments_gen(
+        co, toff, lanef, n_segments=ns, seg_frames=sf, context=C,
+        osc_code=OSC_SAW, rate=44100, interpret=True))
+    parts = [np.asarray(sosfilt_segments_gen(
+        co[:, :, j * 1024:(j + 1) * 1024, :], toff[j * 1024:(j + 1) * 1024],
+        lanef[:, j * 1024:(j + 1) * 1024], n_segments=ns, seg_frames=sf,
+        context=C, osc_code=OSC_SAW, rate=44100, interpret=True))
+        for j in range(2)]
+    np.testing.assert_array_equal(wide, np.concatenate(parts, axis=2))
+
+    gots = np.asarray(sosfilt_segments_gen(
+        co, toff, lanef, n_segments=ns, seg_frames=sf, context=C,
+        osc_code=OSC_SAW, rate=44100, interpret=True, sum_groups=2048))
+    ref = wide.reshape(ns, sf, 1, 2048).sum(axis=3)
+    scale = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(gots - ref).max() / scale < 1e-5
