@@ -27,20 +27,18 @@ import numpy as np
 RATE = 44100
 BLOCK = 1024
 TOL = 1e-5
-#: Nonlinear feedback loops (config 6: tanh drive inside a recirculating
-#: delay) amplify backend transcendental ULP differences: XLA:TPU's tanh
-#: disagrees with numpy's libm by O(1e-7) per call, and the loop re-injects
-#: the difference every D frames until the tanh contraction saturates it.
-#: Measured on v5e: max abs err 2.84e-5 at 1 s of audio, 3.00e-5 at 5 s,
-#: flat through 30 s — a stable fixed point, not divergence (the same
-#: check on XLA:CPU, whose tanh matches libm, passes at < 1e-7).  Linear
-#: configs keep the strict TOL.
-TOL_NONLINEAR_FB = 1e-4
-PARITY_TOL = {'saturated_echo': TOL_NONLINEAR_FB,
-              # the poly mix is a 64-voice SUM: BASELINE.md's 1e-5
-              # max-abs budget is per rendered patch, so the mix's
-              # budget is 64x (check_poly_parity returns raw max-abs)
-              'poly64_mix': 64 * TOL}
+#: The former TOL_NONLINEAR_FB carve-out (1e-4 for the saturated echo) is
+#: RETIRED: Drive's saturator is now ``mathx.tanh_exact`` — f64
+#: arithmetic-only tanh rounded to f32 once, bit-identical across
+#: engines — so backend tanh ULP differences can no longer re-inject
+#: through the feedback loop (they measured a stable ~3e-5 on v5e with
+#: library tanh).  Every config now carries the uniform 1e-5 budget,
+#: per-voice-normalized where mixes sum.
+PARITY_TOL = {
+    # the poly mix is a 64-voice SUM: BASELINE.md's 1e-5 max-abs budget
+    # is per rendered patch, so the mix's budget is 64x
+    # (check_poly_parity returns raw max-abs)
+    'poly64_mix': 64 * TOL}
 F32 = np.float32
 
 
@@ -334,6 +332,114 @@ def bench_single(root, *, seconds=1.0, label='', channels=1,
     samples = n_blocks * BLOCK
     return {'label': label, 'x_realtime': samples / RATE / t,
             'samples_per_sec': samples / t, 'wall_per_call_s': t}
+
+
+def bench_vis(root, *, seconds=1.0, label=''):
+    """Config 1 as the product actually plots it: render on device and
+    fetch ONLY the vis taps' decimated display summaries
+    (``CompiledPatch.render_vis`` — Wave = ~1500-point min/max envelope,
+    Spec = FFT band magnitudes).  A Wave plot consumes at most 1500
+    frames per 30 ms tick (reference ``ui/vis.py:17-19``); the envelope
+    IS the deliverable, so full-rate audio never crosses the host link.
+    """
+    import jax
+
+    from signals_tpu.compiler import compile_node
+    compiled = compile_node(root, block_frames=BLOCK, rate=RATE,
+                            channels=1)
+    n_blocks = int(round(seconds * RATE / BLOCK))
+    params = compiled.params()
+    host = compiled.stage_host(0, n_blocks)
+    run, _vis_nodes = compiled._vis_fn(n_blocks)
+    carry0 = compiled.carry0
+
+    def launch(i):
+        return run(params, jax.tree.map(lambda x: x, carry0), 0, host)
+
+    def materialize(out):
+        summaries, _carry = out
+        return {uid: np.asarray(s) for uid, s in summaries.items()}
+
+    t = time_render_pipelined(launch, materialize=materialize)
+    samples = n_blocks * BLOCK
+    pts = sum(int(np.prod(np.shape(v)))
+              for v in materialize(launch(0)).values())
+    return {'label': label, 'x_realtime': samples / RATE / t,
+            'samples_per_sec': samples / t, 'wall_per_call_s': t,
+            'summary_points_fetched': pts}
+
+
+def bench_fit_step(*, n_voices=64, seconds=1.0):
+    """Differentiable synthesis, device-resident: one jitted
+    ``value_and_grad`` optimization step (spectral loss vs a target
+    rendered at a different cutoff) through the product-default TPU
+    lowering — the packed Pallas cascade running under the round-4
+    custom VJPs.  Only the scalar loss and a grad-norm scalar leave the
+    device; ``x_realtime`` = seconds of audio differentiated (forward +
+    backward) per wall second."""
+    import jax
+    import jax.numpy as jnp
+
+    from signals_tpu.compiler import compile_node
+    from signals_tpu.learn import make_loss_fn
+    from signals_tpu.nodes.fx import Gain, LowPass
+    from signals_tpu.nodes.osc import Sawtooth
+
+    hz = fixed(_poly_freqs(n_voices))
+    saw = Sawtooth()
+    saw.hertz = hz
+    cut = fixed(800.0)
+    lp = LowPass()
+    lp.input = saw
+    lp.cutoff = cut
+    g = Gain()
+    g.left = lp
+    g.right = fixed(1.0 / n_voices)
+    compiled = compile_node(g, block_frames=BLOCK, rate=RATE,
+                            channels=n_voices)
+    n_blocks = int(round(seconds * RATE / BLOCK))
+    engaged = compiled.packed_mega_streams(n_blocks) is not None
+    params = compiled.params()
+    host = compiled.stage_host(0, n_blocks)
+    carry0 = compiled.carry0
+    cut_uid = compiled.index.info(cut).uid
+
+    # target: the same patch at cutoff 2500 Hz, rendered device-resident
+    fn = compiled.render_fn(n_blocks)
+    tgt_params = {u: dict(leaves) for u, leaves in params.items()}
+    tgt_params[cut_uid]['value'] = jnp.full((1, 1), 2500.0, jnp.float32)
+    target, _, _ = fn(tgt_params, jax.tree.map(jnp.asarray, carry0), 0,
+                      host)
+    target = target.reshape(n_blocks * BLOCK, n_voices)
+    loss_fn = make_loss_fn(compiled, target)
+
+    def merged(tp):
+        out = {u: dict(leaves) for u, leaves in params.items()}
+        out[cut_uid] = dict(out[cut_uid])
+        out[cut_uid].update(tp)
+        return out
+
+    vg = jax.jit(jax.value_and_grad(lambda tp: loss_fn(merged(tp))))
+    tp0 = {'value': jnp.asarray(params[cut_uid]['value'], jnp.float32)}
+
+    def launch(i):
+        return vg(tp0)
+
+    def materialize(out):
+        v, grads = out
+        return float(v), float(jnp.sum(jnp.abs(grads['value'])))
+
+    t = time_render_pipelined(launch, n_outstanding=4,
+                              materialize=materialize)
+    _, gnorm = materialize(launch(0))
+    samples = n_blocks * BLOCK
+    return {'label': f'fit-step-{n_voices}v',
+            'steps_per_sec': 1.0 / t,
+            'x_realtime': samples / RATE / t,
+            'wall_per_call_s': t,
+            'grad_l1': gnorm,
+            'packed_family_engaged': engaged,
+            'source_gen_engaged': compiled.packed_gen_engaged(n_blocks)}
 
 
 def bench_poly(root, hz_node, n_voices, *, seconds=1.0, label='',
@@ -766,6 +872,16 @@ def main(argv=None):
                  lambda: check_parity(c5, n_blocks=n_blocks))
     guard('c5_fm_delay',
           lambda: bench_single(c5, seconds=seconds, label='fm+delay+spec'))
+
+    # config 8: differentiable synthesis — one jitted value_and_grad
+    # step through the product-default lowering (round-4 custom VJPs on
+    # the Pallas kernels); before round 4 this RAISED on TPU for every
+    # packed/mega patch
+    progress('bench: config 8 (fit step, 64 voices)...')
+    guard('c8_fit_step_64v',
+          lambda: bench_fit_step(
+              n_voices=64,
+              seconds=1.0 if not args.quick else 0.25))
     guard('c5_fm_delay_device_resident',
           lambda: bench_single_device(c5, seconds=seconds,
                                       label='fm+delay-device'))
@@ -799,12 +915,20 @@ def main(argv=None):
               lambda: bench_poly_device(voice4f2, hz4f2, 2048,
                                         seconds=seconds / 8))
 
-    # config 1: sine + plot
+    # config 1: sine + plot.  The PLOT deliverable is ~1500 display
+    # points (reference ui/vis.py:17-19), so the product flow renders on
+    # device and fetches only the decimated envelope (render_vis) — the
+    # full-rate f32 fetch stays measured alongside for continuity (it is
+    # tunnel-bound: ~170 KB/s of audio through a 20-45 MB/s link).
     progress('bench: config 1 (sine+vis)...')
     c1 = build_sine_plot()
     guard_parity('sine', lambda: check_parity(c1, n_blocks=n_blocks))
     guard('c1_sine_plot',
-          lambda: bench_single(c1, seconds=seconds, label='sine+vis'))
+          lambda: bench_vis(c1, seconds=seconds,
+                            label='sine+vis device-decimated plot'))
+    guard('c1_sine_fullfetch',
+          lambda: bench_single(c1, seconds=seconds,
+                               label='sine+vis full f32 fetch'))
 
     # config 2: 16-osc additive
     progress('bench: config 2 (additive-16)...')
@@ -875,6 +999,18 @@ def main(argv=None):
                 guard('c4_poly256_device_resident_gen_mixsum',
                       lambda: bench_poly_device(voice4k, hz4k, 256,
                                                 seconds=seconds,
+                                                mix_epilogue=True))
+                # config 4l (round 4): 2048 voices — the voice group now
+                # spans TWO lane-group kernel calls (wide epilogue:
+                # per-group in-kernel sums, partial columns added);
+                # before this round 2048 voices had NO packed plan at
+                # all and fell to the split mega cascades (151x)
+                progress('bench: config 4l (poly-2048, gen+mix '
+                         'epilogue)...')
+                voice4l, hz4l = build_subtractive_voice()
+                guard('c4_poly2048_device_resident_gen_mixsum',
+                      lambda: bench_poly_device(voice4l, hz4l, 2048,
+                                                seconds=seconds / 8,
                                                 mix_epilogue=True))
         finally:
             _fmod.SEG_SOURCE_GEN = _gen_saved

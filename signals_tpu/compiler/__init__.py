@@ -992,6 +992,7 @@ class CompiledPatch:
         self.step = jax.jit(step_core, donate_argnums=(1,))
         self._render_cache: dict[int, typing.Any] = {}
         self._encoded_cache: dict[tuple, typing.Any] = {}
+        self._vis_cache: dict[int, typing.Any] = {}
 
     def _collect_host_spec(self, compiler: _Compiler) -> list[tuple]:
         """(node, window, key) for every host-fed input discovered in the
@@ -1796,6 +1797,65 @@ class CompiledPatch:
                             arr[i], position + i * self.block_frames,
                             self.rate)
         return audio, carry2
+
+    def _vis_fn(self, n_blocks: int):
+        import jax
+        import jax.numpy as jnp
+
+        from signals_tpu.nodes.vis import Vis
+        if n_blocks in self._vis_cache:
+            return self._vis_cache[n_blocks]
+        inner = self.render_core(n_blocks)
+        F = self.block_frames
+        rate = self.rate
+        vis_nodes = {uid: node for uid, node in self.tap_nodes.items()
+                     if isinstance(node, Vis)}
+
+        @jax.jit
+        def run(params, carry, position, host):
+            blocks, carry2, taps = inner(params, carry, position, host)
+            out = {}
+            for uid, node in vis_nodes.items():
+                if uid in taps:
+                    x = taps[uid].reshape(n_blocks * F, -1)
+                    out[uid] = node.tap_summary(jnp, x, rate)
+            return out, carry2
+
+        self._vis_cache[n_blocks] = (run, vis_nodes)
+        return self._vis_cache[n_blocks]
+
+    def render_vis(self, *, position: int = 0, n_blocks: int = 1,
+                   carry: typing.Optional[dict] = None):
+        """Render on device and fetch ONLY the vis taps' decimated
+        display summaries (``Vis.tap_summary``: Wave = per-pixel min/max
+        envelope, Spec = FFT band magnitudes) — ~1500 points per tap
+        instead of full-rate f32 audio.  A Wave plot consumes at most
+        1500 frames per 30 ms tick (reference ``ui/vis.py:17-19``), so
+        shipping the raw samples through the 20-45 MB/s host tunnel to
+        draw it is pure waste; the full-rate tap array never leaves the
+        device (XLA dead-code-eliminates the unfetched outputs).
+
+        Returns ``({uid: np.ndarray summary}, carry')`` and delivers each
+        summary to its node's ``consume_summary`` (plots pick them up via
+        ``Vis.render`` when no full-rate blocks are queued).
+        """
+        import jax
+        params = self.params()
+        if carry is None:
+            carry = jax.tree.map(lambda x: x, self.carry0)
+        host = self.stage_host(position, n_blocks)
+        run, vis_nodes = self._vis_fn(n_blocks)
+        out, carry2 = run(params, carry, position, host)
+        frames = n_blocks * self.block_frames
+        summaries = {}
+        for uid, s in out.items():
+            node = vis_nodes[uid]
+            if not node.get_state().enabled:
+                continue
+            arr = np.asarray(s)
+            summaries[uid] = arr
+            node.consume_summary(arr, frames, position, self.rate)
+        return summaries, carry2
 
     def render_encoded(self, *, position: int = 0, n_blocks: int = 1,
                        carry: typing.Optional[dict] = None,

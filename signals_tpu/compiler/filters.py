@@ -75,8 +75,9 @@ CHUNK_FRAMES = 16
 MEGA_FILTER_IMPL = 'auto'
 
 #: generator-fed cascade: when a packed filter family's input is a
-#: plain oscillator (Saw/Square/Triangle) driven by ``Fixed`` controls,
-#: synthesize it INSIDE the segment kernel from iota + per-lane params
+#: plain oscillator (Sine/Saw/Square/Triangle) driven by ``Fixed``
+#: controls, synthesize it INSIDE the segment kernel from iota +
+#: per-lane params
 #: (:func:`signals_tpu.compiler.pallas_kernels.sosfilt_segments_gen`) —
 #: the packed input timeline is then never written to HBM nor DMA-read
 #: back.  Participates in the graph hash, so flipping it compiles (and

@@ -97,6 +97,88 @@ def sin2pi_f32(xp, t):
     return -(y * acc)
 
 
+#: float64 Taylor coefficients 1/n! for the deterministic exp kernels
+_EXP_COEFFS = tuple(1.0 / math.factorial(n) for n in range(15))
+#: fdlibm hi/lo split of ln 2: k * _LN2_HI is exact for |k| < 2^20
+_LN2_HI = 6.93147180369123816490e-01
+_LN2_LO = 1.90821492927058770002e-10
+_LOG2E = 1.4426950408889634074
+_HALF_LN2 = 0.34657359027997264
+#: 2^k lookup (exact f64 constants — exp2/pow are libm calls whose
+#: rounding varies by backend; a table doesn't)
+_POW2_TAB = np.ldexp(np.float64(1.0), np.arange(64))
+
+
+def tanh_exact(xp, x):
+    """``tanh(x)`` for float32 ``x``, bit-identical across engines — the
+    :func:`sin2pi` discipline applied to the saturator.
+
+    Library ``tanh`` differs between XLA:TPU and numpy's libm by
+    O(1e-7) per call; a feedback loop (saturated tape echo) re-injects
+    the difference every pass until it saturates at ~3e-5 — the one
+    place the 1e-5 cross-engine parity budget used to need a carve-out
+    (``bench.py TOL_NONLINEAR_FB``, retired by this function).
+
+    Construction: everything runs in float64 **arithmetic only** (+ - *
+    / floor/where/table-gather — no libm calls whose rounding could
+    differ), then rounds to float32 once.
+
+    * ``|x| <= ln2/4``: ``em1 = expm1(2|x|)`` by its Taylor series
+      (degree 14, truncation ~1e-18 rel), ``tanh = em1 / (em1 + 2)`` —
+      full precision at small arguments, no cancellation.
+    * larger ``|x|``: ``e = exp(2|x|)`` by Cody-Waite reduction
+      (``k = round(y/ln2)``, ``r = y - k ln2`` via the hi/lo split,
+      Taylor ``exp(r)``, exact ``2^k`` from a table — NOT ``exp2``,
+      which is a libm call), ``tanh = (e-1)/(e+1)`` (``e >= 1.41``, no
+      cancellation).
+    * ``|x| > 10``: exactly 1.0 (true tanh is within a quarter f32 ulp).
+
+    f64 FMA contraction / non-correctly-rounded emulated division
+    perturb f64 ulps only; those vanish at the final f32 rounding except
+    on rounding-boundary ties (~2^-28 per sample — the same measured-
+    zero exposure :func:`sin2pi` carries).  Differentiable: the branch
+    selectors (floor, where, gather) are locally constant, so gradients
+    flow through the rational kernels (``learn`` fits Drive stages).
+    """
+    if xp is np:
+        guard = contextlib.nullcontext()
+    else:
+        import jax
+        guard = jax.enable_x64(True)
+    with guard:
+        f64 = xp.float64
+        xd = xp.asarray(x).astype(f64)
+        ax = xp.abs(xd)
+        sign = xp.where(xd < 0.0, f64(-1.0), f64(1.0))
+        y = xp.minimum(2.0 * ax, f64(40.0))
+
+        # small branch: em1 = expm1(y) = y * Q(y), Q = sum y^n/(n+1)!
+        accq = xp.full_like(y, _EXP_COEFFS[-1])
+        for c in _EXP_COEFFS[-2:0:-1]:
+            accq = c + y * accq                    # ends at 1/1!
+        em1 = y * accq
+        t_small = em1 / (em1 + 2.0)
+
+        # large branch: e = exp(y) via Cody-Waite + exact 2^k
+        k = xp.floor(y * _LOG2E + 0.5)
+        r = (y - k * _LN2_HI) - k * _LN2_LO
+        acce = xp.full_like(r, _EXP_COEFFS[-1])
+        for c in _EXP_COEFFS[-2::-1]:
+            acce = c + r * acce                    # exp(r)
+        ki = xp.clip(k, 0, 63).astype(xp.int32)
+        if xp is np:
+            pow2 = _POW2_TAB[ki]
+        else:
+            pow2 = xp.asarray(_POW2_TAB)[ki]
+        e = acce * pow2
+        t_large = (e - 1.0) / (e + 1.0)
+
+        t = xp.where(y <= _HALF_LN2, t_small, t_large)
+        t = xp.where(ax > 10.0, f64(1.0), t)
+        out = (sign * t).astype(F32)
+    return out
+
+
 def cos2pi(xp, t, exact=None):
     """``cos(2*pi*t)`` for ``t`` in ``[0, 1)`` via the quarter-turn shift
     (the shift and re-reduction are exact ops)."""

@@ -666,9 +666,13 @@ class CommandSet:
 
     class Plot(LineCommand):
         """Render a Vis node's queued blocks to an image:
-        ``plot <vis_at> <path.png> [frames]`` (run after playback or
-        ``bounce`` so the tap has data).  Headless counterpart of the
-        reference's vis dock (``ui/vis.py``)."""
+        ``plot <vis_at> <path.png> [frames]``.  With data queued (after
+        playback or ``bounce``) the full-rate blocks draw as in the
+        reference's vis dock (``ui/vis.py``); with nothing queued the
+        patch renders ON DEVICE and only the tap's decimated display
+        summary is fetched (``CompiledPatch.render_vis`` — Wave fetches
+        a ~1500-point min/max envelope, Spec its FFT band magnitudes,
+        never full-rate audio through the host link)."""
 
         at: Coordinates
         path: pathlib.Path
@@ -688,6 +692,17 @@ class CommandSet:
             import matplotlib
             matplotlib.use('Agg')
             import matplotlib.pyplot as plt
+            node = controller.map.find(self.at)
+            from signals_tpu.nodes.vis import Vis
+            if (isinstance(node, Vis) and node.q.empty()
+                    and node.summary_q.empty()):
+                # nothing queued: one-shot device render of the tap's
+                # upstream patch, fetching only the display summary
+                from signals_tpu.compiler import compile_node
+                bf = 1024
+                compiled = compile_node(node, block_frames=bf, rate=44100)
+                compiled.render_vis(
+                    n_blocks=max(1, -(-self.frames // bf)))
             fig, ax = plt.subplots(figsize=(6, 3))
             controller.map.render(self.at, ax, self.frames)
             fig.savefig(self.path)

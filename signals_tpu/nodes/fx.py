@@ -91,16 +91,22 @@ class Amp(BinaryEffect):
 class Drive(Effect):
     """Soft saturation: ``tanh(input * drive) / tanh(drive)`` with the
     drive amount at block rate (normalized so unity passes through at low
-    drive).  The classic waveshaper distortion stage the reference lacks."""
+    drive).  The classic waveshaper distortion stage the reference lacks.
+
+    The saturator is :func:`~signals_tpu.core.mathx.tanh_exact` — library
+    ``tanh`` ULP differences between XLA:TPU and numpy would otherwise
+    re-inject through feedback loops and grow to ~3e-5 (the parity
+    budget's one former carve-out)."""
 
     input: Receiver.BoundPort = port('input')
     drive: Receiver.BoundPort = port('drive')
 
     def kernel(self, ctx: KernelCtx):
+        from signals_tpu.core.mathx import tanh_exact
         xp = ctx.xp
         x = ctx.in_('input')
         d = xp.maximum(ctx.in_block_rate('drive'), F32(1e-3))
-        return xp.tanh(x * d) / xp.tanh(d)
+        return tanh_exact(xp, x * d) / tanh_exact(xp, d)
 
 
 @register()

@@ -89,6 +89,14 @@ class PolyPatch:
         self.axis_name = axis_name
         self._mix_epilogue = mix_epilogue and layout == 'channels'
         self._render_cache: dict[int, typing.Any] = {}
+        if mesh is not None:
+            n_dev = int(np.prod(mesh.devices.shape))
+            if n_voices < n_dev * MIN_EFFICIENT_VOICES_PER_DEVICE:
+                # the efficiency policy: sharding this narrow is measured
+                # SLOWER in total than fewer devices — warn, don't block
+                # (the virtual-mesh validation paths shard tiny patches
+                # on purpose)
+                _warn_narrow_shard(n_voices, n_dev, 'PolyPatch')
 
         if layout == 'channels':
             # Voices ride the channel/lane axis.  With a mesh, the lane
@@ -547,14 +555,52 @@ class PolyPatch:
         return audio, carry2
 
 
+#: Lane-efficiency knee, measured (MULTICHIP_r03.json tail): 8
+#: voices/device cost ~3x the per-voice wall of one 64-voice program —
+#: the VPU's 128-lane vectors run mostly empty on narrow shards, so
+#: spreading few voices over many chips makes total throughput WORSE
+#: than fewer chips.  Sharding below this width warns (PolyPatch) and
+#: the mesh factory auto-declines it (voice_mesh(n_voices=...)).
+MIN_EFFICIENT_VOICES_PER_DEVICE = 64
+
+
+def efficient_device_count(n_voices: int, available: int) -> int:
+    """Largest device count (>= 1, <= available) keeping voices/device
+    at or above :data:`MIN_EFFICIENT_VOICES_PER_DEVICE`."""
+    return max(1, min(available,
+                      n_voices // MIN_EFFICIENT_VOICES_PER_DEVICE))
+
+
+def _warn_narrow_shard(n_voices: int, n_devices: int, where: str) -> None:
+    import warnings
+    per = n_voices / max(n_devices, 1)
+    warnings.warn(
+        f'{where}: {n_voices} voices over {n_devices} devices = '
+        f'{per:.0f} voices/device, below the measured lane-efficiency '
+        f'knee ({MIN_EFFICIENT_VOICES_PER_DEVICE}); narrow shards run '
+        f'the VPU mostly empty (~3x the per-voice cost at 8/device vs '
+        f'64/device, MULTICHIP_r03.json) — use '
+        f'voice_mesh(n_voices={n_voices}) (auto-caps at '
+        f'{efficient_device_count(n_voices, n_devices)} device(s) here) '
+        f'or fewer devices for HIGHER total throughput',
+        RuntimeWarning, stacklevel=3)
+
+
 def voice_mesh(n_devices: typing.Optional[int] = None,
                axis_name: str = 'voices',
-               platform: typing.Optional[str] = None):
+               platform: typing.Optional[str] = None,
+               n_voices: typing.Optional[int] = None):
     """A 1-D device mesh over the voice axis (all devices by default).
 
     ``platform='cpu'`` selects the virtual host devices explicitly — the
     path used when validating sharding without multi-chip hardware (the
     default backend may be a single tunneled TPU chip).
+
+    ``n_voices`` engages the efficiency policy: with ``n_devices`` not
+    pinned, the mesh is capped at :func:`efficient_device_count` so every
+    shard keeps at least :data:`MIN_EFFICIENT_VOICES_PER_DEVICE` lanes
+    (spreading fewer is measured SLOWER in total); with ``n_devices``
+    pinned below the knee, a RuntimeWarning says so.
     """
     import jax
     from jax.sharding import Mesh
@@ -566,5 +612,10 @@ def voice_mesh(n_devices: typing.Optional[int] = None,
                 f'{len(devices)}; set XLA_FLAGS='
                 f'--xla_force_host_platform_device_count={n_devices} before '
                 f'JAX initializes')
+        if (n_voices is not None
+                and n_voices < n_devices * MIN_EFFICIENT_VOICES_PER_DEVICE):
+            _warn_narrow_shard(n_voices, n_devices, 'voice_mesh')
         devices = devices[:n_devices]
+    elif n_voices is not None:
+        devices = devices[:efficient_device_count(n_voices, len(devices))]
     return Mesh(np.array(devices), (axis_name,))

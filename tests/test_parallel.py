@@ -674,3 +674,47 @@ def test_source_gen_not_engaged_for_shaped_input():
     finally:
         FI.MEGA_FILTER_IMPL, FI.SEG_SOURCE_GEN = oldm, oldg
         C._compile_cache.clear()
+
+
+def test_voice_mesh_efficiency_policy():
+    """The lane-efficiency knee (MULTICHIP_r03: 8 voices/device cost
+    ~3x one 64-voice program per voice) is POLICY now:
+    ``voice_mesh(n_voices=...)`` caps the device count so shards keep
+    >= MIN_EFFICIENT_VOICES_PER_DEVICE lanes; explicitly pinning a
+    narrower shard (or building a narrow-shard PolyPatch) warns."""
+    import warnings
+
+    from signals_tpu.parallel import (
+        MIN_EFFICIENT_VOICES_PER_DEVICE, efficient_device_count,
+        voice_mesh)
+
+    assert MIN_EFFICIENT_VOICES_PER_DEVICE == 64
+    assert efficient_device_count(64, 8) == 1
+    assert efficient_device_count(512, 8) == 8
+    assert efficient_device_count(8, 8) == 1       # never zero devices
+
+    mesh = voice_mesh(platform='cpu', n_voices=64)
+    assert int(np.prod(mesh.devices.shape)) == 1
+    mesh = voice_mesh(platform='cpu', n_voices=256)
+    assert int(np.prod(mesh.devices.shape)) == 4
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        voice_mesh(8, platform='cpu', n_voices=64)
+    assert any('lane-efficiency' in str(w.message) for w in caught)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        voice_mesh(8, platform='cpu', n_voices=512)   # at the knee: quiet
+    assert not caught
+
+    # PolyPatch warns too (narrow shard over an explicit mesh)
+    import signals_tpu.compiler as C
+    root, hz, _ = _voice()
+    freqs = np.linspace(100, 800, 16).astype(np.float32)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        PolyPatch(root, n_voices=16, overrides={(hz, 'value'): freqs},
+                  block_frames=F, rate=RATE,
+                  mesh=voice_mesh(8, platform='cpu'), layout='channels')
+    assert any('lane-efficiency' in str(w.message) for w in caught)
+    C._compile_cache.clear()

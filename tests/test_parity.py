@@ -587,3 +587,60 @@ def test_quantize_snaps_to_scale():
     # quantizer output is locked to scale tones (few unique values)
     tones = _parity(qz, n_blocks=16, tol=HZ_TOL)
     assert len(np.unique(tones.round(2))) <= 14
+
+
+def test_tanh_exact_cross_engine_bits_and_accuracy():
+    """``mathx.tanh_exact``: bit-identical numpy vs jitted-jax on the
+    same inputs (the property that retires the saturated-echo parity
+    carve-out), and accurate to ~1 f32 ulp vs f64 ``np.tanh``."""
+    import jax
+    import jax.numpy as jnp
+
+    from signals_tpu.core.mathx import tanh_exact
+
+    rng = np.random.default_rng(0)
+    x = np.concatenate([
+        rng.uniform(-12.0, 12.0, 20000),
+        rng.uniform(-0.4, 0.4, 20000),
+        rng.uniform(-1e-4, 1e-4, 5000),
+        np.array([0.0, -0.0, 10.0001, -10.0001, 0.3465, -0.3465]),
+    ]).astype(np.float32)
+    got_np = tanh_exact(np, x)
+    got_jx = np.asarray(jax.jit(lambda v: tanh_exact(jnp, v))(x))
+    np.testing.assert_array_equal(got_np, got_jx)
+    want = np.tanh(x.astype(np.float64))
+    assert np.abs(got_np - want).max() < 2.5e-7
+    # saturation tail is exactly +/-1.0 (a quarter-ulp from true tanh)
+    assert (got_np[x > 10] == 1.0).all()
+    assert (got_np[x < -10] == -1.0).all()
+
+
+def test_drive_feedback_parity_uniform_budget():
+    """The saturated-echo class of patch (tanh inside a recirculating
+    delay) holds the UNIFORM 1e-5 parity budget — no nonlinear-feedback
+    carve-out (bench.py's TOL_NONLINEAR_FB is retired; Drive saturates
+    via tanh_exact)."""
+    from signals_tpu.nodes.delay import Delay
+    from signals_tpu.nodes.fx import Drive, Gain, LowPass, Mix
+    from signals_tpu.nodes.osc import Sawtooth
+
+    saw = Sawtooth()
+    saw.hertz = fixed(110.0)
+    mix = Mix()
+    d = Delay()
+    d.get_state().frames = 8 * 512 + 5
+    lp = LowPass()
+    lp.input = d
+    lp.cutoff = fixed(2500.0)
+    lp.get_state().streaming = True
+    fb = Gain()
+    fb.left = lp
+    fb.right = fixed(0.55)
+    shaper = Drive()
+    shaper.input = fb
+    shaper.drive = fixed(3.0)
+    mix.left = saw
+    mix.right = shaper
+    mix.mix = fixed(0.6)
+    d.input = mix
+    _parity(mix, n_blocks=24, tol=1e-5)

@@ -127,3 +127,89 @@ def test_vis_drain_drops_overflow():
     blocks = wave.drain(1024)       # only 2 blocks fit
     assert len(blocks) == 2
     assert wave.drain(1024) == []   # queue fully drained (rest dropped)
+
+
+def test_wave_summary_matches_oracle_minmax():
+    """Device-side Wave decimation (``render_vis``): the fetched
+    per-bucket envelope equals the numpy oracle's min/max of the SAME
+    rendered audio — only ~1500 points cross the host link."""
+    import signals_tpu.compiler as C
+    from signals_tpu.compiler import compile_node
+    from signals_tpu.nodes.osc import Sine
+    from conftest import pull_blocks
+
+    osc = Sine()
+    osc.hertz = fixed(440.0)
+    tap = Wave()
+    tap.input = osc
+    n_blocks, F = 8, 512
+    compiled = compile_node(tap, block_frames=F, rate=44100, channels=1)
+    summaries, _ = compiled.render_vis(n_blocks=n_blocks)
+    uid = compiled.index.info(tap).uid
+    got = summaries[uid]
+    oracle = pull_blocks(tap, n_blocks, block_frames=F, rate=44100,
+                         channels=1)
+    T = n_blocks * F
+    P = min(T, 750)
+    k = -(-T // P)
+    pad = P * k - T
+    x = np.concatenate([oracle, np.repeat(oracle[-1:], pad, 0)]) \
+        if pad else oracle
+    xb = x.reshape(P, k, 1)
+    want = np.stack([xb.min(axis=1), xb.max(axis=1)], axis=1)
+    assert got.shape == want.shape == (P, 2, 1)
+    assert np.abs(got - want).max() < 1e-5
+    # the node received the summary and can draw it with no queued blocks
+    # (drain the full-rate blocks the ORACLE pull just queued — the
+    # device path itself queued none)
+    tap.drain(10 ** 9)
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots()
+    assert tap.q.empty()
+    artists = tap.render(ax, 1500)
+    assert artists
+    plt.close(fig)
+    C._compile_cache.clear()
+
+
+def test_spec_summary_matches_spectrum_oracle():
+    """Device-side Spec decimation: the fetched band magnitudes equal
+    ``Spec.spectrum`` (the host/numpy pooling) on the same window."""
+    import signals_tpu.compiler as C
+    from signals_tpu.compiler import compile_node
+    from signals_tpu.nodes.osc import Sine
+    from conftest import pull_blocks
+
+    osc = Sine()
+    osc.hertz = fixed(1000.0)
+    tap = Spec()
+    tap.input = osc
+    n_blocks, F = 8, 512
+    compiled = compile_node(tap, block_frames=F, rate=44100, channels=1)
+    summaries, _ = compiled.render_vis(n_blocks=n_blocks)
+    uid = compiled.index.info(tap).uid
+    got = summaries[uid]
+    oracle = pull_blocks(tap, n_blocks, block_frames=F, rate=44100,
+                         channels=1)
+    centers, want = tap.spectrum(oracle, 44100)
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 1e-5
+    assert abs(centers[np.asarray(got).argmax()] - 1000) < 300
+    C._compile_cache.clear()
+
+
+def test_plot_command_renders_on_device_when_queue_empty(tmp_path):
+    """`plot` with nothing queued triggers a one-shot device render
+    fetching only the decimated summary (no bounce required)."""
+    ctl = Controller(interactive=False, stdout=io.StringIO())
+    for line in ('sink 7a default',
+                 '+ 1a signals_tpu.nodes.fixed.Fixed value=[[440]]',
+                 '+ 2a signals_tpu.nodes.osc.Sine',
+                 '+ 3a signals_tpu.nodes.vis.Wave',
+                 '> 1a 2a.hertz',
+                 '> 2a 3a.input',
+                 '> 3a 7a.input'):
+        ctl.default(line)
+    png = tmp_path / 'wave.png'
+    ctl.default(f'plot 3a {png}')
+    assert png.stat().st_size > 1000
