@@ -697,10 +697,18 @@ class CommandSet:
             if (isinstance(node, Vis) and node.q.empty()
                     and node.summary_q.empty()):
                 # nothing queued: one-shot device render of the tap's
-                # upstream patch, fetching only the display summary
+                # upstream patch, fetching only the display summary.
+                # Engine shape follows the patch's sink when one is
+                # bound (the rate playback would run at), engine
+                # defaults otherwise.
                 from signals_tpu.compiler import compile_node
-                bf = 1024
-                compiled = compile_node(node, block_frames=bf, rate=44100)
+                bf, rate = 1024, 44100
+                for dinfo in controller.map.iter_sinks():
+                    sink = controller.map.get(dinfo.at)
+                    bf = getattr(sink, 'block_frames', None) or bf
+                    rate = getattr(sink, 'rate', None) or rate
+                    break
+                compiled = compile_node(node, block_frames=bf, rate=rate)
                 compiled.render_vis(
                     n_blocks=max(1, -(-self.frames // bf)))
             fig, ax = plt.subplots(figsize=(6, 3))

@@ -213,3 +213,40 @@ def test_plot_command_renders_on_device_when_queue_empty(tmp_path):
     png = tmp_path / 'wave.png'
     ctl.default(f'plot 3a {png}')
     assert png.stat().st_size > 1000
+
+
+def test_render_vis_through_delay_path():
+    """render_vis works when the tap rides the delay-solver/segment
+    lowering (the c5 FM+delay shape), not just the stateless mega path —
+    summaries still match the oracle's pooling."""
+    import signals_tpu.compiler as C
+    from signals_tpu.compiler import compile_node
+    from signals_tpu.nodes.delay import Delay
+    from signals_tpu.nodes.fx import Gain, Mix
+    from signals_tpu.nodes.osc import Sine
+    from conftest import pull_blocks
+
+    op = Sine()
+    op.hertz = fixed(220.0)
+    mix = Mix()
+    d = Delay()
+    d.get_state().frames = 4 * 512
+    fb = Gain()
+    fb.left = d
+    fb.right = fixed(0.45)
+    mix.left = op
+    mix.right = fb
+    mix.mix = fixed(0.6)
+    d.input = mix
+    tap = Spec()
+    tap.input = mix
+    n_blocks, F = 8, 512
+    compiled = compile_node(tap, block_frames=F, rate=44100, channels=1)
+    summaries, _ = compiled.render_vis(n_blocks=n_blocks)
+    uid = compiled.index.info(tap).uid
+    got = summaries[uid]
+    oracle = pull_blocks(tap, n_blocks, block_frames=F, rate=44100,
+                         channels=1)
+    _, want = tap.spectrum(oracle, 44100)
+    assert np.abs(got - want).max() < 1e-5
+    C._compile_cache.clear()
