@@ -91,7 +91,9 @@ class PolyPatch:
         self._render_cache: dict[int, typing.Any] = {}
         if mesh is not None:
             n_dev = int(np.prod(mesh.devices.shape))
-            if n_voices < n_dev * MIN_EFFICIENT_VOICES_PER_DEVICE:
+            # a 1-device mesh isn't sharding — nothing to decline there
+            if (n_dev > 1
+                    and n_voices < n_dev * MIN_EFFICIENT_VOICES_PER_DEVICE):
                 # the efficiency policy: sharding this narrow is measured
                 # SLOWER in total than fewer devices — warn, don't block
                 # (the virtual-mesh validation paths shard tiny patches
@@ -612,7 +614,7 @@ def voice_mesh(n_devices: typing.Optional[int] = None,
                 f'{len(devices)}; set XLA_FLAGS='
                 f'--xla_force_host_platform_device_count={n_devices} before '
                 f'JAX initializes')
-        if (n_voices is not None
+        if (n_voices is not None and n_devices > 1
                 and n_voices < n_devices * MIN_EFFICIENT_VOICES_PER_DEVICE):
             _warn_narrow_shard(n_voices, n_devices, 'voice_mesh')
         devices = devices[:n_devices]
