@@ -1374,16 +1374,18 @@ def _sosfilt_segments_gen_impl(coeffs, toff, lanef, *, n_segments: int,
 
 
 def _gen_source_rows(toff, lanef, *, n_segments: int, seg_frames: int,
-                     context: int, osc_code: int, rate: int):
+                     context: int, osc_code: int, rate: int, seg0=0):
     """Pure-JAX mirror of the generator kernel's in-kernel synthesis
     (:func:`_seg_kernel_gen`): ``(n_segments, context + seg_frames,
-    LANE_GROUP)`` input rows from per-lane oscillator parameters.  Same
-    op sequence as the kernel (up to the inv_rate constant folding, which
-    only matters for bit-exactness, not gradients)."""
+    LANE_GROUP)`` input rows from per-lane oscillator parameters (for
+    segments ``seg0..seg0 + n_segments``, ``seg0`` possibly traced —
+    the chunked-VJP path synthesizes per chunk).  Same op sequence as
+    the kernel (up to the inv_rate constant folding, which only matters
+    for bit-exactness, not gradients)."""
     import jax.numpy as jnp
 
     f32 = jnp.float32
-    seg = (jnp.arange(n_segments, dtype=jnp.int32)
+    seg = ((jnp.int32(seg0) + jnp.arange(n_segments, dtype=jnp.int32))
            * jnp.int32(seg_frames))[:, None, None]
     row = jnp.arange(context + seg_frames,
                      dtype=jnp.int32)[None, :, None]
@@ -1481,17 +1483,90 @@ def _batch_cv(tail: int, interpret: bool):
                                    tail=tail)
 
     def ref(coeffs, x_t):
-        y = jax.vmap(sosfilt_scan, in_axes=(0, 1), out_axes=1)(coeffs, x_t)
-        return y[y.shape[0] - tail:]
+        import jax.numpy as jnp
+        L, B, ch = x_t.shape
+        if B <= REF_CHUNK_SEGMENTS:
+            y = jax.vmap(sosfilt_scan, in_axes=(0, 1),
+                         out_axes=1)(coeffs, x_t)
+            return y[L - tail:]
+        # checkpointed segment chunks (see REF_CHUNK_SEGMENTS): bwd peak
+        # memory = one chunk's scan intermediates
+        CH = REF_CHUNK_SEGMENTS
+        n_pad = -(-B // CH) * CH
+        xb = jnp.pad(x_t.transpose(1, 0, 2),
+                     ((0, n_pad - B), (0, 0), (0, 0)))
+        cb = jnp.pad(coeffs, ((0, n_pad - B), (0, 0), (0, 0), (0, 0)))
+
+        @jax.checkpoint
+        def chunk_fn(args):
+            co_c, x_c = args
+            y = jax.vmap(sosfilt_scan)(co_c, x_c)     # (CH, L, ch)
+            return y[:, L - tail:]
+
+        y = jax.lax.map(chunk_fn, (cb.reshape((n_pad // CH, CH)
+                                              + cb.shape[1:]),
+                                   xb.reshape((n_pad // CH, CH)
+                                              + xb.shape[1:])))
+        y = y.reshape((n_pad,) + y.shape[2:])[:B]     # (B, tail, ch)
+        return y.transpose(1, 0, 2)
 
     return _make_cv(prim, ref)
+
+
+#: backward-pass segment chunking: above this many segments the scan
+#: reference runs as a ``lax.map`` of ``jax.checkpoint``-ed chunks, so
+#: the VJP's peak memory is one chunk's scan intermediates instead of
+#: the whole batch's (a 60 s 64-voice fit would otherwise hold ~15 GB
+#: of associative-scan residuals — over HBM).  Exact: chunking only
+#: reorders identical per-segment computations.
+REF_CHUNK_SEGMENTS = 64
+
+
+def _chunked_segments_ref(n_segments, seg_frames, context, sum_groups,
+                          seg_ref):
+    """``seg_ref(coeffs_chunk, xb_chunk) -> (chunk, F, ch')`` lifted to
+    the full segment batch: plain vmap when small, checkpointed
+    ``lax.map`` over :data:`REF_CHUNK_SEGMENTS`-segment chunks when
+    large."""
+    import jax
+    import jax.numpy as jnp
+
+    def ref(coeffs, x):
+        def gather(seg0, count):
+            idx = (seg0 * seg_frames
+                   + jnp.arange(count)[:, None] * seg_frames
+                   + jnp.arange(context + seg_frames)[None, :])
+            return x[idx]                      # (count, C+F, ch)
+
+        if n_segments <= REF_CHUNK_SEGMENTS:
+            yb = seg_ref(coeffs, gather(0, n_segments))
+        else:
+            CH = REF_CHUNK_SEGMENTS
+            n_pad = -(-n_segments // CH) * CH
+            cpad = jnp.pad(coeffs, ((0, n_pad - n_segments),) + ((0, 0),)
+                           * (coeffs.ndim - 1))
+            co_chunks = cpad.reshape((n_pad // CH, CH) + cpad.shape[1:])
+            starts = jnp.arange(n_pad // CH, dtype=jnp.int32) * CH
+
+            @jax.checkpoint
+            def chunk_fn(args):
+                co_c, s0 = args
+                return seg_ref(co_c, gather(s0, CH))
+
+            yb = jax.lax.map(chunk_fn, (co_chunks, starts))
+            yb = yb.reshape((n_pad,) + yb.shape[2:])[:n_segments]
+        if sum_groups:
+            yb = yb.reshape(n_segments, seg_frames, -1,
+                            sum_groups).sum(axis=3)
+        return yb
+
+    return ref
 
 
 @functools.lru_cache(maxsize=64)
 def _segments_cv(n_segments: int, seg_frames: int, context: int,
                  interpret: bool, sum_groups: int):
     import jax
-    import jax.numpy as jnp
 
     from signals_tpu.compiler.filters import sosfilt_scan
 
@@ -1500,17 +1575,11 @@ def _segments_cv(n_segments: int, seg_frames: int, context: int,
             coeffs, x, n_segments=n_segments, seg_frames=seg_frames,
             context=context, interpret=interpret, sum_groups=sum_groups)
 
-    def ref(coeffs, x):
-        idx = (jnp.arange(n_segments)[:, None] * seg_frames
-               + jnp.arange(context + seg_frames)[None, :])
-        xb = x[idx]                            # (nseg, C+F, ch)
-        yb = jax.vmap(sosfilt_scan)(coeffs, xb)[:, context:, :]
-        if sum_groups:
-            yb = yb.reshape(n_segments, seg_frames, -1,
-                            sum_groups).sum(axis=3)
-        return yb
+    def seg_ref(co_c, xb_c):
+        return jax.vmap(sosfilt_scan)(co_c, xb_c)[:, context:, :]
 
-    return _make_cv(prim, ref)
+    return _make_cv(prim, _chunked_segments_ref(
+        n_segments, seg_frames, context, sum_groups, seg_ref))
 
 
 @functools.lru_cache(maxsize=64)
@@ -1527,11 +1596,34 @@ def _segments_gen_cv(n_segments: int, seg_frames: int, context: int,
             seg_frames=seg_frames, context=context, osc_code=osc_code,
             rate=rate, interpret=interpret, sum_groups=sum_groups)
 
-    def ref(coeffs, toff, lanef):
-        x = _gen_source_rows(toff, lanef, n_segments=n_segments,
+    def chunk(co_c, toff, lanef, s0, count):
+        x = _gen_source_rows(toff, lanef, n_segments=count,
                              seg_frames=seg_frames, context=context,
-                             osc_code=osc_code, rate=rate)
-        yb = jax.vmap(sosfilt_scan)(coeffs, x)[:, context:, :]
+                             osc_code=osc_code, rate=rate, seg0=s0)
+        return jax.vmap(sosfilt_scan)(co_c, x)[:, context:, :]
+
+    def ref(coeffs, toff, lanef):
+        import jax.numpy as jnp
+        if n_segments <= REF_CHUNK_SEGMENTS:
+            yb = chunk(coeffs, toff, lanef, 0, n_segments)
+        else:
+            # checkpointed chunks: bwd peak memory = one chunk's scan
+            # intermediates (see REF_CHUNK_SEGMENTS); synthesis is
+            # recomputed per chunk, which is nearly free
+            CH = REF_CHUNK_SEGMENTS
+            n_pad = -(-n_segments // CH) * CH
+            cpad = jnp.pad(coeffs, ((0, n_pad - n_segments), (0, 0),
+                                    (0, 0), (0, 0)))
+            co_chunks = cpad.reshape((n_pad // CH, CH) + cpad.shape[1:])
+            starts = jnp.arange(n_pad // CH, dtype=jnp.int32) * CH
+
+            @jax.checkpoint
+            def chunk_fn(args):
+                co_c, s0 = args
+                return chunk(co_c, toff, lanef, s0, CH)
+
+            yb = jax.lax.map(chunk_fn, (co_chunks, starts))
+            yb = yb.reshape((n_pad,) + yb.shape[2:])[:n_segments]
         if sum_groups:
             yb = yb.reshape(n_segments, seg_frames, -1,
                             sum_groups).sum(axis=3)

@@ -654,3 +654,63 @@ def test_sosfilt_segments_gen_wide_lanes():
     ref = wide.reshape(ns, sf, 1, 2048).sum(axis=3)
     scale = max(np.abs(ref).max(), 1e-6)
     assert np.abs(gots - ref).max() / scale < 1e-5
+
+
+def test_chunked_vjp_matches_plain_reference():
+    """Above REF_CHUNK_SEGMENTS the scan-reference VJP runs as
+    checkpointed chunks (bounded backward memory for long fits); the
+    gradients are identical to the unchunked reference — chunking only
+    reorders per-segment computations."""
+    import jax
+    import jax.numpy as jnp
+
+    import signals_tpu.compiler.pallas_kernels as PK
+    from signals_tpu.compiler.filters import sosfilt_scan
+
+    rng = np.random.default_rng(5)
+    old = PK.REF_CHUNK_SEGMENTS
+    PK.REF_CHUNK_SEGMENTS = 8
+    try:
+        ns, sf, C, chs = 20, 64, 64, 64          # 20 > 8: chunked path
+        T = C + ns * sf
+        x = jnp.asarray(rng.standard_normal((T, chs)), jnp.float32)
+        co = jnp.asarray(rng.standard_normal((ns, 1, chs, 11)) * 0.1,
+                         jnp.float32)
+        idx = np.arange(ns)[:, None] * sf + np.arange(C + sf)[None, :]
+
+        def loss(co, x):
+            return jnp.sum(PK.sosfilt_segments(
+                co, x, n_segments=ns, seg_frames=sf, context=C,
+                interpret=True, sum_groups=8) ** 2)
+
+        def loss_plain(co, x):
+            yb = jax.vmap(sosfilt_scan)(co, x[idx])[:, C:, :]
+            return jnp.sum(yb.reshape(ns, sf, -1, 8).sum(axis=3) ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1))(co, x)
+        r = jax.grad(loss_plain, argnums=(0, 1))(co, x)
+        for a, b in zip(g, r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-4)
+
+        # batch kernel: chunked over segments too
+        B, L, ch, tail = 20, 64, 4, 32
+        xt = jnp.asarray(rng.standard_normal((L, B, ch)), jnp.float32)
+        cb = jnp.asarray(rng.standard_normal((B, 1, ch, 11)) * 0.1,
+                         jnp.float32)
+
+        def loss_b(cb, xt):
+            return jnp.sum(PK.sosfilt_batch(cb, xt, interpret=True,
+                                            tail=tail) ** 2)
+
+        def loss_br(cb, xt):
+            y = jax.vmap(sosfilt_scan, in_axes=(0, 1), out_axes=1)(cb, xt)
+            return jnp.sum(y[L - tail:] ** 2)
+
+        g = jax.grad(loss_b, argnums=(0, 1))(cb, xt)
+        r = jax.grad(loss_br, argnums=(0, 1))(cb, xt)
+        for a, b in zip(g, r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-4)
+    finally:
+        PK.REF_CHUNK_SEGMENTS = old
