@@ -873,15 +873,12 @@ def main(argv=None):
     guard('c5_fm_delay',
           lambda: bench_single(c5, seconds=seconds, label='fm+delay+spec'))
 
-    # config 8: differentiable synthesis — one jitted value_and_grad
-    # step through the product-default lowering (round-4 custom VJPs on
-    # the Pallas kernels); before round 4 this RAISED on TPU for every
-    # packed/mega patch
-    progress('bench: config 8 (fit step, 64 voices)...')
-    guard('c8_fit_step_64v',
-          lambda: bench_fit_step(
-              n_voices=64,
-              seconds=1.0 if not args.quick else 0.25))
+    # config 5v: the "spectral plot" half of BASELINE config 5 as the
+    # product delivers it — device FFT + band pooling, only the Spec
+    # bins fetched (the full-rate fetch above is tunnel-bound)
+    guard('c5_fm_delay_spec_decimated',
+          lambda: bench_vis(c5, seconds=seconds,
+                            label='fm+delay spec device-decimated'))
     guard('c5_fm_delay_device_resident',
           lambda: bench_single_device(c5, seconds=seconds,
                                       label='fm+delay-device'))
@@ -1016,6 +1013,18 @@ def main(argv=None):
             _fmod.SEG_SOURCE_GEN = _gen_saved
     else:
         _fmod.SEG_SOURCE_GEN = _gen_saved
+
+    # config 8: differentiable synthesis — one jitted value_and_grad
+    # step through the product-default lowering (round-4 custom VJPs on
+    # the Pallas kernels); before round 4 this RAISED on TPU for every
+    # packed/mega patch.  Runs AFTER the kernel-variant flags are
+    # restored so the step differentiates the path a product fit takes
+    # (gen engagement recorded per patch either way).
+    progress('bench: config 8 (fit step, 64 voices)...')
+    guard('c8_fit_step_64v',
+          lambda: bench_fit_step(
+              n_voices=64,
+              seconds=1.0 if not args.quick else 0.25))
 
     extra['parity_max_abs_err'] = parity
     # per-config tolerances (see PARITY_TOL); a NaN (check failed to run)
