@@ -26,9 +26,14 @@ F32 = np.float32
 def spectral_loss(pred, target, *, fft_sizes=(256, 1024)):
     """Multi-resolution magnitude-spectrum L1 + waveform L2 — the standard
     differentiable-audio loss family (better-behaved gradients through
-    oscillator phase than plain L2)."""
+    oscillator phase than plain L2).  Multichannel signals contribute
+    their channel MEAN (the mono mix) to the spectral term — fitting a
+    64-voice patch should match the *mix's* spectrum, not voice 0's —
+    while the waveform L2 stays per-channel."""
     import jax.numpy as jnp
     loss = jnp.mean((pred - target) ** 2)
+    pm = pred.mean(axis=1)
+    tm = target.mean(axis=1)
     for n in fft_sizes:
         hop = n // 2
         frames = 1 + (pred.shape[0] - n) // hop
@@ -37,8 +42,8 @@ def spectral_loss(pred, target, *, fft_sizes=(256, 1024)):
         idx = (jnp.arange(frames)[:, None] * hop
                + jnp.arange(n)[None, :])
         win = jnp.hanning(n).astype(jnp.float32)
-        ps = jnp.abs(jnp.fft.rfft(pred[idx, 0] * win, axis=-1))
-        ts = jnp.abs(jnp.fft.rfft(target[idx, 0] * win, axis=-1))
+        ps = jnp.abs(jnp.fft.rfft(pm[idx] * win, axis=-1))
+        ts = jnp.abs(jnp.fft.rfft(tm[idx] * win, axis=-1))
         loss = loss + jnp.mean(jnp.abs(ps - ts)) / len(fft_sizes)
     return loss
 
