@@ -97,13 +97,26 @@ def fit(root: Emitter,
         steps: int = 200,
         learning_rate: float = 0.02,
         loss: typing.Callable = None,
-        apply: bool = True) -> FitResult:
+        apply: bool = True,
+        steps_per_dispatch: int = None) -> FitResult:
     """Gradient-fit the ``(node, param)`` pairs in ``trainable`` so the patch
     rendered at ``root`` matches ``target``.
 
     With ``apply=True`` the fitted values are written back into the live
     nodes' states (so a subsequent render/dump picks them up).
+
+    ``steps_per_dispatch``: how many optimizer steps run fused inside ONE
+    jitted ``lax.scan`` dispatch (default ``min(16, steps)``).  Every
+    remote execution carries a fixed dispatch cost (~25 ms through the
+    axon tunnel — ``BENCH_full.json p50_block_latency_ms``) that a
+    per-step Python loop pays per step; fusing amortizes it across K
+    steps (measured on v5e: the 64-voice 1 s fit goes 19 -> ~100
+    steps/s at K=8).  The fused loop is step-for-step identical math —
+    same order, same updates — so losses/params match ``1`` (the
+    unfused path) exactly up to compiler reassociation.
     """
+    import functools
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -132,18 +145,39 @@ def fit(root: Emitter,
     tx = optax.adam(learning_rate)
     opt_state = tx.init(train)
 
-    @jax.jit
-    def step(train_params, opt_state):
+    def one_step(train_params, opt_state):
         value, grads = jax.value_and_grad(
             lambda tp: loss_fn(merged(tp)))(train_params)
         updates, opt_state = tx.update(grads, opt_state, train_params)
         train_params = optax.apply_updates(train_params, updates)
         return train_params, opt_state, value
 
-    losses = []
-    for _ in range(steps):
-        train, opt_state, value = step(train, opt_state)
-        losses.append(float(value))
+    K = (min(16, steps) if steps_per_dispatch is None
+         else max(1, int(steps_per_dispatch)))
+
+    @functools.cache
+    def chunk_fn(length):
+        # at most two compilations: the full-K chunk and one tail
+        @jax.jit
+        def run(train_params, opt_state):
+            def body(carry, _):
+                tp, st = carry
+                tp, st, value = one_step(tp, st)
+                return (tp, st), value
+
+            (tp, st), values = jax.lax.scan(
+                body, (train_params, opt_state), None, length=length)
+            return tp, st, values
+
+        return run
+
+    losses: list = []
+    remaining = steps
+    while remaining > 0:
+        k = min(K, remaining)
+        train, opt_state, values = chunk_fn(k)(train, opt_state)
+        losses.extend(float(v) for v in np.asarray(values))
+        remaining -= k
 
     final = merged(train)
     if apply:

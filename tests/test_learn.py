@@ -232,3 +232,37 @@ def test_fit_recovers_cutoff_through_pallas_path():
     finally:
         FI.MEGA_FILTER_IMPL = old_m
         C._compile_cache.clear()
+
+
+def test_fit_fused_dispatch_matches_per_step():
+    """``steps_per_dispatch`` fuses K optimizer steps into one jitted
+    ``lax.scan`` dispatch (amortizing the ~25 ms fixed remote-dispatch
+    cost, BENCH_full.json p50_block_latency_ms).  The fused loop is the
+    SAME step sequence — losses and the fitted value must match the
+    unfused path — and a step count that is not a multiple of K
+    exercises the tail chunk."""
+    def build():
+        hz = fixed(440.0)
+        osc = Sine()
+        osc.hertz = hz
+        vol = fixed(0.1)
+        g = Gain()
+        g.left = osc
+        g.right = vol
+        return g, vol
+
+    target = _target(440.0, 0.8, 4)
+    g1, vol1 = build()
+    r_unfused = fit(g1, target, [(vol1, 'value')], rate=RATE,
+                    block_frames=F, steps=21, learning_rate=0.05,
+                    steps_per_dispatch=1)
+    g2, vol2 = build()
+    r_fused = fit(g2, target, [(vol2, 'value')], rate=RATE,
+                  block_frames=F, steps=21, learning_rate=0.05,
+                  steps_per_dispatch=8)          # 8 + 8 + tail of 5
+    assert len(r_fused.losses) == len(r_unfused.losses) == 21
+    np.testing.assert_allclose(r_fused.losses, r_unfused.losses,
+                               rtol=1e-4, atol=1e-7)
+    v1 = float(vol1.get_state().value[0, 0])
+    v2 = float(vol2.get_state().value[0, 0])
+    assert abs(v1 - v2) < 1e-4, (v1, v2)
