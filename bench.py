@@ -1036,6 +1036,16 @@ def main(argv=None):
                       lambda: bench_poly_device(voice4l, hz4l, 2048,
                                                 seconds=seconds / 8,
                                                 mix_epilogue=True))
+                # config 4m (round 4): 4096 voices — FOUR lane-group
+                # kernel calls; per-chip voice throughput stays at the
+                # ~700k voice-units plateau (measured 171x = 701k)
+                progress('bench: config 4m (poly-4096, gen+mix '
+                         'epilogue)...')
+                voice4m, hz4m = build_subtractive_voice()
+                guard('c4_poly4096_device_resident_gen_mixsum',
+                      lambda: bench_poly_device(voice4m, hz4m, 4096,
+                                                seconds=seconds / 16,
+                                                mix_epilogue=True))
         finally:
             _fmod.SEG_SOURCE_GEN = _gen_saved
     else:

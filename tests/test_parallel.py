@@ -516,15 +516,15 @@ def test_mix_epilogue_in_kernel_interpret():
 def test_mix_epilogue_wide_voices_interpret():
     """Groups WIDER than 128 lanes (512 voices: sum_lanes=512, two group
     columns; 1024 voices: one column via the forced k=1 single-stream
-    base; 2048 voices: the voice group spans TWO lane-group kernel
-    calls whose partial sums add — the wide epilogue) reduce correctly —
-    a group spans several 128-lane sublane slices and _group_sum_chunk
-    accumulates them into one column."""
+    base; 2048/4096 voices: the voice group spans TWO/FOUR lane-group
+    kernel calls whose partial sums add — the wide epilogue) reduce
+    correctly — a group spans several 128-lane sublane slices and
+    _group_sum_chunk accumulates them into one column."""
     import signals_tpu.compiler.filters as FI
     old = FI.MEGA_FILTER_IMPL
     FI.MEGA_FILTER_IMPL = 'pallas'
     try:
-        for nv, want_k in ((512, 2), (1024, 1), (2048, 1)):
+        for nv, want_k in ((512, 2), (1024, 1), (2048, 1), (4096, 1)):
             a, oracle, plan = _epilogue_vs_oracle(nv, 16)
             assert plan is not None and plan[1] == want_k, nv
             scale = np.abs(oracle).max()
