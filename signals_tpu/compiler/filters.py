@@ -508,6 +508,133 @@ def sosfilt_chunked(coeffs, x, *, chunk: int = 16):
     return xp_[:n]
 
 
+def _rot_combine(left, right):
+    """Associative combine for the coupled-form recurrence: elements are
+    ``(rotation, injection)`` pairs — ``(R2 R1, R2 c1 + c2)`` with R a
+    scaled rotation ≡ complex multiplication."""
+    lac, las, lc1, lc2 = left
+    rac, ras, rc1, rc2 = right
+    return (rac * lac - ras * las,
+            ras * lac + rac * las,
+            rac * lc1 - ras * lc2 + rc1,
+            ras * lc1 + rac * lc2 + rc2)
+
+
+def _cascade_sections_prim(rc, rs, d0, d1, d2, x):
+    """The SOS cascade over stacked per-section coupled taps
+    (``(nsec, ch)`` each) — the op sequence :func:`sosfilt_scan` always
+    ran, factored out so the custom VJP below can wrap it."""
+    import jax
+    import jax.numpy as jnp
+
+    n, ch = x.shape
+    for s in range(rc.shape[0]):
+        ac = jnp.broadcast_to(rc[s][None], (n, ch))
+        as_ = jnp.broadcast_to(rs[s][None], (n, ch))
+        c1 = x
+        c2 = jnp.zeros_like(x)
+        _, _, s1, s2 = jax.lax.associative_scan(
+            _rot_combine, (ac, as_, c1, c2), axis=0)
+        zero = jnp.zeros((1, ch), dtype=jnp.float32)
+        s1_prev = jnp.concatenate([zero, s1[:-1]], axis=0)
+        s2_prev = jnp.concatenate([zero, s2[:-1]], axis=0)
+        x = d0[s][None] * x + d1[s][None] * s1_prev + d2[s][None] * s2_prev
+    return x
+
+
+def _make_cascade_sections():
+    """``_cascade_sections_prim`` under an ANALYTIC adjoint.
+
+    Differentiating the associative scan's log-depth combine tree (what
+    ``jax.grad`` does by default) costs ~3-4 forward scans of work plus
+    the tree's saved intermediates; the adjoint of a linear recurrence
+    is itself a linear recurrence, so the backward here runs ONE
+    reversed associative scan per section instead.
+
+    Derivation (per section, per channel; ``R = [[rc, -rs], [rs, rc]]``,
+    state ``s_t = R s_{t-1} + e1 x_t``, output
+    ``y_t = d0 x_t + d1 s1_{t-1} + d2 s2_{t-1}``):
+
+    * adjoint state ``λ_t = Rᵀ λ_{t+1} + (d1, d2) ȳ_{t+1}``,
+      ``λ_{n-1} = 0`` — a reversed-time copy of the forward recurrence
+      (rotation transposed = ``rs`` negated) with injection
+      ``(d1 ȳ, d2 ȳ)`` instead of ``(x, 0)``, so the SAME
+      :func:`_rot_combine` scan computes it on the reversed sequence;
+    * ``x̄_t = d0 ȳ_t + λ1_t``;
+    * ``r̄c = Σ_t (λ1_t s1_{t-1} + λ2_t s2_{t-1})``,
+      ``r̄s = Σ_t (λ2_t s1_{t-1} - λ1_t s2_{t-1})``,
+      ``d̄0 = Σ_t ȳ_t x_t``, ``d̄1 = Σ_t ȳ_t s1_{t-1}``,
+      ``d̄2 = Σ_t ȳ_t s2_{t-1}``.
+
+    Sections chain in reverse (``ȳ`` of section s = ``x̄`` of s+1).
+    Residuals: each section's input and lagged states — what the
+    forward already materializes.  Verified against ``jax.grad`` of the
+    raw primal in ``tests/test_learn.py`` /
+    ``tests/test_pallas_kernels.py`` (identical to f32 reassociation).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.custom_vjp(_cascade_sections_prim)
+
+    def fwd(rc, rs, d0, d1, d2, x):
+        n, ch = x.shape
+        nsec = rc.shape[0]
+        xs, s1ps, s2ps = [], [], []
+        for s in range(nsec):
+            ac = jnp.broadcast_to(rc[s][None], (n, ch))
+            as_ = jnp.broadcast_to(rs[s][None], (n, ch))
+            _, _, s1, s2 = jax.lax.associative_scan(
+                _rot_combine, (ac, as_, x, jnp.zeros_like(x)), axis=0)
+            zero = jnp.zeros((1, ch), dtype=jnp.float32)
+            s1_prev = jnp.concatenate([zero, s1[:-1]], axis=0)
+            s2_prev = jnp.concatenate([zero, s2[:-1]], axis=0)
+            xs.append(x)
+            s1ps.append(s1_prev)
+            s2ps.append(s2_prev)
+            x = (d0[s][None] * x + d1[s][None] * s1_prev
+                 + d2[s][None] * s2_prev)
+        return x, (rc, rs, d0, d1, d2, xs, s1ps, s2ps)
+
+    def bwd(res, g):
+        rc, rs, d0, d1, d2, xs, s1ps, s2ps = res
+        nsec = rc.shape[0]
+        n, ch = g.shape
+        grc, grs, gd0, gd1, gd2 = ([None] * nsec for _ in range(5))
+        for s in range(nsec - 1, -1, -1):
+            x_in, s1p, s2p = xs[s], s1ps[s], s2ps[s]
+            gd0[s] = jnp.sum(g * x_in, axis=0)
+            gd1[s] = jnp.sum(g * s1p, axis=0)
+            gd2[s] = jnp.sum(g * s2p, axis=0)
+            # v_t = (d1, d2) ȳ_{t+1}  (zero at t = n-1)
+            zero = jnp.zeros((1, ch), dtype=jnp.float32)
+            v1 = jnp.concatenate([d1[s][None] * g[1:], zero], axis=0)
+            v2 = jnp.concatenate([d2[s][None] * g[1:], zero], axis=0)
+            ac = jnp.broadcast_to(rc[s][None], (n, ch))
+            nas = jnp.broadcast_to(-rs[s][None], (n, ch))
+            _, _, u1, u2 = jax.lax.associative_scan(
+                _rot_combine, (ac, nas, v1[::-1], v2[::-1]), axis=0)
+            l1, l2 = u1[::-1], u2[::-1]
+            grc[s] = jnp.sum(l1 * s1p + l2 * s2p, axis=0)
+            grs[s] = jnp.sum(l2 * s1p - l1 * s2p, axis=0)
+            g = d0[s][None] * g + l1
+        return (jnp.stack(grc), jnp.stack(grs), jnp.stack(gd0),
+                jnp.stack(gd1), jnp.stack(gd2), g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+_cascade_sections = None
+
+
+def _get_cascade_sections():
+    global _cascade_sections
+    if _cascade_sections is None:
+        _cascade_sections = _make_cascade_sections()
+    return _cascade_sections
+
+
 def sosfilt_scan(coeffs, x):
     """Zero-initial-state SOS cascade via associative scan (jax only).
 
@@ -526,7 +653,6 @@ def sosfilt_scan(coeffs, x):
     direct-form companion matrices whose f32 products lose ~50x more
     accuracy on high-Q/low-cutoff filters.
     """
-    import jax
     import jax.numpy as jnp
 
     coeffs = jnp.asarray(coeffs, dtype=jnp.float32)
@@ -536,43 +662,24 @@ def sosfilt_scan(coeffs, x):
     ch = max(ch_c, ch_x)
     x = jnp.broadcast_to(x, (n, ch))
 
-    for s in range(nsec):
-        if coeffs.shape[-1] >= 11:
-            rc = coeffs[s, :, 6][None]
-            rs = coeffs[s, :, 7][None]
-            d0 = coeffs[s, :, 8][None]
-            d1 = coeffs[s, :, 9][None]
-            d2 = coeffs[s, :, 10][None]
-        else:
-            b0 = coeffs[s, :, 0][None]
-            b1 = coeffs[s, :, 1][None]
-            b2 = coeffs[s, :, 2][None]
-            a1 = coeffs[s, :, 4][None]
-            a2 = coeffs[s, :, 5][None]
-            rc = -a1 * F32(0.5)
-            rs = jnp.sqrt(jnp.maximum(a2 - a1 * a1 * F32(0.25), F32(1e-20)))
-            d0 = b0
-            d1 = b1 - a1 * b0
-            d2 = (b2 - a2 * b0 + rc * d1) / rs
+    if coeffs.shape[-1] >= 11:
+        rc = jnp.broadcast_to(coeffs[:, :, 6], (nsec, ch))
+        rs = jnp.broadcast_to(coeffs[:, :, 7], (nsec, ch))
+        d0 = jnp.broadcast_to(coeffs[:, :, 8], (nsec, ch))
+        d1 = jnp.broadcast_to(coeffs[:, :, 9], (nsec, ch))
+        d2 = jnp.broadcast_to(coeffs[:, :, 10], (nsec, ch))
+    else:
+        b0 = coeffs[:, :, 0]
+        b1 = coeffs[:, :, 1]
+        b2 = coeffs[:, :, 2]
+        a1 = coeffs[:, :, 4]
+        a2 = coeffs[:, :, 5]
+        rc = -a1 * F32(0.5)
+        rs = jnp.sqrt(jnp.maximum(a2 - a1 * a1 * F32(0.25), F32(1e-20)))
+        d0 = b0
+        d1 = b1 - a1 * b0
+        d2 = (b2 - a2 * b0 + rc * d1) / rs
+        rc, rs, d0, d1, d2 = (jnp.broadcast_to(t, (nsec, ch))
+                              for t in (rc, rs, d0, d1, d2))
 
-        ac = jnp.broadcast_to(rc, (n, ch))
-        as_ = jnp.broadcast_to(rs, (n, ch))
-        c1 = x
-        c2 = jnp.zeros_like(x)
-
-        def combine(left, right):
-            # (R2 R1, R2 c1 + c2) with R = scaled rotation ≡ complex number
-            lac, las, lc1, lc2 = left
-            rac, ras, rc1, rc2 = right
-            return (rac * lac - ras * las,
-                    ras * lac + rac * las,
-                    rac * lc1 - ras * lc2 + rc1,
-                    ras * lc1 + rac * lc2 + rc2)
-
-        _, _, s1, s2 = jax.lax.associative_scan(
-            combine, (ac, as_, c1, c2), axis=0)
-        zero = jnp.zeros((1, ch), dtype=jnp.float32)
-        s1_prev = jnp.concatenate([zero, s1[:-1]], axis=0)
-        s2_prev = jnp.concatenate([zero, s2[:-1]], axis=0)
-        x = d0 * x + d1 * s1_prev + d2 * s2_prev
-    return x
+    return _get_cascade_sections()(rc, rs, d0, d1, d2, x)

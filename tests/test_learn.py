@@ -266,3 +266,62 @@ def test_fit_fused_dispatch_matches_per_step():
     v1 = float(vol1.get_state().value[0, 0])
     v2 = float(vol2.get_state().value[0, 0])
     assert abs(v1 - v2) < 1e-4, (v1, v2)
+
+
+def test_cascade_analytic_adjoint_matches_autodiff():
+    """``sosfilt_scan`` carries a hand-written VJP (one reversed
+    associative scan per section — the adjoint of a linear recurrence
+    is a linear recurrence) instead of letting jax differentiate the
+    scan's combine tree.  Its gradients must equal autodiff of the raw
+    primal (``_cascade_sections_prim``) to f32 reassociation, for both
+    the 11-column coupled-tap layout and the derived 6-column b/a
+    branch."""
+    import jax
+    import jax.numpy as jnp
+
+    from signals_tpu.compiler import filters as FI
+
+    rng = np.random.default_rng(7)
+    nsec, n, ch = 3, 257, 5
+    co = np.zeros((nsec, ch, 11), np.float32)
+    r = rng.uniform(0.6, 0.98, (nsec, ch))
+    th = rng.uniform(0.05, 2.5, (nsec, ch))
+    co[:, :, 6] = r * np.cos(th)
+    co[:, :, 7] = r * np.sin(th)
+    co[:, :, 8:11] = rng.normal(0, 0.7, (nsec, ch, 3))
+    co = jnp.asarray(co)
+    x = jnp.asarray(rng.normal(0, 1, (n, ch)).astype(np.float32))
+
+    def taps(co):
+        return tuple(jnp.broadcast_to(co[:, :, 6 + i], (nsec, ch))
+                     for i in range(5))
+
+    # primal: byte-for-byte the op sequence sosfilt_scan always ran
+    np.testing.assert_array_equal(
+        np.asarray(FI.sosfilt_scan(co, x)),
+        np.asarray(FI._cascade_sections_prim(*taps(co), x)))
+
+    def loss_cv(co, x):
+        return jnp.sum(jnp.sin(FI.sosfilt_scan(co, x)))
+
+    def loss_raw(co, x):
+        return jnp.sum(jnp.sin(FI._cascade_sections_prim(*taps(co), x)))
+
+    g_cv = jax.grad(loss_cv, argnums=(0, 1))(co, x)
+    g_raw = jax.grad(loss_raw, argnums=(0, 1))(co, x)
+    for a, b in zip(g_cv, g_raw):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max()
+        assert np.abs(a - b).max() / scale < 5e-6
+
+    # 6-column branch: taps derived in f32; grads flow into b/a columns
+    co6 = np.zeros((2, ch, 6), np.float32)
+    co6[:, :, :3] = rng.normal(0, 0.5, (2, ch, 3))
+    co6[:, :, 3] = 1.0
+    co6[:, :, 4] = rng.uniform(-1.0, -0.2, (2, ch))
+    co6[:, :, 5] = rng.uniform(0.3, 0.9, (2, ch))
+    g6 = jax.grad(lambda c: jnp.sum(FI.sosfilt_scan(c, x) ** 2))(
+        jnp.asarray(co6))
+    g6 = np.asarray(g6)
+    assert np.isfinite(g6).all() and np.abs(g6).max() > 0
+    assert np.abs(g6[:, :, 3]).max() == 0        # a0 is fixed at 1
