@@ -23,6 +23,26 @@ from signals_tpu.graph import Emitter
 F32 = np.float32
 
 
+def _frames_half_hop(x, n):
+    """Frame a 1-D signal into ``(frames, n)`` windows at hop ``n // 2``
+    WITHOUT a gather: even-offset windows are one reshape, odd-offset
+    windows one shifted reshape.  A gather's transpose is a scatter-add
+    — measured ~4 ms per fit step on v5e, more than the entire filter
+    backward — while a slice+reshape transposes to a pad.  Frame ORDER
+    differs from the sliding order (evens then odds); every consumer
+    here reduces over frames, so only f32 summation order changes."""
+    import jax.numpy as jnp
+    T = x.shape[0]
+    hop = n // 2
+    n_even = (T - n) // n + 1
+    even = x[:n_even * n].reshape(n_even, n)
+    if T - hop >= n:
+        n_odd = (T - hop - n) // n + 1
+        odd = x[hop:hop + n_odd * n].reshape(n_odd, n)
+        return jnp.concatenate([even, odd], axis=0)
+    return even
+
+
 def spectral_loss(pred, target, *, fft_sizes=(256, 1024)):
     """Multi-resolution magnitude-spectrum L1 + waveform L2 — the standard
     differentiable-audio loss family (better-behaved gradients through
@@ -35,15 +55,11 @@ def spectral_loss(pred, target, *, fft_sizes=(256, 1024)):
     pm = pred.mean(axis=1)
     tm = target.mean(axis=1)
     for n in fft_sizes:
-        hop = n // 2
-        frames = 1 + (pred.shape[0] - n) // hop
-        if frames < 1:
+        if pred.shape[0] < n:
             continue
-        idx = (jnp.arange(frames)[:, None] * hop
-               + jnp.arange(n)[None, :])
         win = jnp.hanning(n).astype(jnp.float32)
-        ps = jnp.abs(jnp.fft.rfft(pm[idx] * win, axis=-1))
-        ts = jnp.abs(jnp.fft.rfft(tm[idx] * win, axis=-1))
+        ps = jnp.abs(jnp.fft.rfft(_frames_half_hop(pm, n) * win, axis=-1))
+        ts = jnp.abs(jnp.fft.rfft(_frames_half_hop(tm, n) * win, axis=-1))
         loss = loss + jnp.mean(jnp.abs(ps - ts)) / len(fft_sizes)
     return loss
 
