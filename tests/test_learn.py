@@ -325,3 +325,29 @@ def test_cascade_analytic_adjoint_matches_autodiff():
     g6 = np.asarray(g6)
     assert np.isfinite(g6).all() and np.abs(g6).max() > 0
     assert np.abs(g6[:, :, 3]).max() == 0        # a0 is fixed at 1
+
+
+def test_fit_recovers_frequency_spectral_only():
+    """Frequency estimation — the canonical differentiable-synthesis
+    task: the waveform-L2 term's gradient oscillates with the beat
+    phase of a detuned oscillator and drowns the spectral pull (the
+    default loss leaves a 30 Hz detune unmoved), so pitch fits use
+    ``spectral_loss(waveform=0.0)``.  A sine starting 30 Hz off a
+    440 Hz target must converge to under 1 Hz."""
+    import functools
+
+    from signals_tpu.learn import spectral_loss
+
+    hz = fixed(470.0)
+    osc = Sine()
+    osc.hertz = hz
+    g = Gain()
+    g.left = osc
+    g.right = fixed(0.8)
+    target = _target(440.0, 0.8, 43)
+    res = fit(g, target, [(hz, 'value')], rate=RATE, block_frames=F,
+              steps=300, learning_rate=0.5,
+              loss=functools.partial(spectral_loss, waveform=0.0))
+    fitted = float(hz.get_state().value[0, 0])
+    assert abs(fitted - 440.0) < 1.0, fitted
+    assert res.losses[-1] < res.losses[0] * 0.05
