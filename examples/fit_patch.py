@@ -56,6 +56,63 @@ def main():
           f'fitted gain = {float(vol.get_state().value[0, 0]):.3f} '
           f'(target 0.7)')
 
+    # pitch estimation: the waveform-L2 term's gradient oscillates with
+    # the beat phase of a detuned oscillator, so pitch fits drop it
+    # (spectral_loss(waveform=0.0)) — a sine starting 30 Hz off lands
+    # within a fraction of a Hz
+    import functools
+
+    from signals_tpu.learn import spectral_loss
+    hz2, vol2 = fixed(470.0), fixed(0.7)
+    o2 = Sine()
+    o2.hertz = hz2
+    out2 = Gain()
+    out2.left = o2
+    out2.right = vol2
+    result = fit(out2, target, [(hz2, 'value')], block_frames=512,
+                 steps=300, learning_rate=0.5,
+                 loss=functools.partial(spectral_loss, waveform=0.0))
+    print(f'pitch fit: 470 Hz start -> '
+          f'{float(hz2.get_state().value[0, 0]):.2f} Hz (target 440)')
+
+    # polyphonic: 8 per-voice gains recovered SIMULTANEOUSLY from one
+    # mixed target (each voice owns a distinct partial) — the same call
+    # shards over a device mesh (PolyPatch(..., mesh=...).fit)
+    from signals_tpu.parallel import PolyPatch
+    freqs = np.linspace(200, 900, 8).astype(np.float32)
+    tgt_gains = np.linspace(0.3, 0.9, 8).astype(np.float32)
+
+    def poly_voice():
+        hz, vol = fixed(220.0), fixed(0.5)
+        o = Sine()
+        o.hertz = hz
+        g = Gain()
+        g.left = o
+        g.right = vol
+        return g, hz, vol
+
+    root_t, hz_t, vol_t = poly_voice()
+    ptgt = PolyPatch(root_t, n_voices=8,
+                     overrides={(hz_t, 'value'): freqs,
+                                (vol_t, 'value'): tgt_gains},
+                     block_frames=512, layout='channels')
+    mix_target, _ = ptgt.render(n_blocks=24)
+
+    root_m, hz_m, vol_m = poly_voice()
+    poly = PolyPatch(root_m, n_voices=8,
+                     overrides={(hz_m, 'value'): freqs,
+                                (vol_m, 'value'): np.full(
+                                    8, 0.2, np.float32)},
+                     block_frames=512, layout='channels')
+    result = poly.fit(mix_target, [(vol_m, 'value')], steps=200,
+                      learning_rate=0.02)
+    fitted = next(s for n, _p, _a, s in poly._channel_overrides
+                  if n is vol_m).reshape(-1)
+    err = float(np.abs(fitted - tgt_gains).max())
+    print(f'poly fit: 8 per-voice gains from one mix, '
+          f'max |error| = {err:.3f} '
+          f'(loss {result.losses[0]:.3f} -> {result.losses[-1]:.5f})')
+
 
 if __name__ == '__main__':
     main()

@@ -113,66 +113,24 @@ def make_loss_fn(compiled: CompiledPatch, target: np.ndarray, *,
     return loss_fn
 
 
-def fit(root: Emitter,
-        target: np.ndarray,
-        trainable: typing.Collection[tuple[Emitter, str]],
-        *,
-        rate: int = 44100,
-        block_frames: int = 1024,
-        steps: int = 200,
-        learning_rate: float = 0.02,
-        loss: typing.Callable = None,
-        apply: bool = True,
-        steps_per_dispatch: int = None) -> FitResult:
-    """Gradient-fit the ``(node, param)`` pairs in ``trainable`` so the patch
-    rendered at ``root`` matches ``target``.
-
-    With ``apply=True`` the fitted values are written back into the live
-    nodes' states (so a subsequent render/dump picks them up).
-
-    ``steps_per_dispatch``: how many optimizer steps run fused inside ONE
-    jitted ``lax.scan`` dispatch (default ``min(16, steps)``).  Every
-    remote execution carries a fixed dispatch cost (~25 ms through the
-    axon tunnel — ``BENCH_full.json p50_block_latency_ms``) that a
-    per-step Python loop pays per step; fusing amortizes it across K
-    steps (measured on v5e: the 64-voice 1 s fit goes 19 -> ~100
-    steps/s at K=8).  The fused loop is step-for-step identical math —
-    same order, same updates — so losses/params match ``1`` (the
-    unfused path) exactly up to compiler reassociation.
-    """
+def fused_descent(loss_fn, train, *, steps: int, learning_rate: float,
+                  steps_per_dispatch: int = None):
+    """Adam on ``loss_fn(train) -> scalar``, K steps fused per jitted
+    ``lax.scan`` dispatch (see :func:`fit`): every remote execution
+    carries a fixed ~25 ms dispatch cost, so a per-step Python loop
+    caps at ~19 steps/s while the fused loop measures 300+ on the
+    64-voice fit (v5e).  Returns ``(train', losses)``; the shared
+    optimizer loop of :func:`fit` and ``PolyPatch.fit``."""
     import functools
 
     import jax
-    import jax.numpy as jnp
     import optax
-
-    compiled = compile_node(root, block_frames=block_frames, rate=rate)
-    loss_fn = make_loss_fn(compiled, target, loss=loss)
-    params = compiled.params()
-    index = compiled.index
-    train_keys = {(index.info(node).uid, pname)
-                  for node, pname in trainable}
-
-    # differentiate only the trainable sub-pytree (frozen leaves include
-    # bools/ints like `enabled`, which jax.grad rejects)
-    train: dict = {}
-    for uid, p in train_keys:
-        train.setdefault(uid, {})[p] = jnp.asarray(params[uid][p],
-                                                   dtype=jnp.float32)
-
-    def merged(train_params):
-        out = {uid: dict(leaves) for uid, leaves in params.items()}
-        for uid, leaves in train_params.items():
-            for p, v in leaves.items():
-                out[uid][p] = v
-        return out
 
     tx = optax.adam(learning_rate)
     opt_state = tx.init(train)
 
     def one_step(train_params, opt_state):
-        value, grads = jax.value_and_grad(
-            lambda tp: loss_fn(merged(tp)))(train_params)
+        value, grads = jax.value_and_grad(loss_fn)(train_params)
         updates, opt_state = tx.update(grads, opt_state, train_params)
         train_params = optax.apply_updates(train_params, updates)
         return train_params, opt_state, value
@@ -203,6 +161,62 @@ def fit(root: Emitter,
         train, opt_state, values = chunk_fn(k)(train, opt_state)
         losses.extend(float(v) for v in np.asarray(values))
         remaining -= k
+    return train, losses
+
+
+def fit(root: Emitter,
+        target: np.ndarray,
+        trainable: typing.Collection[tuple[Emitter, str]],
+        *,
+        rate: int = 44100,
+        block_frames: int = 1024,
+        steps: int = 200,
+        learning_rate: float = 0.02,
+        loss: typing.Callable = None,
+        apply: bool = True,
+        steps_per_dispatch: int = None) -> FitResult:
+    """Gradient-fit the ``(node, param)`` pairs in ``trainable`` so the patch
+    rendered at ``root`` matches ``target``.
+
+    With ``apply=True`` the fitted values are written back into the live
+    nodes' states (so a subsequent render/dump picks them up).
+
+    ``steps_per_dispatch``: how many optimizer steps run fused inside ONE
+    jitted ``lax.scan`` dispatch (default ``min(16, steps)``).  Every
+    remote execution carries a fixed dispatch cost (~25 ms through the
+    axon tunnel — ``BENCH_full.json p50_block_latency_ms``) that a
+    per-step Python loop pays per step; fusing amortizes it across K
+    steps (measured on v5e: the 64-voice 1 s fit goes 19 -> ~100
+    steps/s at K=8).  The fused loop is step-for-step identical math —
+    same order, same updates — so losses/params match ``1`` (the
+    unfused path) exactly up to compiler reassociation.
+    """
+    import jax.numpy as jnp
+
+    compiled = compile_node(root, block_frames=block_frames, rate=rate)
+    loss_fn = make_loss_fn(compiled, target, loss=loss)
+    params = compiled.params()
+    index = compiled.index
+    train_keys = {(index.info(node).uid, pname)
+                  for node, pname in trainable}
+
+    # differentiate only the trainable sub-pytree (frozen leaves include
+    # bools/ints like `enabled`, which jax.grad rejects)
+    train: dict = {}
+    for uid, p in train_keys:
+        train.setdefault(uid, {})[p] = jnp.asarray(params[uid][p],
+                                                   dtype=jnp.float32)
+
+    def merged(train_params):
+        out = {uid: dict(leaves) for uid, leaves in params.items()}
+        for uid, leaves in train_params.items():
+            for p, v in leaves.items():
+                out[uid][p] = v
+        return out
+
+    train, losses = fused_descent(
+        lambda tp: loss_fn(merged(tp)), train, steps=steps,
+        learning_rate=learning_rate, steps_per_dispatch=steps_per_dispatch)
 
     final = merged(train)
     if apply:

@@ -445,12 +445,15 @@ class PolyPatch:
         """Jit the channels-layout render; with a mesh, wrap it in
         shard_map over the voice-lane axis — each device renders its voice
         shard against its param/carry slices and the master mix is a psum
-        over ICI (the only inter-chip traffic)."""
+        over ICI (the only inter-chip traffic).  Returns ``(raw,
+        jitted)``: the raw (shard_map-wrapped but un-jitted) callable is
+        what :meth:`fit` differentiates — shard_map is differentiable
+        (the psum transposes) and the fit step supplies its own jit."""
         import jax
         from jax.sharding import PartitionSpec as P
 
         if self.mesh is None:
-            return jax.jit(many, donate_argnums=(1,))
+            return many, jax.jit(many, donate_argnums=(1,))
 
         import functools
         shard_map = getattr(jax, 'shard_map', None)
@@ -472,7 +475,7 @@ class PolyPatch:
         f = shard_map(sharded, mesh=self.mesh,
                       in_specs=(pspecs, cspecs, P(), P()),
                       out_specs=(P(), cspecs))
-        return jax.jit(f, donate_argnums=(1,))
+        return f, jax.jit(f, donate_argnums=(1,))
 
     def _make_render(self, n_blocks: int):
         import jax
@@ -513,7 +516,7 @@ class PolyPatch:
             return mix, carry2
 
         if self.mesh is None:
-            return jax.jit(many, donate_argnums=(1,))
+            return many, jax.jit(many, donate_argnums=(1,))
 
         # -- voice-sharded over the mesh: the vmapped voice axis is laid out
         # across devices; the per-block sum over voices becomes a psum over
@@ -531,7 +534,7 @@ class PolyPatch:
                                         is_leaf=lambda x: x is None or x == 0)
         carry_shardings = jax.tree.map(lambda _: voice_sharding,
                                        self.compiled.carry0)
-        return jax.jit(
+        return many, jax.jit(
             many,
             in_shardings=(params_shardings, carry_shardings, None, None),
             out_shardings=(replicated, carry_shardings),
@@ -540,7 +543,16 @@ class PolyPatch:
     def render_fn(self, n_blocks: int):
         if n_blocks not in self._render_cache:
             self._render_cache[n_blocks] = self._make_render(n_blocks)
-        return self._render_cache[n_blocks]
+        return self._render_cache[n_blocks][1]
+
+    def _raw_render_fn(self, n_blocks: int):
+        """The un-jitted render callable (shard_map-wrapped under a
+        channels-layout mesh): what :meth:`fit` differentiates — the fit
+        step wraps it in its own jit, and the jitted render's carry
+        donation must not apply under an autodiff trace."""
+        if n_blocks not in self._render_cache:
+            self._render_cache[n_blocks] = self._make_render(n_blocks)
+        return self._render_cache[n_blocks][0]
 
     def render(self, *, position: int = 0, n_blocks: int = 1,
                carry: typing.Optional[dict] = None):
@@ -555,6 +567,99 @@ class PolyPatch:
               else self.compiled.channels)
         audio = np.asarray(mix).reshape(n_blocks * F, ch)
         return audio, carry2
+
+    def fit(self, target, trainable, *, steps: int = 200,
+            learning_rate: float = 0.02, loss=None,
+            steps_per_dispatch: int = None, position: int = 0,
+            apply: bool = True):
+        """Gradient-fit parameters of the poly patch against target MIX
+        audio — distributed differentiable synthesis as an API.
+
+        ``trainable``: ``(node, pname)`` pairs; a pair naming a per-voice
+        override trains the whole stacked per-voice array (so e.g. 64
+        per-voice gains fit simultaneously against one mixed target).
+        The loss renders through the SAME lowering ``render`` uses: on a
+        mesh-sharded channels-layout patch each device differentiates
+        its voice shard and the master-mix psum transposes into a
+        broadcast of the loss cotangent over ICI — the gradient's only
+        cross-device traffic is the same skinny mix the forward ships.
+
+        ``loss`` defaults to :func:`signals_tpu.learn.spectral_loss`;
+        ``steps_per_dispatch`` fuses K adam steps per dispatch (see
+        :func:`signals_tpu.learn.fused_descent`).  With ``apply=True``
+        fitted overrides are written back via :meth:`set_override`
+        (mesh-safe) and fitted shared params into the live node states.
+        Returns a :class:`signals_tpu.learn.FitResult`.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from signals_tpu.learn import (FitResult, fused_descent,
+                                       spectral_loss)
+
+        compiled = self.compiled
+        F = compiled.block_frames
+        target = np.asarray(target, dtype=F32)
+        n_blocks = max(1, target.shape[0] // F)
+        target = jnp.asarray(target[:n_blocks * F])
+        if target.ndim == 1:
+            target = target[:, None]
+        loss = spectral_loss if loss is None else loss
+        raw = self._raw_render_fn(n_blocks)
+        host = compiled.stage_host(position, n_blocks)
+        params, _ = self.params()
+        carry0 = jax.tree.map(jnp.asarray, self.init_carry())
+        ch = (self._out_channels if self.layout == 'channels'
+              else compiled.channels)
+        index = compiled.index
+
+        train: dict = {}
+        for node, pname in trainable:
+            uid = index.info(node).uid
+            train.setdefault(uid, {})[pname] = jnp.asarray(
+                params[uid][pname], dtype=jnp.float32)
+
+        def merged(tp):
+            out = {uid: dict(leaves) for uid, leaves in params.items()}
+            for uid, leaves in tp.items():
+                for p, v in leaves.items():
+                    out[uid][p] = v
+            return out
+
+        def loss_fn(tp):
+            mix, _ = raw(merged(tp), carry0, jnp.int32(position), host)
+            audio = mix.reshape(n_blocks * F, ch)
+            return loss(audio, target)
+
+        train, losses = fused_descent(
+            loss_fn, train, steps=steps, learning_rate=learning_rate,
+            steps_per_dispatch=steps_per_dispatch)
+
+        final = merged(train)
+        if apply:
+            overrides = ({(n, p): axis for n, p, axis, _
+                          in self._channel_overrides}
+                         if self.layout == 'channels' else
+                         {(node, pname): 0 for node, pname in [
+                             (n, p) for n, p in trainable
+                             if (index.info(n).uid, p) in self._overrides]})
+            for node, pname in trainable:
+                uid = index.info(node).uid
+                fitted = np.asarray(final[uid][pname])
+                axis = overrides.get((node, pname))
+                if axis is not None:
+                    # per-voice override: route through set_override so
+                    # mesh-sharded layouts refresh their device slices
+                    per_voice = fitted[0] if axis == 1 else fitted
+                    self.set_override(node, pname, per_voice)
+                else:
+                    state = node.get_state()
+                    current = getattr(state, pname)
+                    if isinstance(current, np.ndarray):
+                        setattr(state, pname, fitted.astype(current.dtype))
+                    else:
+                        setattr(state, pname, float(fitted))
+        return FitResult(params=final, losses=np.asarray(losses))
 
 
 #: Lane-efficiency knee, measured (MULTICHIP_r03.json tail): 8
