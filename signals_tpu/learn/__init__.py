@@ -82,21 +82,20 @@ class FitResult(typing.NamedTuple):
         return np.asarray(self.params[uid][pname])
 
 
-def make_loss_fn(compiled: CompiledPatch, target: np.ndarray, *,
-                 position: int = 0,
-                 loss: typing.Callable = None):
-    """A pure ``loss_fn(params) -> scalar`` rendering the patch over the
-    target's duration."""
-    import jax.numpy as jnp
-
+def make_loss_core(compiled: CompiledPatch, n_blocks: int, *,
+                   position: int = 0,
+                   loss: typing.Callable = None):
+    """A pure ``loss_fn(params, target, host) -> scalar`` rendering the
+    patch for ``n_blocks`` blocks.  Target AND the host-staging dict are
+    *arguments* (not trace constants), so one compilation serves every
+    target — and every snapshot of host-fed inputs — of the same shape:
+    the cacheable core behind :func:`make_loss_fn` and the cross-call
+    fit cache (:func:`fit`)."""
     import jax
 
+    import jax.numpy as jnp
+
     F = compiled.block_frames
-    n_blocks = max(1, target.shape[0] // F)
-    target = jnp.asarray(target[:n_blocks * F], dtype=jnp.float32)
-    if target.ndim == 1:
-        target = target[:, None]
-    host = compiled.stage_host(position, n_blocks)
     loss = spectral_loss if loss is None else loss
     # differentiate through the fastest eligible lowering (mega window,
     # delay solver, segmented feedback scan, vmap) — same selection as
@@ -105,7 +104,7 @@ def make_loss_fn(compiled: CompiledPatch, target: np.ndarray, *,
     many = compiled.render_core(n_blocks)
     carry0 = jax.tree.map(jnp.asarray, compiled.carry0)
 
-    def loss_fn(params):
+    def loss_fn(params, target, host):
         blocks, _, _ = many(params, carry0, jnp.int32(position), host)
         audio = blocks.reshape(n_blocks * F, compiled.channels)
         return loss(audio, target)
@@ -113,39 +112,73 @@ def make_loss_fn(compiled: CompiledPatch, target: np.ndarray, *,
     return loss_fn
 
 
-def fused_descent(loss_fn, train, *, steps: int, learning_rate: float,
-                  steps_per_dispatch: int = None):
-    """Adam on ``loss_fn(train) -> scalar``, K steps fused per jitted
-    ``lax.scan`` dispatch (see :func:`fit`): every remote execution
-    carries a fixed ~25 ms dispatch cost, so a per-step Python loop
-    caps at ~19 steps/s while the fused loop measures 300+ on the
-    64-voice fit (v5e).  Returns ``(train', losses)``; the shared
-    optimizer loop of :func:`fit` and ``PolyPatch.fit``."""
-    import functools
+def _conform_target(target, F: int):
+    """Trim to whole blocks, promote to f32 2-D; returns (target, n)."""
+    import jax.numpy as jnp
+    n_blocks = max(1, target.shape[0] // F)
+    target = jnp.asarray(target[:n_blocks * F], dtype=jnp.float32)
+    if target.ndim == 1:
+        target = target[:, None]
+    return target, n_blocks
 
+
+def make_loss_fn(compiled: CompiledPatch, target: np.ndarray, *,
+                 position: int = 0,
+                 loss: typing.Callable = None):
+    """A pure ``loss_fn(params) -> scalar`` rendering the patch over the
+    target's duration."""
+    target, n_blocks = _conform_target(target, compiled.block_frames)
+    core = make_loss_core(compiled, n_blocks, position=position, loss=loss)
+    host = compiled.stage_host(position, n_blocks)
+    return lambda params: core(params, target, host)
+
+
+def fused_descent(loss_fn, train, *, steps: int, learning_rate: float,
+                  steps_per_dispatch: int = None, loss_args=(),
+                  chunk_cache: dict = None):
+    """Adam on ``loss_fn(train, *loss_args) -> scalar``, K steps fused
+    per jitted ``lax.scan`` dispatch (see :func:`fit`): every remote
+    execution carries a fixed ~25 ms dispatch cost, so a per-step Python
+    loop caps at ~19 steps/s while the fused loop measures 300+ on the
+    64-voice fit (v5e).  Returns ``(train', losses)``; the shared
+    optimizer loop of :func:`fit` and ``PolyPatch.fit``.
+
+    ``loss_args`` are threaded through the jitted chunk as *data* (the
+    target waveform, the host-staging dict, the non-trainable param
+    snapshot), and the learning rate rides inside the optimizer state
+    (``optax.inject_hyperparams``) — so neither changing the target nor
+    the learning rate retraces, and nothing call-specific is ever baked
+    into the cached trace as a constant.
+
+    ``chunk_cache`` (dict) persists the jitted chunk functions across
+    calls: pass the same dict again and the ~10 s forward+backward
+    compilation of the first fit is skipped entirely (measured on v5e:
+    a second 64-voice fit call goes 14 s -> the pure dispatch cost).
+    The CALLER guarantees cache validity — entries are only reusable
+    for the same ``loss_fn`` math, ``train`` structure and
+    ``loss_args`` shapes (see :func:`fit`'s cache key)."""
     import jax
     import optax
 
-    tx = optax.adam(learning_rate)
+    # NB: a 0-d ndarray, not np.float32(...) — optax's inject_hyperparams
+    # silently declines to inject numpy *scalar* hyperparams (they'd bake
+    # into the cached trace as constants; tested in test_learn.py)
+    tx = optax.inject_hyperparams(optax.adam)(
+        learning_rate=np.asarray(learning_rate, dtype=np.float32))
     opt_state = tx.init(train)
-
-    def one_step(train_params, opt_state):
-        value, grads = jax.value_and_grad(loss_fn)(train_params)
-        updates, opt_state = tx.update(grads, opt_state, train_params)
-        train_params = optax.apply_updates(train_params, updates)
-        return train_params, opt_state, value
 
     K = (min(16, steps) if steps_per_dispatch is None
          else max(1, int(steps_per_dispatch)))
+    chunk_cache = {} if chunk_cache is None else chunk_cache
 
-    @functools.cache
-    def chunk_fn(length):
-        # at most two compilations: the full-K chunk and one tail
+    def make_chunk(length):
         @jax.jit
-        def run(train_params, opt_state):
+        def run(train_params, opt_state, loss_args):
             def body(carry, _):
                 tp, st = carry
-                tp, st, value = one_step(tp, st)
+                value, grads = jax.value_and_grad(loss_fn)(tp, *loss_args)
+                updates, st = tx.update(grads, st, tp)
+                tp = optax.apply_updates(tp, updates)
                 return (tp, st), value
 
             (tp, st), values = jax.lax.scan(
@@ -158,10 +191,35 @@ def fused_descent(loss_fn, train, *, steps: int, learning_rate: float,
     remaining = steps
     while remaining > 0:
         k = min(K, remaining)
-        train, opt_state, values = chunk_fn(k)(train, opt_state)
+        run = chunk_cache.get(k)
+        if run is None:
+            run = chunk_cache[k] = make_chunk(k)
+        train, opt_state, values = run(train, opt_state, loss_args)
         losses.extend(float(v) for v in np.asarray(values))
         remaining -= k
     return train, losses
+
+
+def _split_train(params, train_keys):
+    """The trainable sub-pytree of ``params`` as f32 jnp leaves (frozen
+    leaves include bools/ints like ``enabled``, which jax.grad
+    rejects)."""
+    import jax.numpy as jnp
+    train: dict = {}
+    for uid, p in train_keys:
+        train.setdefault(uid, {})[p] = jnp.asarray(params[uid][p],
+                                                   dtype=jnp.float32)
+    return train
+
+
+def _merge_train(params, train_params):
+    """Overlay the trainable leaves onto the full params pytree (pure —
+    safe under jit with both as traced arguments)."""
+    out = {uid: dict(leaves) for uid, leaves in params.items()}
+    for uid, leaves in train_params.items():
+        for p, v in leaves.items():
+            out[uid][p] = v
+    return out
 
 
 def fit(root: Emitter,
@@ -190,35 +248,47 @@ def fit(root: Emitter,
     steps/s at K=8).  The fused loop is step-for-step identical math —
     same order, same updates — so losses/params match ``1`` (the
     unfused path) exactly up to compiler reassociation.
-    """
-    import jax.numpy as jnp
 
+    Repeated fits are cheap: the jitted K-step chunk is cached on the
+    compiled patch keyed by (trainable set, target length, loss, K), and
+    the target, the learning rate AND every non-trainable param value
+    ride through it as data — so re-fitting against new audio, sweeping
+    learning rates, or editing other patch params between fits all skip
+    the ~10 s forward+backward compilation (only a new *shape* of
+    problem retraces).  Pass the same ``loss`` callable object to hit
+    the cache (a fresh ``functools.partial`` is a fresh key).
+    """
     compiled = compile_node(root, block_frames=block_frames, rate=rate)
-    loss_fn = make_loss_fn(compiled, target, loss=loss)
+    target, n_blocks = _conform_target(target, compiled.block_frames)
+    core = make_loss_core(compiled, n_blocks, loss=loss)
     params = compiled.params()
     index = compiled.index
     train_keys = {(index.info(node).uid, pname)
                   for node, pname in trainable}
+    train = _split_train(params, train_keys)
 
-    # differentiate only the trainable sub-pytree (frozen leaves include
-    # bools/ints like `enabled`, which jax.grad rejects)
-    train: dict = {}
-    for uid, p in train_keys:
-        train.setdefault(uid, {})[p] = jnp.asarray(params[uid][p],
-                                                   dtype=jnp.float32)
+    def loss_train(tp, target, host, full_params):
+        return core(_merge_train(full_params, tp), target, host)
 
-    def merged(train_params):
-        out = {uid: dict(leaves) for uid, leaves in params.items()}
-        for uid, leaves in train_params.items():
-            for p, v in leaves.items():
-                out[uid][p] = v
-        return out
-
+    K = (min(16, steps) if steps_per_dispatch is None
+         else max(1, int(steps_per_dispatch)))
+    cache_root = compiled.__dict__.setdefault('_fit_chunk_cache', {})
+    cache_key = (tuple(sorted(train_keys)), n_blocks,
+                 loss if loss is not None else None, K)
+    # one host->device transfer per fit call, not per chunk dispatch;
+    # host-fed inputs restage per call so the cached chunk never sees
+    # a stale snapshot
+    import jax
+    import jax.numpy as jnp
+    params_dev = jax.tree.map(jnp.asarray, params)
+    host = compiled.stage_host(0, n_blocks)
     train, losses = fused_descent(
-        lambda tp: loss_fn(merged(tp)), train, steps=steps,
-        learning_rate=learning_rate, steps_per_dispatch=steps_per_dispatch)
+        loss_train, train, steps=steps, learning_rate=learning_rate,
+        steps_per_dispatch=steps_per_dispatch,
+        loss_args=(target, host, params_dev),
+        chunk_cache=cache_root.setdefault(cache_key, {}))
 
-    final = merged(train)
+    final = _merge_train(params, train)
     if apply:
         for node, pname in trainable:
             uid = index.info(node).uid

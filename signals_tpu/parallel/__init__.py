@@ -89,6 +89,7 @@ class PolyPatch:
         self.axis_name = axis_name
         self._mix_epilogue = mix_epilogue and layout == 'channels'
         self._render_cache: dict[int, typing.Any] = {}
+        self._fit_chunk_cache: dict = {}
         if mesh is not None:
             n_dev = int(np.prod(mesh.devices.shape))
             # a 1-device mesh isn't sharding — nothing to decline there
@@ -594,16 +595,14 @@ class PolyPatch:
         import jax
         import jax.numpy as jnp
 
-        from signals_tpu.learn import (FitResult, fused_descent,
-                                       spectral_loss)
+        from signals_tpu.learn import (FitResult, _conform_target,
+                                       _merge_train, _split_train,
+                                       fused_descent, spectral_loss)
 
         compiled = self.compiled
         F = compiled.block_frames
-        target = np.asarray(target, dtype=F32)
-        n_blocks = max(1, target.shape[0] // F)
-        target = jnp.asarray(target[:n_blocks * F])
-        if target.ndim == 1:
-            target = target[:, None]
+        target, n_blocks = _conform_target(np.asarray(target, dtype=F32),
+                                           F)
         loss = spectral_loss if loss is None else loss
         raw = self._raw_render_fn(n_blocks)
         host = compiled.stage_host(position, n_blocks)
@@ -612,30 +611,32 @@ class PolyPatch:
         ch = (self._out_channels if self.layout == 'channels'
               else compiled.channels)
         index = compiled.index
+        train_keys = {(index.info(node).uid, pname)
+                      for node, pname in trainable}
+        train = _split_train(params, train_keys)
 
-        train: dict = {}
-        for node, pname in trainable:
-            uid = index.info(node).uid
-            train.setdefault(uid, {})[pname] = jnp.asarray(
-                params[uid][pname], dtype=jnp.float32)
-
-        def merged(tp):
-            out = {uid: dict(leaves) for uid, leaves in params.items()}
-            for uid, leaves in tp.items():
-                for p, v in leaves.items():
-                    out[uid][p] = v
-            return out
-
-        def loss_fn(tp):
-            mix, _ = raw(merged(tp), carry0, jnp.int32(position), host)
+        def loss_fn(tp, target, host, full_params):
+            mix, _ = raw(_merge_train(full_params, tp), carry0,
+                         jnp.int32(position), host)
             audio = mix.reshape(n_blocks * F, ch)
             return loss(audio, target)
 
+        # cross-call fit cache (same contract as learn.fit): target,
+        # host-staged inputs, learning rate and the non-trainable params
+        # are chunk *inputs*, so re-fitting this PolyPatch only ever
+        # compiles once per (trainable set, target length, loss, K) shape
+        K = (min(16, steps) if steps_per_dispatch is None
+             else max(1, int(steps_per_dispatch)))
+        cache_key = (tuple(sorted(train_keys)), n_blocks, position,
+                     loss if loss is not spectral_loss else None, K)
+        params_dev = jax.tree.map(jnp.asarray, params)
         train, losses = fused_descent(
             loss_fn, train, steps=steps, learning_rate=learning_rate,
-            steps_per_dispatch=steps_per_dispatch)
+            steps_per_dispatch=steps_per_dispatch,
+            loss_args=(target, host, params_dev),
+            chunk_cache=self._fit_chunk_cache.setdefault(cache_key, {}))
 
-        final = merged(train)
+        final = _merge_train(params, train)
         if apply:
             overrides = ({(n, p): axis for n, p, axis, _
                           in self._channel_overrides}

@@ -351,3 +351,114 @@ def test_fit_recovers_frequency_spectral_only():
     fitted = float(hz.get_state().value[0, 0])
     assert abs(fitted - 440.0) < 1.0, fitted
     assert res.losses[-1] < res.losses[0] * 0.05
+
+
+def test_fit_chunk_cache_reuses_compilation_across_calls():
+    """Repeated fits of the same problem *shape* reuse the jitted K-step
+    chunk: the target waveform, the learning rate and every
+    non-trainable param ride through the cached chunk as DATA, so a
+    second fit against new audio / a new lr / an edited patch param
+    must (a) hit the cache and (b) honor the new values — a stale
+    trace constant would silently re-fit the FIRST call's problem."""
+    hz = fixed(440.0)
+    osc = Sine()
+    osc.hertz = hz
+    vol = fixed(0.1)
+    g = Gain()
+    g.left = osc
+    g.right = vol
+    master = fixed(1.0)
+    out = Gain()
+    out.left = g
+    out.right = master
+
+    # fit 1: master=1.0, target amplitude 0.3 -> vol ~ 0.3
+    fit(out, _target(440.0, 0.3, 4), [(vol, 'value')], rate=RATE,
+        block_frames=F, steps=120, learning_rate=0.05)
+    assert abs(float(vol.get_state().value[0, 0]) - 0.3) < 0.05
+
+    compiled = compile_node(out, block_frames=F, rate=RATE, channels=1)
+    cache = compiled._fit_chunk_cache
+    assert len(cache) == 1, list(cache)
+    chunks_before = {k: id(v) for k, v in next(iter(cache.values())).items()}
+
+    # fit 2 — new target AND an edited non-trainable param: with
+    # master=0.5 the vol matching a 0.4-amplitude target is 0.8
+    master.get_state().value = np.float32([[0.5]])
+    fit(out, _target(440.0, 0.4, 4), [(vol, 'value')], rate=RATE,
+        block_frames=F, steps=120, learning_rate=0.05)
+    assert abs(float(vol.get_state().value[0, 0]) - 0.8) < 0.05
+
+    # same compiled patch, same cache entry, same jitted chunk objects
+    assert compile_node(out, block_frames=F, rate=RATE,
+                        channels=1) is compiled
+    assert len(cache) == 1, list(cache)
+    chunks_after = {k: id(v) for k, v in next(iter(cache.values())).items()}
+    for k, ident in chunks_before.items():
+        assert chunks_after[k] == ident, 'chunk was rebuilt, not cached'
+
+    # fit 3 — learning_rate=0: the lr lives in the optimizer state, not
+    # the trace; a zero-lr fit through the SAME cached chunk must leave
+    # the param exactly where it is
+    before = float(vol.get_state().value[0, 0])
+    fit(out, _target(440.0, 0.9, 4), [(vol, 'value')], rate=RATE,
+        block_frames=F, steps=16, learning_rate=0.0)
+    after = float(vol.get_state().value[0, 0])
+    assert after == before, (before, after)
+    chunks_final = {k: id(v) for k, v in next(iter(cache.values())).items()}
+    assert chunks_final[16] == chunks_after[16]
+
+
+def test_fit_restages_host_inputs_per_call():
+    """Host-fed inputs (file readers, control grids) are restaged every
+    ``fit`` call and flow through the cached chunk as an argument — a
+    fit after the host-side audio changed must see the NEW audio, not a
+    snapshot baked into the first call's trace."""
+    import pathlib
+    import tempfile
+
+    from signals_tpu.nodes.files import FileReader
+    from signals_tpu.runtime import sndfile
+
+    n_blocks = 4
+    t = np.arange(n_blocks * F, dtype=np.float32) / RATE
+    tone = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)[:, None]
+
+    def write(path, audio):
+        w = sndfile.open_writer(path, rate=RATE, channels=1)
+        try:
+            w.write(audio.astype(np.float32))
+        finally:
+            w.close()
+
+    with tempfile.TemporaryDirectory() as d:
+        path = str(pathlib.Path(d) / 'src.wav')
+        write(path, 0.25 * tone)
+        reader = FileReader()
+        reader.get_state().path = path
+        vol = fixed(1.0)
+        g = Gain()
+        g.left = reader
+        g.right = vol
+
+        target = 0.5 * tone
+        fit(g, target, [(vol, 'value')], rate=RATE, block_frames=F,
+            steps=100, learning_rate=0.05)
+        assert abs(float(vol.get_state().value[0, 0]) - 2.0) < 0.1
+
+        compiled = compile_node(g, block_frames=F, rate=RATE, channels=1)
+
+        # rewrite the file at DOUBLE the level: path unchanged, so the
+        # compiled patch — and with it the fit chunk cache — is reused;
+        # the restaged host reads must carry the NEW audio through the
+        # cached chunk (drop the reader's fd so it reopens, as a new
+        # process / the next session would)
+        write(path, 0.5 * tone)
+        reader._close()
+        vol.get_state().value = np.float32([[1.0]])
+        fit(g, target, [(vol, 'value')], rate=RATE, block_frames=F,
+            steps=100, learning_rate=0.05)
+        assert compile_node(g, block_frames=F, rate=RATE,
+                            channels=1) is compiled
+        assert len(compiled._fit_chunk_cache) == 1
+        assert abs(float(vol.get_state().value[0, 0]) - 1.0) < 0.05
