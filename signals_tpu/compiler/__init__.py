@@ -237,6 +237,8 @@ class _GraphIndex:
         #: let a flag flip make a patch's traces disagree with its hash
         #: (and with the packed_gen_engaged probe)
         self.seg_source_gen = _filters.resolve_seg_source_gen()
+        #: SEG_CARRY_BLOCKS snapshot, same contract as above
+        self.seg_carry_blocks = _filters.resolve_seg_carry_blocks()
         self.infos: dict[int, _NodeInfo] = {}
         self.order: list[Emitter] = []
         self._walk(root)
@@ -261,7 +263,7 @@ class _GraphIndex:
         h = hashlib.sha3_256()
         h.update(f'F={self.block_frames};R={self.rate};C={self.channels};'
                  f'I={_filters.FILTER_IMPL};M={_filters.MEGA_FILTER_IMPL};'
-                 f'G={self.seg_source_gen}'
+                 f'G={self.seg_source_gen};B={self.seg_carry_blocks}'
                  .encode())
         for node in self.order:
             info = self.info(node)

@@ -88,6 +88,33 @@ MEGA_FILTER_IMPL = 'auto'
 #: path unchanged.  Set False to force the lowered producers everywhere.
 SEG_SOURCE_GEN = 'auto'
 
+#: multi-block kernel segments: how many consecutive blocks one packed
+#: cascade segment covers, carrying filter state across the blocks and
+#: replaying the ``context`` warmup once per SEGMENT instead of once per
+#: block.  With the default context == block_frames == 1024, per-block
+#: segments spend HALF of every kernel's time replaying context; ``m``
+#: blocks/segment cut the per-frame work from ``(C+F)/F`` to
+#: ``(C+m*F)/(m*F)``.  Engaged ONLY for filters whose crit inputs are
+#: all ``Fixed``/unconnected (:meth:`~signals_tpu.nodes.fx.CritFilter.
+#: crits_static`): with per-block-identical coefficients the carried
+#: state differs from the oracle's replayed state only by the filter's
+#: response beyond the context window, which flushes to zero in f32 —
+#: measured BIT-IDENTICAL output (max abs diff 0.0 at context=512,
+#: 2 kHz cutoff).  Swept filters keep per-block replay (m = 1): there
+#: the carried state differs at first order in the sweep rate — use a
+#: pole-justified short ``context``
+#: (:meth:`~signals_tpu.nodes.fx.CritFilter.context_for`) to cut their
+#: replay cost instead.  'auto' = 8 (participates in the graph hash, so
+#: flipping it compiles separate programs); 1 restores per-block
+#: segments everywhere.
+SEG_CARRY_BLOCKS = 'auto'
+
+
+def resolve_seg_carry_blocks() -> int:
+    if SEG_CARRY_BLOCKS == 'auto':
+        return 8
+    return max(1, int(SEG_CARRY_BLOCKS))
+
 
 def resolve_mega_impl() -> str:
     if MEGA_FILTER_IMPL == 'auto':

@@ -500,9 +500,9 @@ def _sosfilt_pallas_impl(coeffs, x, *, interpret: bool):
 
 
 def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
-                in_sems, out_sems, *, nsec: int, row_chunk: int,
+                in_sems, out_sems, *scratch, nsec: int, row_chunk: int,
                 c_chunks: int, seg_frames: int, group: int, v: int,
-                unroll: int, parts: int, slots: int):
+                unroll: int, parts: int, slots: int, sum_lanes: int = 0):
     """One (lane_group, row_chunk) grid step.
 
     Lanes are ``group`` consecutive segments x ``v`` channels (group*v =
@@ -517,6 +517,14 @@ def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
     a single 2 MB copy leaves most of the DMA engines idle (measured 33 ms
     vs 24 ms for 8 strided per-segment copies on v5e); row-parts keep both
     endpoints contiguous AND saturate the engines.
+
+    ``sum_lanes > 0`` (``group == 1`` only) is the mix-epilogue mode of
+    :func:`_seg_kernel_reuse` on the plain double-buffered pipeline: each
+    contiguous ``sum_lanes``-lane group reduces to its sum in-kernel
+    (``scratch[0]`` = (slots, row_chunk, 128) sum buffer) and only the
+    skinny sums DMA out — the geometry the reuse ring can't hold (short
+    pole-justified contexts, multi-block carry segments) keeps the
+    epilogue's HBM savings.
     """
     import jax
     import jax.numpy as jnp
@@ -558,9 +566,16 @@ def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
             for p in range(parts):
                 in_dma(slot, lg_, rc_, g, p).wait()
 
+    sbuf = scratch[0] if sum_lanes else None
+
     def out_dma_p(slot_, lg_, rc_, g, p):
         seg = lg_ * group + g
         dst_row = rc_ * row_chunk - c_chunks * row_chunk + p * part_rows
+        if sum_lanes:
+            return pltpu.make_async_copy(
+                sbuf.at[slot_, pl.ds(p * part_rows, part_rows), :],
+                out_hbm.at[seg, pl.ds(dst_row, part_rows)],
+                out_sems.at[slot_, g, p])
         return pltpu.make_async_copy(
             ybuf.at[slot_, pl.ds(p * part_rows, part_rows),
                     g * subs:(g + 1) * subs, :],
@@ -616,6 +631,9 @@ def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
 
     @pl.when(rc >= c_chunks)
     def _():
+        if sum_lanes:
+            sbuf[slot] = _group_sum_chunk(ybuf, slot, row_chunk,
+                                          sum_lanes)
         for g in range(group):
             out_dma(slot, lg, rc, g).start()
 
@@ -818,7 +836,7 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
     t_chunks = w - c_chunks
     reuse = (reuse_flag and group == 1 and c_chunks >= 1
              and t_chunks >= 1 and w <= 6)
-    if sum_lanes and not (reuse and sum_lanes <= LANE_GROUP
+    if sum_lanes and not (group == 1 and sum_lanes <= LANE_GROUP
                           and LANE_GROUP % sum_lanes == 0
                           and LANE_GROUP // sum_lanes <= 128):
         # the group matrix has 128 columns: more than 128 groups
@@ -827,10 +845,13 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
         # 128-lane sublane slices and _group_sum_chunk accumulates the
         # slices into the same output column (512-voice streams give 2
         # columns, a 1024-voice stream gives 1).
-        # mix-epilogue mode is only built on the context-reuse kernel
-        # (group == 1, the packed family layout); callers fall back to
-        # the full-output kernel + an external grouped sum
-        raise ValueError('sum_lanes requires the context-reuse layout')
+        # mix-epilogue mode needs the packed 1024-lane layout (group ==
+        # 1); callers fall back to the full-output kernel + an external
+        # grouped sum.  Both the reuse ring AND the plain double-
+        # buffered kernel implement it — geometries the ring can't hold
+        # (short pole-justified contexts, multi-block carry segments)
+        # keep the in-kernel sum.
+        raise ValueError('sum_lanes requires the packed 1024-lane layout')
     if reuse:
         total_chunks = (lane_groups - 1) * t_chunks + w
         # parts=1: the ring issues each chunk several steps ahead of
@@ -847,7 +868,7 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
         kernel = functools.partial(
             _seg_kernel, nsec=nsec, row_chunk=row_chunk,
             c_chunks=c_chunks, seg_frames=seg_frames, group=group, v=v,
-            unroll=unroll, parts=parts, slots=slots)
+            unroll=unroll, parts=parts, slots=slots, sum_lanes=sum_lanes)
         x_slots = y_slots = slots
 
     out_dims = ((n_seg_pad, tail, 128) if sum_lanes
@@ -1242,7 +1263,14 @@ def _seg_kernel_gen(coef_ref, toff_ref, lanef_ref, out_hbm, xgen, ybuf,
 @functools.lru_cache(maxsize=32)
 def _build_seg_gen_call(nsec: int, n_segments: int, seg_frames: int,
                         context: int, interpret: bool, osc_code: int,
-                        sum_lanes: int):
+                        sum_lanes: int, blocks_per_seg: int = 1):
+    """``n_segments`` counts coefficient BLOCKS; with ``blocks_per_seg =
+    m > 1`` the kernel's grid groups every ``m`` consecutive blocks into
+    one state-carry segment of ``m * seg_frames`` frames whose context
+    warmup runs once, under the first block's coefficients — the coeff
+    BlockSpec index map steps to block ``lg*m + (rc - c_chunks) // cpb``
+    at each in-segment block boundary (Pallas re-fetches the 40 KB tile
+    only when the index changes)."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1253,18 +1281,25 @@ def _build_seg_gen_call(nsec: int, n_segments: int, seg_frames: int,
         # groups wider than 128 lanes span sublane slices and accumulate
         # (see _group_sum_chunk)
         raise ValueError('sum_lanes must give <= 128 groups')
+    m = max(1, int(blocks_per_seg))
+    if n_segments % m:
+        raise ValueError(f'{n_segments} blocks do not tile '
+                         f'{m}-block segments')
     row_chunk = ROW_CHUNK
     while context % row_chunk or seg_frames % row_chunk:
         row_chunk //= 2
-    chunks_per_seg = (context + seg_frames) // row_chunk
+    cpb = seg_frames // row_chunk              # chunks per coeff block
+    seg_total = m * seg_frames                 # frames per carry segment
+    n_seg = n_segments // m
+    chunks_per_seg = (context + seg_total) // row_chunk
     c_chunks = context // row_chunk
     unroll = ROW_UNROLL if row_chunk % ROW_UNROLL == 0 else 1
     kernel = functools.partial(
         _seg_kernel_gen, nsec=nsec, row_chunk=row_chunk,
-        c_chunks=c_chunks, seg_frames=seg_frames, unroll=unroll,
+        c_chunks=c_chunks, seg_frames=seg_total, unroll=unroll,
         osc_code=osc_code, sum_lanes=sum_lanes)
-    out_dims = ((n_segments, seg_frames, 128) if sum_lanes
-                else (n_segments, seg_frames, 8, 128))
+    out_dims = ((n_seg, seg_total, 128) if sum_lanes
+                else (n_seg, seg_total, 8, 128))
     scratch = [
         pltpu.VMEM((row_chunk, 8, 128), np.float32),      # xgen
         pltpu.VMEM((2, row_chunk, 8, 128), np.float32),   # ybuf
@@ -1274,13 +1309,22 @@ def _build_seg_gen_call(nsec: int, n_segments: int, seg_frames: int,
     if sum_lanes:
         scratch.append(pltpu.VMEM((2, row_chunk, 128), np.float32))
 
+    if m == 1:
+        def coeff_idx(lg, rc):
+            return (0, 0, lg, 0, 0)
+    else:
+        def coeff_idx(lg, rc):
+            import jax.numpy as jnp
+            # context chunks warm up under the segment's FIRST block
+            blk = jnp.where(rc < c_chunks, 0, (rc - c_chunks) // cpb)
+            return (0, 0, lg * m + blk, 0, 0)
+
     def call(coeffs, toff, lanef):
         return pl.pallas_call(
             kernel,
-            grid=(n_segments, chunks_per_seg),
+            grid=(n_seg, chunks_per_seg),
             in_specs=[
-                pl.BlockSpec((nsec, 5, 1, 8, 128),
-                             lambda lg, rc: (0, 0, lg, 0, 0),
+                pl.BlockSpec((nsec, 5, 1, 8, 128), coeff_idx,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1299,7 +1343,7 @@ def sosfilt_segments_gen(coeffs, toff, lanef, *, n_segments: int,
                          seg_frames: int, context: int, osc_code: int,
                          rate: int,
                          interpret: typing.Optional[bool] = None,
-                         sum_groups: int = 0):
+                         sum_groups: int = 0, blocks_per_seg: int = 1):
     """:func:`sosfilt_segments` with the input synthesized IN-KERNEL from
     an oscillator spec — zero input HBM traffic.
 
@@ -1311,12 +1355,27 @@ def sosfilt_segments_gen(coeffs, toff, lanef, *, n_segments: int,
     as in
     :func:`sosfilt_segments` (the mix epilogue composes).  Returns
     ``(n_segments, seg_frames, 1024)`` or the group sums.
+
+    ``blocks_per_seg = m > 1``: every ``m`` consecutive coefficient
+    blocks share ONE state-carry segment — the ``context`` warmup (under
+    the first block's coefficients) is replayed once per segment instead
+    of once per block, cutting the kernel's per-frame work from
+    ``(context + F) / F`` to ``(context + m*F) / (m*F)`` (~2x -> ~9/8 at
+    the default context == F, m == 8).  Blocks after the first in a
+    segment see carried — strictly longer — state history; see
+    :data:`signals_tpu.compiler.filters.SEG_CARRY_BLOCKS` for the
+    semantics contract.  Requires ``n_segments % m == 0`` (callers pad
+    with continuation blocks and drop them).
     """
     import jax.numpy as jnp
 
     if interpret is None:
         from signals_tpu.compiler.filters import default_backend
         interpret = default_backend() != 'tpu'
+    blocks_per_seg = max(1, int(blocks_per_seg))
+    if n_segments % blocks_per_seg:
+        raise ValueError(f'n_segments {n_segments} must be a multiple of '
+                         f'blocks_per_seg {blocks_per_seg}')
     coeffs = jnp.asarray(coeffs, dtype=jnp.float32)
     lanes = coeffs.shape[2]
     if lanes % LANE_GROUP:
@@ -1340,7 +1399,8 @@ def sosfilt_segments_gen(coeffs, toff, lanef, *, n_segments: int,
                 coeffs[:, :, j * LG:(j + 1) * LG, :], toff[j * LG:(j + 1) * LG],
                 lanef[:, j * LG:(j + 1) * LG], n_segments=n_segments,
                 seg_frames=seg_frames, context=context, osc_code=osc_code,
-                rate=rate, interpret=interpret, sum_groups=sg_part)
+                rate=rate, interpret=interpret, sum_groups=sg_part,
+                blocks_per_seg=blocks_per_seg)
             for j in range(lanes // LG)], axis=2)
         if sum_groups and sum_groups > LANE_GROUP:
             return cols.reshape(n_segments, seg_frames, -1,
@@ -1348,13 +1408,14 @@ def sosfilt_segments_gen(coeffs, toff, lanef, *, n_segments: int,
         return cols
     return _segments_gen_cv(int(n_segments), int(seg_frames), int(context),
                             int(osc_code), int(rate), bool(interpret),
-                            int(sum_groups))(coeffs, toff, lanef)
+                            int(sum_groups),
+                            int(blocks_per_seg))(coeffs, toff, lanef)
 
 
 def _sosfilt_segments_gen_impl(coeffs, toff, lanef, *, n_segments: int,
                                seg_frames: int, context: int,
                                osc_code: int, rate: int, interpret: bool,
-                               sum_groups: int):
+                               sum_groups: int, blocks_per_seg: int = 1):
     import jax.numpy as jnp
 
     nsec = coeffs.shape[1]
@@ -1366,10 +1427,14 @@ def _sosfilt_segments_gen_impl(coeffs, toff, lanef, *, n_segments: int,
                        dtype=jnp.float32)
     lanef = jnp.concatenate([lanef, inv_row], axis=0)
     call = _build_seg_gen_call(nsec, n_segments, seg_frames, context,
-                               interpret, osc_code, sum_groups)
+                               interpret, osc_code, sum_groups,
+                               blocks_per_seg)
     y = call(sel, toff, lanef)
+    # m > 1: the kernel returns (n_segments/m, m*seg_frames, ...) —
+    # contiguous per-block rows, so the block-major views are reshapes
     if sum_groups:
-        return y[:, :, :LANE_GROUP // sum_groups]
+        return y[:, :, :LANE_GROUP // sum_groups].reshape(
+            n_segments, seg_frames, LANE_GROUP // sum_groups)
     return y.reshape(n_segments, seg_frames, LANE_GROUP)
 
 
@@ -1585,35 +1650,69 @@ def _segments_cv(n_segments: int, seg_frames: int, context: int,
 @functools.lru_cache(maxsize=64)
 def _segments_gen_cv(n_segments: int, seg_frames: int, context: int,
                      osc_code: int, rate: int, interpret: bool,
-                     sum_groups: int):
+                     sum_groups: int, blocks_per_seg: int = 1):
     import jax
 
     from signals_tpu.compiler.filters import sosfilt_scan
+
+    m = max(1, int(blocks_per_seg))
 
     def prim(coeffs, toff, lanef):
         return _sosfilt_segments_gen_impl(
             coeffs, toff, lanef, n_segments=n_segments,
             seg_frames=seg_frames, context=context, osc_code=osc_code,
-            rate=rate, interpret=interpret, sum_groups=sum_groups)
+            rate=rate, interpret=interpret, sum_groups=sum_groups,
+            blocks_per_seg=m)
+
+    seg_total = m * seg_frames
+    n_carry = n_segments // m         # state-carry segments
 
     def chunk(co_c, toff, lanef, s0, count):
+        # co_c: (count, m, nsec, ch, 11) per-block coeffs of `count`
+        # carry segments starting at segment index s0
         x = _gen_source_rows(toff, lanef, n_segments=count,
-                             seg_frames=seg_frames, context=context,
+                             seg_frames=seg_total, context=context,
                              osc_code=osc_code, rate=rate, seg0=s0)
-        return jax.vmap(sosfilt_scan)(co_c, x)[:, context:, :]
+        if m == 1:
+            return jax.vmap(sosfilt_scan)(co_c[:, 0], x)[:, context:, :]
+
+        from signals_tpu.compiler.filters import sosfilt_stream
+        import jax.numpy as jnp
+
+        def one_seg(co_m, xw):
+            # the kernel's m-block carry semantics exactly: context rows
+            # warm up from zero under block 0's coeffs, then the state
+            # threads through the m blocks with per-block coeffs
+            nsec_, ch = co_m.shape[1], xw.shape[1]
+            z0 = jnp.zeros((nsec_, 2, ch), dtype=jnp.float32)
+            _, z = sosfilt_stream(co_m[0], xw[:context], z0)
+
+            def body(z, args):
+                co_b, xb = args
+                yb, z2 = sosfilt_stream(co_b, xb, z)
+                return z2, yb
+
+            xb = xw[context:].reshape(m, seg_frames, ch)
+            _, ys = jax.lax.scan(body, z, (co_m, xb))
+            return ys.reshape(seg_total, ch)
+
+        return jax.vmap(one_seg)(co_c, x)
 
     def ref(coeffs, toff, lanef):
         import jax.numpy as jnp
-        if n_segments <= REF_CHUNK_SEGMENTS:
-            yb = chunk(coeffs, toff, lanef, 0, n_segments)
+        co_m = coeffs.reshape((n_carry, m) + coeffs.shape[1:])
+        # each carry segment is m blocks long: shrink the chunk so bwd
+        # peak memory stays one REF_CHUNK_SEGMENTS-block window
+        CH = max(1, REF_CHUNK_SEGMENTS // m)
+        if n_carry <= CH:
+            yb = chunk(co_m, toff, lanef, 0, n_carry)
         else:
             # checkpointed chunks: bwd peak memory = one chunk's scan
             # intermediates (see REF_CHUNK_SEGMENTS); synthesis is
             # recomputed per chunk, which is nearly free
-            CH = REF_CHUNK_SEGMENTS
-            n_pad = -(-n_segments // CH) * CH
-            cpad = jnp.pad(coeffs, ((0, n_pad - n_segments), (0, 0),
-                                    (0, 0), (0, 0)))
+            n_pad = -(-n_carry // CH) * CH
+            cpad = jnp.pad(co_m, ((0, n_pad - n_carry),) + ((0, 0),)
+                           * (co_m.ndim - 1))
             co_chunks = cpad.reshape((n_pad // CH, CH) + cpad.shape[1:])
             starts = jnp.arange(n_pad // CH, dtype=jnp.int32) * CH
 
@@ -1623,7 +1722,8 @@ def _segments_gen_cv(n_segments: int, seg_frames: int, context: int,
                 return chunk(co_c, toff, lanef, s0, CH)
 
             yb = jax.lax.map(chunk_fn, (co_chunks, starts))
-            yb = yb.reshape((n_pad,) + yb.shape[2:])[:n_segments]
+            yb = yb.reshape((n_pad,) + yb.shape[2:])[:n_carry]
+        yb = yb.reshape(n_segments, seg_frames, yb.shape[-1])
         if sum_groups:
             yb = yb.reshape(n_segments, seg_frames, -1,
                             sum_groups).sum(axis=3)

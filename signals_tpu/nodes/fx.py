@@ -198,6 +198,76 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
     def context_frames(self) -> int:
         return 0 if self._state.streaming else self._state.context
 
+    @staticmethod
+    def context_for(min_hz: float, rate: int = 44100,
+                    tol: float = 1e-7) -> int:
+        """Smallest 128-aligned context window whose truncation error is
+        below ``tol`` for every pole frequency the filter will see at or
+        above ``min_hz`` — the principled way to tune ``context`` per
+        patch instead of carrying the conservative 1024-frame default.
+
+        The window approximation truncates the filter's memory: the
+        state replayed from ``C`` frames differs from the exact IIR
+        state by the response to earlier input, bounded by
+        ``|pole|**C = exp(-xi * 2*pi*f0/rate * C)``.  This uses
+        ``xi = 0.5``, conservative against every supported design (the
+        order-2 Butterworth sections have ``xi = 0.707``; band filters
+        should pass their BANDWIDTH as ``min_hz``, shelf/peak EQs the
+        band edge over ``sqrt(2*Q)``).  Shorter contexts make the
+        compiled fast paths proportionally cheaper — the packed segment
+        kernel replays ``C`` frames per block, so per-frame work is
+        ``(C + F)/F`` (e.g. a 550 Hz floor gives C=512: 1.5x work
+        instead of the default's 2.0x at F=1024) — while the numpy
+        oracle replays the same window, so cross-engine parity is
+        untouched.
+
+        >>> CritFilter.context_for(550.0)
+        512
+        >>> CritFilter.context_for(150.0) >= 1024
+        True
+        """
+        import math
+        decay = 0.5 * 2.0 * math.pi * float(min_hz) / float(rate)
+        n = math.log(1.0 / tol) / max(decay, 1e-12)
+        return max(128, -(-int(math.ceil(n)) // 128) * 128)
+
+    def crits_static(self) -> bool:
+        """Whether every crit input (cutoff/freq/q/gain/...) is a
+        ``Fixed`` or unconnected — the designed coefficients are then
+        identical for every block, and multi-block carry segments
+        (:data:`signals_tpu.compiler.filters.SEG_CARRY_BLOCKS`) are
+        BIT-IDENTICAL to per-block context replay: the carried state
+        differs from the replayed one only by the filter's response
+        beyond the context window, which flushes to zero in f32 for any
+        adequate context (measured: max abs diff exactly 0.0 at
+        context=512, cutoff 2 kHz).  Swept filters must keep per-block
+        replay — with per-block coefficient changes the carried state
+        differs from the oracle's replayed state at FIRST ORDER in the
+        sweep rate (the state's recent history was filtered under the
+        previous block's coefficients), far outside parity budgets."""
+        from signals_tpu.nodes.fixed import Fixed
+        for pname in self.port_names():
+            if pname == 'input':
+                continue
+            sig = self._ports[pname].sig
+            if sig is not None and type(sig) is not Fixed:
+                return False
+        return True
+
+    def _carry_blocks(self, ctx, nb: int) -> int:
+        """Blocks per state-carry segment for a DMA-input lowering: the
+        largest divisor of ``nb`` within the compile-time
+        ``SEG_CARRY_BLOCKS`` snapshot when the crits are static (carry is
+        then bit-identical to per-block replay), else 1.  Divisor, not
+        padded: unlike the generator path the input timeline ends at
+        ``nb`` blocks."""
+        if not self.crits_static():
+            return 1
+        m = min(ctx.compiler.index.seg_carry_blocks, nb)
+        while nb % m:
+            m -= 1
+        return m
+
     def packed_lane_fit(self, k: int, block_frames: int):
         """Static packed lane width (``chx``) this filter would use in a
         ``k``-stream packed family, or None when the packed cascade can't
@@ -210,7 +280,13 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         if self._state.streaming:
             return None
         C = self.context_frames()
-        if C < 1 or C % block_frames:
+        # sub-block contexts are fine for the segment kernel (its row
+        # chunk shrinks to tile them); 128-alignment keeps the chunk a
+        # vector-register multiple.  A short, pole-justified context
+        # (:meth:`context_for`) cuts the kernel's per-frame replay work
+        # from (C+F)/F toward 1 with UNCHANGED per-block semantics — the
+        # oracle replays the same window.
+        if C < 1 or C % 128:
             return None
         inp = self._ports['input'].sig
         ch_in = 1 if inp is None else inp.channels
@@ -470,6 +546,20 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         if gen is not None:
             return self._family_gen(ctx, gen, co, k, sf, F_, nb_s, C,
                                     chx, sum_groups)
+        # multi-block carry segments on the DMA path: for static crits an
+        # m-block carry segment over the CONTIGUOUS packed timeline is
+        # just a coarser segmentation — m*F_-frame segments with the
+        # (per-block-identical) coefficients of their first block — so no
+        # kernel change is needed; bit-identical to per-block replay (see
+        # crits_static).  Unlike the generator path the timeline can't be
+        # synthesized past nb_s, so m is the largest divisor of nb_s
+        # within SEG_CARRY_BLOCKS instead of padding.
+        m = self._carry_blocks(ctx, nb_s)
+        if m > 1:
+            y = sosfilt_segments(co[::m], xp_, n_segments=nb_s // m,
+                                 seg_frames=m * F_, context=C,
+                                 sum_groups=sum_groups)
+            return y.reshape(nb_s, F_, y.shape[-1])
         return sosfilt_segments(co, xp_, n_segments=nb_s, seg_frames=F_,
                                 context=C,
                                 sum_groups=sum_groups)     # (S, F, k*chx)
@@ -536,10 +626,29 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         j_lane = np.repeat(np.arange(k, dtype=np.int32), chx)
         toff = (comp.position + jnp.asarray(j_lane) * np.int32(sf)
                 - np.int32(C))
-        return sosfilt_segments_gen(
+        # multi-block carry segments (filters.SEG_CARRY_BLOCKS, snapshot
+        # in the graph hash): the context warmup replays once per m
+        # blocks instead of per block — (C + F)/F ~ 2x per-frame work
+        # drops to (C + m*F)/(m*F).  ONLY for static crits, where the
+        # carry is bit-identical to per-block replay (see crits_static);
+        # swept filters keep m = 1.  Blocks pad up to a multiple of m
+        # with edge coeffs; the padded rows are the streams' natural
+        # continuation (the generator synthesizes past nb_s) and are
+        # dropped below.
+        m = (min(ctx.compiler.index.seg_carry_blocks, nb_s)
+             if self.crits_static() else 1)
+        nb_p = -(-nb_s // m) * m
+        if nb_p != nb_s:
+            co = jnp.concatenate(
+                [co, jnp.broadcast_to(co[-1:],
+                                      (nb_p - nb_s,) + co.shape[1:])],
+                axis=0)
+        y = sosfilt_segments_gen(
             co, toff, jnp.stack([hz_l, ph_l, amp_l]),
-            n_segments=nb_s, seg_frames=F_, context=C,
-            osc_code=code, rate=ctx.rate, sum_groups=sum_groups)
+            n_segments=nb_p, seg_frames=F_, context=C,
+            osc_code=code, rate=ctx.rate, sum_groups=sum_groups,
+            blocks_per_seg=m)
+        return y[:nb_s]
 
     def _mega_kernel(self, ctx, grid, nyquist):
         """Mega-window lowering: the window spans many blocks.  The input is
@@ -571,7 +680,7 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
                 LANE_GROUP, sosfilt_batch, sosfilt_segments)
             ch_in = ctx.in_channels('input') or 1
             chx = max(ch_in, chs)
-            if (C % F_ == 0 and chx >= 32
+            if (C % 128 == 0 and chx >= 32
                     and (128 % chx == 0 or chx % 128 == 0)):
                 # fully DMA-driven: the kernel reads the raw timeline from
                 # HBM (overlapping segment windows BlockSpecs can't
@@ -600,8 +709,13 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
                         cpk = jnp.concatenate(
                             [cpad[j * S:(j + 1) * S] for j in range(k)],
                             axis=2)                # (S, nsec, k*chx, 11)
-                        y = sosfilt_segments(cpk, xp_, n_segments=S,
-                                             seg_frames=F_, context=C)
+                        # static crits: m-block carry segments = coarser
+                        # segmentation of the contiguous packed timeline
+                        # (bit-identical; see _carry_blocks)
+                        m = self._carry_blocks(ctx, S)
+                        y = sosfilt_segments(cpk[::m], xp_,
+                                             n_segments=S // m,
+                                             seg_frames=m * F_, context=C)
                         # unpack stream-major: block j*S + s lives at lane
                         # block j of segment s — one transpose, not a
                         # k-operand slice concat (XLA's transpose emitter
@@ -609,8 +723,9 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
                         y = y.reshape(S, F_, k, chx).transpose(2, 0, 1, 3)
                         return y.reshape(k * S * F_, chx)[:nb * F_]
                 x = ctx.in_context('input', C)             # (C+N, ch)
-                y = sosfilt_segments(coeffs, x, n_segments=nb,
-                                     seg_frames=F_, context=C)
+                m = self._carry_blocks(ctx, nb)
+                y = sosfilt_segments(coeffs[::m], x, n_segments=nb // m,
+                                     seg_frames=m * F_, context=C)
                 return y.reshape(nb * F_, y.shape[-1])
             x = ctx.in_context('input', C)                 # (C+N, ch)
             # assemble the kernel's frames-major lane layout

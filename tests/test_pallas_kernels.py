@@ -714,3 +714,173 @@ def test_chunked_vjp_matches_plain_reference():
                                        rtol=2e-3, atol=1e-4)
     finally:
         PK.REF_CHUNK_SEGMENTS = old
+
+
+def test_segments_gen_carry_blocks_const_coeffs_bit_exact():
+    """Multi-block carry segments (``blocks_per_seg = m``,
+    filters.SEG_CARRY_BLOCKS): with per-block-IDENTICAL coefficients the
+    carried state differs from per-block context replay only by the
+    filter's response beyond the context window — which flushes to zero
+    in f32 — so the m > 1 output must be BIT-identical to m = 1, full
+    output and mix-epilogue sums alike."""
+    from signals_tpu.compiler.filters import design_coupled
+    from signals_tpu.compiler.pallas_kernels import (LANE_GROUP, OSC_SAW,
+                                                     sosfilt_segments_gen)
+    import jax.numpy as jnp
+    nb, F, C = 8, 512, 512
+    rate = 44100
+    lanes = LANE_GROUP
+    crit = jnp.full((1, lanes), 2000.0)
+    c1 = np.asarray(design_coupled(jnp, 'lp', (crit,), rate / 2))
+    co = np.broadcast_to(c1[None], (nb,) + c1.shape)
+    toff = np.zeros(lanes, np.int32)
+    hz = np.linspace(100, 400, lanes).astype(np.float32)
+    lanef = np.stack([hz, np.zeros(lanes, np.float32),
+                      np.ones(lanes, np.float32)])
+
+    def run(m, sum_groups=0):
+        return np.asarray(sosfilt_segments_gen(
+            co, toff, lanef, n_segments=nb, seg_frames=F, context=C,
+            osc_code=OSC_SAW, rate=rate, interpret=True,
+            sum_groups=sum_groups, blocks_per_seg=m))
+
+    assert np.abs(run(1) - run(4)).max() == 0.0
+    assert np.abs(run(1, sum_groups=128) - run(4, sum_groups=128)).max() \
+        == 0.0
+
+
+def test_segments_gen_carry_blocks_matches_carry_reference():
+    """With per-block VARYING coefficients the m-block kernel computes
+    the carried time-varying cascade — context warmup under the first
+    block's coeffs, state threading through the blocks.  Pin it to a
+    hand-written reference of exactly that math (kernel correctness,
+    independent of the plan gate that keeps swept filters at m = 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from signals_tpu.compiler.filters import (design_coupled,
+                                              sosfilt_stream)
+    from signals_tpu.compiler.pallas_kernels import (
+        LANE_GROUP, OSC_SAW, _gen_source_rows, sosfilt_segments_gen)
+    nb, F, C, m = 8, 512, 512, 4
+    rate = 44100
+    lanes = LANE_GROUP
+    cuts = np.linspace(1500, 3000, nb).astype(np.float32)
+    co = np.stack([np.asarray(design_coupled(
+        jnp, 'lp', (jnp.full((1, lanes), c),), rate / 2)) for c in cuts])
+    toff = np.zeros(lanes, np.int32)
+    hz = np.linspace(100, 400, lanes).astype(np.float32)
+    lanef = np.stack([hz, np.zeros(lanes, np.float32),
+                      np.ones(lanes, np.float32)])
+    got = np.asarray(sosfilt_segments_gen(
+        co, toff, lanef, n_segments=nb, seg_frames=F, context=C,
+        osc_code=OSC_SAW, rate=rate, interpret=True, blocks_per_seg=m))
+
+    x = _gen_source_rows(jnp.asarray(toff), jnp.asarray(lanef),
+                         n_segments=nb // m, seg_frames=m * F, context=C,
+                         osc_code=OSC_SAW, rate=rate)
+
+    def one_seg(co_m, xw):
+        z0 = jnp.zeros((co_m.shape[1], 2, xw.shape[1]), jnp.float32)
+        _, z = sosfilt_stream(co_m[0], xw[:C], z0)
+
+        def body(z, args):
+            co_b, xb = args
+            yb, z2 = sosfilt_stream(co_b, xb, z)
+            return z2, yb
+
+        _, ys = jax.lax.scan(body, z,
+                             (co_m, xw[C:].reshape(m, F, xw.shape[1])))
+        return ys.reshape(m * F, xw.shape[1])
+
+    want = np.asarray(jax.vmap(one_seg)(
+        jnp.asarray(co).reshape(nb // m, m, *co.shape[1:]), x)
+    ).reshape(nb, F, lanes)
+    assert np.abs(got - want).max() < 1e-5
+
+
+def test_segments_gen_carry_blocks_grads_flow():
+    """The custom VJP mirrors the m-block carry math: value_and_grad
+    through ``blocks_per_seg > 1`` returns finite, nonzero gradients for
+    both the coefficients and the per-lane oscillator params."""
+    import jax
+    import jax.numpy as jnp
+
+    from signals_tpu.compiler.filters import design_coupled
+    from signals_tpu.compiler.pallas_kernels import (LANE_GROUP, OSC_SAW,
+                                                     sosfilt_segments_gen)
+    nb, F, C, m = 4, 256, 256, 4
+    rate = 44100
+    lanes = LANE_GROUP
+    crit = jnp.full((1, lanes), 2000.0)
+    c1 = design_coupled(jnp, 'lp', (crit,), rate / 2)
+    co = jnp.broadcast_to(c1[None], (nb,) + c1.shape)
+    toff = jnp.zeros(lanes, jnp.int32)
+    hz = jnp.linspace(100.0, 400.0, lanes).astype(jnp.float32)
+    lanef = jnp.stack([hz, jnp.zeros(lanes), jnp.ones(lanes)])
+
+    def loss(co, lanef):
+        y = sosfilt_segments_gen(
+            co, toff, lanef, n_segments=nb, seg_frames=F, context=C,
+            osc_code=OSC_SAW, rate=rate, interpret=True,
+            sum_groups=128, blocks_per_seg=m)
+        return jnp.mean(y ** 2)
+
+    val, (g_co, g_lf) = jax.value_and_grad(loss, argnums=(0, 1))(co, lanef)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(g_co)).all()
+    assert np.abs(np.asarray(g_lf)).max() > 0
+    assert np.isfinite(np.asarray(g_lf)).all()
+
+
+def test_segments_sum_lanes_on_plain_kernel_short_context():
+    """The mix-epilogue in-kernel sum on the plain double-buffered kernel
+    (round 4): a short pole-justified context (C=128 at F=1024 gives
+    w = 9 window chunks) is a geometry the reuse ring's ``w <= 6`` VMEM
+    gate cannot hold — the sum used to silently fall back to a full-width
+    output + external sum, forfeiting the epilogue's HBM savings.  The
+    plain kernel's sum mode must match the full output's grouped sum."""
+    from signals_tpu.compiler.pallas_kernels import sosfilt_segments
+    rng = np.random.default_rng(7)
+    F, C, nb, ch = 1024, 128, 4, 1024
+    x = rng.standard_normal((C + nb * F, ch)).astype(np.float32)
+    cuts = rng.uniform(500.0, 8000.0, (nb, ch)).astype(np.float32)
+    co = np.stack([design_coupled(np, 'lp', [cuts[b:b + 1]], NYQ)
+                   for b in range(nb)], axis=0)
+    full = np.asarray(sosfilt_segments(
+        co, x, n_segments=nb, seg_frames=F, context=C, interpret=True))
+    s = np.asarray(sosfilt_segments(
+        co, x, n_segments=nb, seg_frames=F, context=C, interpret=True,
+        sum_groups=128))
+    ref = full.reshape(nb, F, ch // 128, 128).sum(axis=3)
+    assert s.shape == (nb, F, ch // 128)
+    assert np.abs(s - ref).max() <= 1e-4
+
+
+def test_segments_carry_coarse_static_coeffs_bit_exact():
+    """Multi-block carry on the DMA path is implemented as COARSER
+    segmentation (no kernel change): with per-block-identical
+    coefficients, nb/m segments of m*F frames must be BIT-identical to
+    nb per-block segments — the carried state differs from the replayed
+    one only by the response beyond the context window, which flushes to
+    zero in f32.  Checked for the full output and the in-kernel sums
+    (the caller's reshape recovers block-major layout exactly)."""
+    from signals_tpu.compiler.pallas_kernels import sosfilt_segments
+    rng = np.random.default_rng(11)
+    F, C, nb, m, ch = 512, 512, 8, 4, 1024
+    x = rng.standard_normal((C + nb * F, ch)).astype(np.float32)
+    co1 = design_coupled(np, 'lp',
+                         [np.full((1, ch), 2000.0, np.float32)], NYQ)
+    co = np.broadcast_to(np.asarray(co1)[None], (nb,) + np.shape(co1))
+
+    def run(n_seg, seg_f, coeffs, sum_groups=0):
+        return np.asarray(sosfilt_segments(
+            coeffs, x, n_segments=n_seg, seg_frames=seg_f, context=C,
+            interpret=True, sum_groups=sum_groups))
+
+    per_block = run(nb, F, co)
+    coarse = run(nb // m, m * F, co[::m]).reshape(nb, F, ch)
+    assert np.abs(per_block - coarse).max() == 0.0
+    s_pb = run(nb, F, co, sum_groups=128)
+    s_co = run(nb // m, m * F, co[::m], sum_groups=128)
+    assert np.abs(s_pb - s_co.reshape(nb, F, ch // 128)).max() == 0.0

@@ -799,3 +799,145 @@ def test_poly_fit_sharded_matches_unsharded():
     fitted = _fitted_override(poly, vol)
     assert np.abs(fitted - tgt_g).max() < 0.05, fitted
     assert res.losses[-1] < res.losses[0] * 0.05
+
+
+def test_carry_blocks_engage_only_for_static_crits():
+    """Plan gate for multi-block carry segments: a fixed-cutoff filter's
+    crits are static (m > 1 is bit-identical to per-block replay, so it
+    engages); an LFO-swept cutoff is not (per-block replay stays).  Both
+    render through the gen+epilogue family and match the sum-of-solo
+    oracle within the per-voice parity budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from signals_tpu.compiler import compile_node, filters as _f
+    from signals_tpu.nodes.fx import CritFilter, Gain, LowPass, Mix
+    from signals_tpu.nodes.osc import Sawtooth, Sine
+    from signals_tpu.parallel import PolyPatch
+
+    from conftest import fixed, pull_blocks
+
+    F, NB, RATE = 1024, 32, 44100
+
+    def build(swept):
+        hz = fixed(110.0)
+        saw = Sawtooth()
+        saw.hertz = hz
+        lp = LowPass()
+        lp.input = saw
+        if swept:
+            lfo = Sine()
+            lfo.hertz = fixed(0.5)
+            depth = Gain()
+            depth.left = lfo
+            depth.right = fixed(900.0)
+            cut = Mix()
+            cut.left = depth
+            cut.right = fixed(2000.0)
+            cut.mix = fixed(0.5)
+            lp.cutoff = cut
+            lp.get_state().context = CritFilter.context_for(550.0, RATE)
+        else:
+            lp.cutoff = fixed(2000.0)
+            lp.get_state().context = CritFilter.context_for(2000.0, RATE)
+        out = Gain()
+        out.left = lp
+        out.right = fixed(1.0 / 8)
+        return out, hz
+
+    root_s, _ = build(False)
+    root_w, _ = build(True)
+    lp_s = root_s._ports['left'].sig
+    lp_w = root_w._ports['left'].sig
+    assert lp_s.crits_static() and not lp_w.crits_static()
+
+    import signals_tpu.compiler as C
+    saved = (_f.MEGA_FILTER_IMPL, _f.SEG_SOURCE_GEN)
+    _f.MEGA_FILTER_IMPL = 'pallas'
+    _f.SEG_SOURCE_GEN = True
+    try:
+        for swept in (False, True):
+            root, hz = build(swept)
+            freqs = (110.0 * 2 ** (np.arange(64) % 12 / 12.0)
+                     ).astype(np.float32)
+            poly = PolyPatch(root, n_voices=64,
+                             overrides={(hz, 'value'): freqs},
+                             block_frames=F, rate=RATE,
+                             layout='channels', mix_epilogue=True)
+            assert poly.compiled.packed_gen_engaged(NB, mix_epilogue=True)
+            audio, _ = poly.render(n_blocks=NB)
+            oracle = pull_blocks(poly.compiled.root, NB, block_frames=F,
+                                 rate=RATE, channels=64
+                                 ).sum(axis=1, keepdims=True)
+            err = np.abs(np.asarray(audio) - oracle).max() / 64
+            assert err < 1e-5, (swept, err)
+            C._compile_cache.clear()
+    finally:
+        _f.MEGA_FILTER_IMPL, _f.SEG_SOURCE_GEN = saved
+
+
+def test_context_for_pole_bound():
+    """context_for: 128-aligned, monotone in the pole frequency, and the
+    sub-block windows it licenses keep parity — a context-512 patch must
+    match the oracle (which replays the same window) bit-near."""
+    from signals_tpu.nodes.fx import CritFilter
+    assert CritFilter.context_for(550.0) == 512
+    assert CritFilter.context_for(2000.0) == 128
+    assert CritFilter.context_for(150.0) >= 1024
+    assert CritFilter.context_for(20.0) > CritFilter.context_for(200.0)
+    assert all(CritFilter.context_for(f) % 128 == 0
+               for f in (31.0, 97.0, 443.0, 1111.0, 9999.0))
+
+
+def test_carry_blocks_dma_path_static_noise_voice():
+    """Multi-block carry segments on the DMA (non-generator) packed path
+    (round 4): a noise-fed fixed-cutoff voice — the input can't be
+    synthesized in-kernel, so the packed family DMAs the timeline, and
+    static crits re-segment it into SEG_CARRY_BLOCKS-block carry
+    segments (coarser windows, bit-identical math).  The 64-voice
+    epilogue mix must match the sum-of-solo oracle within the per-voice
+    parity budget."""
+    from signals_tpu.compiler import filters as _f
+    from signals_tpu.nodes.fx import CritFilter, Gain, LowPass
+    from signals_tpu.nodes.noise import White
+
+    from conftest import fixed, pull_blocks
+
+    F, NB, RATE = 1024, 32, 44100
+
+    def build():
+        nz = White()
+        lp = LowPass()
+        lp.input = nz
+        cut = fixed(2000.0)
+        lp.cutoff = cut
+        lp.get_state().context = CritFilter.context_for(1000.0, RATE)
+        out = Gain()
+        out.left = lp
+        out.right = fixed(1.0 / 8)
+        return out, cut
+
+    import signals_tpu.compiler as C
+    from signals_tpu.parallel import PolyPatch
+    saved = (_f.MEGA_FILTER_IMPL, _f.SEG_SOURCE_GEN)
+    _f.MEGA_FILTER_IMPL = 'pallas'
+    _f.SEG_SOURCE_GEN = True      # gen must DECLINE (noise input), not gate
+    try:
+        root, cut = build()
+        lp = root._ports['left'].sig
+        assert lp.crits_static()
+        cuts = np.linspace(1000.0, 4000.0, 64).astype(np.float32)
+        poly = PolyPatch(root, n_voices=64,
+                         overrides={(cut, 'value'): cuts},
+                         block_frames=F, rate=RATE,
+                         layout='channels', mix_epilogue=True)
+        assert not poly.compiled.packed_gen_engaged(NB, mix_epilogue=True)
+        audio, _ = poly.render(n_blocks=NB)
+        oracle = pull_blocks(poly.compiled.root, NB, block_frames=F,
+                             rate=RATE, channels=64
+                             ).sum(axis=1, keepdims=True)
+        err = np.abs(np.asarray(audio) - oracle).max() / 64
+        assert err < 1e-5, err
+        C._compile_cache.clear()
+    finally:
+        _f.MEGA_FILTER_IMPL, _f.SEG_SOURCE_GEN = saved
