@@ -135,7 +135,7 @@ def make_loss_fn(compiled: CompiledPatch, target: np.ndarray, *,
 
 def fused_descent(loss_fn, train, *, steps: int, learning_rate: float,
                   steps_per_dispatch: int = None, loss_args=(),
-                  chunk_cache: dict = None):
+                  chunk_cache: dict = None, lr_scale=None):
     """Adam on ``loss_fn(train, *loss_args) -> scalar``, K steps fused
     per jitted ``lax.scan`` dispatch (see :func:`fit`): every remote
     execution carries a fixed ~25 ms dispatch cost, so a per-step Python
@@ -156,7 +156,15 @@ def fused_descent(loss_fn, train, *, steps: int, learning_rate: float,
     a second 64-voice fit call goes 14 s -> the pure dispatch cost).
     The CALLER guarantees cache validity — entries are only reusable
     for the same ``loss_fn`` math, ``train`` structure and
-    ``loss_args`` shapes (see :func:`fit`'s cache key)."""
+    ``loss_args`` shapes (see :func:`fit`'s cache key).
+
+    ``lr_scale``: optional pytree matching ``train`` of per-leaf step
+    multipliers, threaded through the jitted chunk as DATA (changing it
+    never retraces).  Adam's steps are gradient-scale-free but
+    parameter-scale-absolute — one ``learning_rate`` cannot serve a
+    0.8 gain and a 2000 Hz cutoff at once; per-leaf multipliers of
+    ``max(|p0|, floor)`` make the step RELATIVE to each parameter's
+    own magnitude (see :func:`fit` ``relative_lr``)."""
     import jax
     import optax
 
@@ -171,13 +179,18 @@ def fused_descent(loss_fn, train, *, steps: int, learning_rate: float,
          else max(1, int(steps_per_dispatch)))
     chunk_cache = {} if chunk_cache is None else chunk_cache
 
+    import jax.numpy as jnp
+    scale = (jax.tree.map(lambda v: jnp.ones_like(jnp.asarray(v)), train)
+             if lr_scale is None else lr_scale)
+
     def make_chunk(length):
         @jax.jit
-        def run(train_params, opt_state, loss_args):
+        def run(train_params, opt_state, loss_args, scale):
             def body(carry, _):
                 tp, st = carry
                 value, grads = jax.value_and_grad(loss_fn)(tp, *loss_args)
                 updates, st = tx.update(grads, st, tp)
+                updates = jax.tree.map(jnp.multiply, updates, scale)
                 tp = optax.apply_updates(tp, updates)
                 return (tp, st), value
 
@@ -194,7 +207,7 @@ def fused_descent(loss_fn, train, *, steps: int, learning_rate: float,
         run = chunk_cache.get(k)
         if run is None:
             run = chunk_cache[k] = make_chunk(k)
-        train, opt_state, values = run(train, opt_state, loss_args)
+        train, opt_state, values = run(train, opt_state, loss_args, scale)
         losses.extend(float(v) for v in np.asarray(values))
         remaining -= k
     return train, losses
@@ -232,7 +245,8 @@ def fit(root: Emitter,
         learning_rate: float = 0.02,
         loss: typing.Callable = None,
         apply: bool = True,
-        steps_per_dispatch: int = None) -> FitResult:
+        steps_per_dispatch: int = None,
+        relative_lr: bool = False) -> FitResult:
     """Gradient-fit the ``(node, param)`` pairs in ``trainable`` so the patch
     rendered at ``root`` matches ``target``.
 
@@ -257,6 +271,13 @@ def fit(root: Emitter,
     the ~10 s forward+backward compilation (only a new *shape* of
     problem retraces).  Pass the same ``loss`` callable object to hit
     the cache (a fresh ``functools.partial`` is a fresh key).
+
+    ``relative_lr=True`` makes ``learning_rate`` a RELATIVE step: each
+    parameter steps ``learning_rate * max(|p0|, 0.01)`` per update, so
+    one rate serves parameters of any scale (a 0.8 gain and a 2000 Hz
+    cutoff fit together at the default — Adam's steps are
+    gradient-scale-free but parameter-scale-absolute).  The multipliers
+    ride through the cached chunk as data — never a retrace.
     """
     compiled = compile_node(root, block_frames=block_frames, rate=rate)
     target, n_blocks = _conform_target(target, compiled.block_frames)
@@ -282,11 +303,15 @@ def fit(root: Emitter,
     import jax.numpy as jnp
     params_dev = jax.tree.map(jnp.asarray, params)
     host = compiled.stage_host(0, n_blocks)
+    lr_scale = (jax.tree.map(
+        lambda v: jnp.maximum(jnp.abs(jnp.asarray(v)), 0.01), train)
+        if relative_lr else None)
     train, losses = fused_descent(
         loss_train, train, steps=steps, learning_rate=learning_rate,
         steps_per_dispatch=steps_per_dispatch,
         loss_args=(target, host, params_dev),
-        chunk_cache=cache_root.setdefault(cache_key, {}))
+        chunk_cache=cache_root.setdefault(cache_key, {}),
+        lr_scale=lr_scale)
 
     final = _merge_train(params, train)
     if apply:

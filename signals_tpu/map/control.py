@@ -717,6 +717,138 @@ class CommandSet:
             plt.close(fig)
             print(f'wrote {self.path}', file=controller.stdout)
 
+    class Fit(LineCommand):
+        """Gradient-fit patch parameters to target audio:
+        ``fit <root_at> <target.wav> <at.param> [<at.param> ...]
+        [--steps N] [--lr X] [--seconds S]``.
+
+        The differentiable-synthesis flagship as a patcher command (no
+        reference counterpart): the patch feeding ``root_at`` (a sink,
+        or any signal) is rendered through the compiled engine,
+        compared to the target audio by the multi-scale spectral loss
+        (:func:`signals_tpu.learn.spectral_loss`), and the named
+        parameters gradient-descend ON the accelerator — the same
+        packed/generator fast paths renders use, differentiated through
+        their custom VJPs.  Fitted values are applied as ONE undoable
+        batch of ``ed`` commands: ``undo`` restores every pre-fit value
+        atomically, and ``dump``/``save`` serialize the fitted patch.
+
+        Parameter references are ``<coords>.<name>`` (e.g.
+        ``1a.value``, ``3b.cutoff``); the parameter must be one the
+        compiler traces (numeric state the program takes as input —
+        anything ``ed`` can set without a recompile).
+
+        ``--lr`` is a RELATIVE step (``learn.fit(relative_lr=True)``):
+        each parameter moves ``lr * max(|initial|, 0.01)`` per Adam
+        update, so the 0.05 default serves a unit-scale gain and a
+        kHz-scale cutoff in the same fit."""
+
+        at: Coordinates
+        path: pathlib.Path
+        params: typing.Sequence[tuple[Coordinates, str]]
+        steps: int
+        lr: float
+        seconds: typing.Optional[float]
+
+        @classmethod
+        def name(cls) -> str:
+            return 'fit'
+
+        @staticmethod
+        def _parse_param(token: str) -> tuple[Coordinates, str]:
+            at_s, sep, pname = token.partition('.')
+            if not sep or not pname:
+                raise ValueError(token)
+            return Coordinates.parse(at_s), pname
+
+        @classmethod
+        def add_arguments(cls, parser) -> None:
+            parser.add_argument('at', type=Coordinates.parse)
+            parser.add_argument('path', type=pathlib.Path)
+            parser.add_argument('params', type=cls._parse_param,
+                                nargs='+')
+            parser.add_argument('--steps', type=int, default=200)
+            parser.add_argument('--lr', type=float, default=0.02)
+            parser.add_argument('--seconds', type=float, default=None)
+
+        def affect(self, controller: 'Controller') -> None:
+            import numpy as np
+            from signals_tpu import learn
+            from signals_tpu.compiler import compile_node
+            from signals_tpu.runtime.wavio import read_wav
+
+            node = controller.map.find(self.at)
+            block_frames, rate = 1024, 44100
+            if isinstance(node, dev.SinkDevice):
+                if not node.input:
+                    raise CommandError(
+                        f'at {self.at}:', 'The sink has no input to fit')
+                root = node.input.sig
+                block_frames = node.block_frames
+                rate = node.rate
+            else:
+                root = node
+
+            target, target_rate = read_wav(self.path)
+            if target_rate != rate:
+                raise CommandError(
+                    f'{self.path}: target rate {target_rate} != patch '
+                    f'rate {rate} (resample the file first)')
+            if self.seconds is not None:
+                target = target[:max(1, int(self.seconds * rate))]
+
+            # resolve + validate the trainables against the params the
+            # compiled program actually takes as input, so a typo'd or
+            # structural (non-traced) name errors before the descent
+            compiled = compile_node(root, block_frames=block_frames,
+                                    rate=rate)
+            traced = compiled.params()
+            trainable = []
+            for pat, pname in self.params:
+                pnode = controller.map.find(pat)
+                try:
+                    uid = compiled.index.info(pnode).uid
+                except KeyError:
+                    raise CommandError(
+                        f'at {pat}:', 'The node does not feed the patch '
+                        f'rendered at {self.at}, so its parameters '
+                        'cannot affect the loss')
+                if pname not in traced.get(uid, {}):
+                    raise CommandError(
+                        f'at {pat}:', f'{pname!r} is not a fittable '
+                        'parameter of this node.', 'Fittable here:',
+                        ', '.join(sorted(traced.get(uid, {}))) or '(none)')
+                trainable.append((pat, pnode, pname))
+
+            result = learn.fit(
+                root, target, [(n, p) for _, n, p in trainable],
+                rate=rate, block_frames=block_frames, steps=self.steps,
+                learning_rate=self.lr, apply=False, relative_lr=True)
+
+            # apply as one atomic, undoable batch of edits
+            edits = []
+            report = []
+            for pat, pnode, pname in trainable:
+                fitted = result.value_of(compiled, pnode, pname)
+                current = getattr(pnode.get_state(), pname)
+                if isinstance(current, np.ndarray):
+                    value = fitted.astype(current.dtype)
+                else:
+                    value = float(fitted.ravel()[0])
+                edits.append(CommandSet.Edit(
+                    at=pat, state=SigState([(pname, value)])))
+                shown = (float(np.asarray(value).ravel()[0])
+                         if np.asarray(value).size == 1 else value)
+                report.append(f'{pat}.{pname}={shown:.6g}'
+                              if isinstance(shown, float)
+                              else f'{pat}.{pname}={shown}')
+            controller.push(BatchStackCommand(
+                cmds=edits, label=f'fit {self.path.name}'))
+            losses = result.losses
+            print(f'fit {self.path.name}: loss {losses[0]:.4g} -> '
+                  f'{losses[-1]:.4g} over {self.steps} steps; '
+                  + ' '.join(report), file=controller.stdout)
+
     class Export(LineCommand):
         """Export the patch diagram as SVG: ``export <path.svg> [layout]``."""
 

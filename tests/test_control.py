@@ -320,6 +320,58 @@ def test_bounce_command(tmp_path):
     assert abs(freq - 440.0) < 10
 
 
+def test_fit_command(tmp_path):
+    """``fit`` — differentiable synthesis at the command surface: fits
+    the named parameters to target audio through the compiled engine and
+    applies them as ONE undoable batch of edits."""
+    ctl = make_controller()
+    run(ctl,
+        'sink 7a default',
+        '+ 1a signals_tpu.nodes.fixed.Fixed value=[[440]]',
+        '+ 2a signals_tpu.nodes.osc.Sine',
+        '+ 3a signals_tpu.nodes.fixed.Fixed value=[[0.8]]',
+        '+ 4a signals_tpu.nodes.fx.Gain',
+        '> 1a 2a.hertz', '> 2a 4a.left', '> 3a 4a.right',
+        '> 4a 7a.input')
+    target = tmp_path / 'target.wav'
+    run(ctl, f'bounce 7a {target} 0.1')
+    # detune the gain, then gradient-fit it back against the bounce
+    run(ctl, '* 3a value=[[0.1]]')
+    run(ctl, f'fit 7a {target} 3a.value --steps 200 --lr 0.1')
+    node = ctl.map.find(Coordinates.parse('3a'))
+    fitted = float(np.asarray(node.get_state().value).ravel()[0])
+    assert abs(fitted - 0.8) < 0.05, fitted
+    assert 'loss' in ctl.stdout.getvalue()
+    # the whole fit is one history entry: a single undo restores the
+    # pre-fit value
+    run(ctl, 'undo')
+    restored = float(np.asarray(node.get_state().value).ravel()[0])
+    assert abs(restored - 0.1) < 1e-6
+    run(ctl, 'redo')
+    refit = float(np.asarray(node.get_state().value).ravel()[0])
+    assert abs(refit - fitted) < 1e-6
+
+
+def test_fit_command_errors(tmp_path):
+    from signals_tpu.map.control import CommandError
+    ctl = make_controller()
+    run(ctl,
+        'sink 7a default',
+        '+ 1a signals_tpu.nodes.fixed.Fixed value=[[440]]',
+        '+ 2a signals_tpu.nodes.osc.Sine',
+        '> 1a 2a.hertz', '> 2a 7a.input')
+    target = tmp_path / 'target.wav'
+    run(ctl, f'bounce 7a {target} 0.05')
+    # a structural (non-traced) or unknown parameter name errors with
+    # the fittable alternatives, before any descent runs
+    with pytest.raises(CommandError, match='not a fittable'):
+        run(ctl, f'fit 7a {target} 1a.nonsense')
+    # a node outside the rendered patch errors too
+    run(ctl, '+ 9a signals_tpu.nodes.fixed.Fixed value=[[1]]')
+    with pytest.raises(CommandError, match='does not feed'):
+        run(ctl, f'fit 7a {target} 9a.value')
+
+
 def test_stats_command():
     ctl = make_controller()
     run(ctl, 'sink 7a default')

@@ -462,3 +462,36 @@ def test_fit_restages_host_inputs_per_call():
                             channels=1) is compiled
         assert len(compiled._fit_chunk_cache) == 1
         assert abs(float(vol.get_state().value[0, 0]) - 1.0) < 0.05
+
+
+def test_fit_relative_lr_multiscale():
+    """``relative_lr=True``: ONE default-scale learning rate fits a
+    kHz-scale cutoff and a unit-scale gain in the same descent (Adam's
+    absolute steps would need per-parameter rates)."""
+    from signals_tpu.nodes.fx import Gain, LowPass
+    from signals_tpu.nodes.osc import Sawtooth
+
+    def build(cut_v, gain_v):
+        osc = Sawtooth()
+        osc.hertz = fixed(110.0)
+        cut = fixed(cut_v)
+        lp = LowPass()
+        lp.input = osc
+        lp.cutoff = cut
+        vol = fixed(gain_v)
+        g = Gain()
+        g.left = lp
+        g.right = vol
+        return g, cut, vol
+
+    tgt_root, _, _ = build(2000.0, 0.8)
+    target = pull_blocks(tgt_root, 8, block_frames=F, rate=RATE, channels=1)
+    model, cut, vol = build(600.0, 0.2)
+    res = fit(model, target, [(cut, 'value'), (vol, 'value')],
+              block_frames=F, steps=200, learning_rate=0.05,
+              relative_lr=True)
+    assert res.losses[-1] < res.losses[0] * 0.1
+    fitted_cut = float(cut.get_state().value[0, 0])
+    fitted_vol = float(vol.get_state().value[0, 0])
+    assert 1500 < fitted_cut < 2800, fitted_cut
+    assert abs(fitted_vol - 0.8) < 0.08, fitted_vol
