@@ -128,10 +128,39 @@ def resolve_seg_source_gen() -> bool:
     return bool(SEG_SOURCE_GEN)
 
 
+#: the platform compiled programs are PLANNED for: 'auto' consults
+#: ``jax.default_backend()``; 'cpu'/'tpu' pin it.  Plan selection
+#: (mega impl, generator kernel, mix epilogue) and the kernels'
+#: interpret-mode defaults must follow the devices a program will RUN
+#: on, not the process default — a virtual CPU validation mesh inside
+#: a TPU process would otherwise get non-interpret Mosaic kernels and
+#: die with "Only interpret mode is supported on CPU backend"
+#: (observed: ``dryrun_multichip`` after the axon backend was already
+#: initialized).  :class:`~signals_tpu.parallel.PolyPatch` pins this to
+#: its mesh's platform around compile and trace.
+PLATFORM = 'auto'
+
+
+@contextlib.contextmanager
+def platform_override(platform: str):
+    """Pin :data:`PLATFORM` for the duration (compile/trace scope)."""
+    global PLATFORM
+    old = PLATFORM
+    PLATFORM = platform
+    try:
+        yield
+    finally:
+        PLATFORM = old
+
+
 def default_backend() -> str:
-    """``jax.default_backend()`` that survives flaky accelerator plugins
-    (the axon TPU plugin sometimes fails to initialize in fresh
-    subprocesses — backend probes must not kill the render)."""
+    """The platform plan selection targets: :data:`PLATFORM` when
+    pinned, else ``jax.default_backend()`` — guarded against flaky
+    accelerator plugins (the axon TPU plugin sometimes fails to
+    initialize in fresh subprocesses — backend probes must not kill
+    the render)."""
+    if PLATFORM != 'auto':
+        return PLATFORM
     import jax
     try:
         return jax.default_backend()

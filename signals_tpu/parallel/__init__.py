@@ -71,6 +71,56 @@ class PolyPatch:
             layout = 'vmap' if mesh is not None else 'channels'
         if layout not in ('channels', 'vmap'):
             raise ValueError(layout)
+        # plan for the platform the mesh's devices actually are: a CPU
+        # validation mesh inside a TPU process must get scan/interpret
+        # plans, not Mosaic kernels (filters.platform_override) — the
+        # pin scopes every compile and trace this instance performs
+        self._platform: typing.Optional[str] = None
+        if mesh is not None:
+            from signals_tpu.compiler import filters as _filters
+            p = str(np.asarray(mesh.devices).flat[0].platform).lower()
+            if p in ('cpu', 'gpu', 'tpu') and p != _filters.default_backend():
+                self._platform = p
+        with self._platform_ctx():
+            self._build(root, n_voices=n_voices, overrides=overrides,
+                        block_frames=block_frames, rate=rate,
+                        channels=channels, mesh=mesh, layout=layout,
+                        axis_name=axis_name, mix_epilogue=mix_epilogue)
+
+    def _platform_ctx(self):
+        if self._platform is None:
+            import contextlib
+            return contextlib.nullcontext()
+        from signals_tpu.compiler import filters as _filters
+        return _filters.platform_override(self._platform)
+
+    def _wrap_platform(self, fn):
+        """Re-enter the platform pin around ``fn``: jit TRACES run at
+        first call, and the kernels' interpret-mode defaults resolve at
+        trace time."""
+        if self._platform is None:
+            return fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            with self._platform_ctx():
+                return fn(*args, **kwargs)
+
+        return wrapped
+
+    def _build(self,
+               root: Emitter,
+               *,
+               n_voices: int,
+               overrides: dict,
+               block_frames: int,
+               rate: int,
+               channels: typing.Optional[int],
+               mesh,
+               layout: str,
+               axis_name: str,
+               mix_epilogue: typing.Optional[bool]) -> None:
         if mix_epilogue is None:
             # default: on where the epilogue kernel runs compiled (TPU) —
             # measured 4478x vs 4224x realtime on the 64-voice device-
@@ -541,19 +591,26 @@ class PolyPatch:
             out_shardings=(replicated, carry_shardings),
             donate_argnums=(1,))
 
-    def render_fn(self, n_blocks: int):
+    def _render_pair(self, n_blocks: int):
         if n_blocks not in self._render_cache:
-            self._render_cache[n_blocks] = self._make_render(n_blocks)
-        return self._render_cache[n_blocks][1]
+            with self._platform_ctx():
+                raw, jitted = self._make_render(n_blocks)
+            # jit traces at first CALL: keep the platform pin wrapped
+            # around both so trace-time kernel decisions (interpret
+            # mode) follow the mesh, not the process default backend
+            self._render_cache[n_blocks] = (self._wrap_platform(raw),
+                                            self._wrap_platform(jitted))
+        return self._render_cache[n_blocks]
+
+    def render_fn(self, n_blocks: int):
+        return self._render_pair(n_blocks)[1]
 
     def _raw_render_fn(self, n_blocks: int):
         """The un-jitted render callable (shard_map-wrapped under a
         channels-layout mesh): what :meth:`fit` differentiates — the fit
         step wraps it in its own jit, and the jitted render's carry
         donation must not apply under an autodiff trace."""
-        if n_blocks not in self._render_cache:
-            self._render_cache[n_blocks] = self._make_render(n_blocks)
-        return self._render_cache[n_blocks][0]
+        return self._render_pair(n_blocks)[0]
 
     def render(self, *, position: int = 0, n_blocks: int = 1,
                carry: typing.Optional[dict] = None):

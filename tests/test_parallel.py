@@ -941,3 +941,42 @@ def test_carry_blocks_dma_path_static_noise_voice():
         C._compile_cache.clear()
     finally:
         _f.MEGA_FILTER_IMPL, _f.SEG_SOURCE_GEN = saved
+
+
+def test_cpu_mesh_plans_for_cpu_in_tpu_process(monkeypatch):
+    """Plan selection follows the MESH's platform, not the process
+    default backend: a CPU validation mesh built while the TPU backend
+    is the process default must get scan/interpret plans — unpinned,
+    the generator/mega paths emit non-interpret Mosaic kernels that die
+    on CPU devices with 'Only interpret mode is supported on CPU
+    backend' (observed live: ``dryrun_multichip`` after the axon
+    backend had been initialized by an earlier ``entry()`` call)."""
+    from signals_tpu.compiler import filters as _filters
+
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    # sanity: unpinned resolution now picks the TPU plans that would
+    # crash on the CPU mesh
+    assert _filters.resolve_mega_impl() == 'pallas'
+    assert _filters.resolve_seg_source_gen() is True
+
+    freqs = np.linspace(100, 800, 16).astype(np.float32)
+    mesh = voice_mesh(2, platform='cpu')
+    root, hz, _ = _voice()
+    with pytest.warns(RuntimeWarning, match='lane-efficiency'):
+        poly = PolyPatch(root, n_voices=16,
+                         overrides={(hz, 'value'): freqs},
+                         block_frames=F, rate=RATE, mesh=mesh,
+                         layout='channels')
+    # the compiled plan is pinned to the mesh's platform
+    assert poly._platform == 'cpu'
+    assert poly.compiled.index.seg_source_gen is False
+    out, _ = poly.render(n_blocks=4)
+    assert np.isfinite(out).all()
+    # ...and matches an honest single-device CPU render
+    monkeypatch.undo()
+    root_r, hz_r, _ = _voice()
+    single = PolyPatch(root_r, n_voices=16,
+                       overrides={(hz_r, 'value'): freqs},
+                       block_frames=F, rate=RATE, layout='channels')
+    ref, _ = single.render(n_blocks=4)
+    assert np.abs(out - ref).max() <= 1e-5
