@@ -1853,6 +1853,10 @@ class CompiledPatch:
         for uid, s in out.items():
             node = vis_nodes[uid]
             if not node.get_state().enabled:
+                # device arrays transfer lazily: skipping np.asarray here
+                # skips the host fetch for disabled taps (the on-device
+                # summary compute still runs — ~1500 elements, negligible
+                # — keeping `enabled` a traced edit, never a retrace)
                 continue
             arr = np.asarray(s)
             summaries[uid] = arr

@@ -29,6 +29,7 @@ This module provides:
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import math
 
 import numpy as np
@@ -137,30 +138,34 @@ def resolve_seg_source_gen() -> bool:
 #: die with "Only interpret mode is supported on CPU backend"
 #: (observed: ``dryrun_multichip`` after the axon backend was already
 #: initialized).  :class:`~signals_tpu.parallel.PolyPatch` pins this to
-#: its mesh's platform around compile and trace.
-PLATFORM = 'auto'
+#: its mesh's platform around compile and trace.  A ``ContextVar`` so
+#: the pin is per-thread/per-context: a CPU-mesh render entering the
+#: pin on one thread must not leak CPU plans into a TPU patch being
+#: first-traced concurrently on another (e.g. the realtime transport
+#: thread).
+_PLATFORM = contextvars.ContextVar('signals_tpu_platform', default='auto')
 
 
 @contextlib.contextmanager
 def platform_override(platform: str):
-    """Pin :data:`PLATFORM` for the duration (compile/trace scope)."""
-    global PLATFORM
-    old = PLATFORM
-    PLATFORM = platform
+    """Pin the planning platform for the duration (compile/trace scope
+    in the CURRENT thread/context)."""
+    token = _PLATFORM.set(platform)
     try:
         yield
     finally:
-        PLATFORM = old
+        _PLATFORM.reset(token)
 
 
 def default_backend() -> str:
-    """The platform plan selection targets: :data:`PLATFORM` when
-    pinned, else ``jax.default_backend()`` — guarded against flaky
-    accelerator plugins (the axon TPU plugin sometimes fails to
+    """The platform plan selection targets: the :func:`platform_override`
+    pin when set, else ``jax.default_backend()`` — guarded against
+    flaky accelerator plugins (the axon TPU plugin sometimes fails to
     initialize in fresh subprocesses — backend probes must not kill
     the render)."""
-    if PLATFORM != 'auto':
-        return PLATFORM
+    pinned = _PLATFORM.get()
+    if pinned != 'auto':
+        return pinned
     import jax
     try:
         return jax.default_backend()

@@ -113,9 +113,18 @@ def make_loss_core(compiled: CompiledPatch, n_blocks: int, *,
 
 
 def _conform_target(target, F: int):
-    """Trim to whole blocks, promote to f32 2-D; returns (target, n)."""
+    """Trim to whole blocks, promote to f32 2-D; returns (target, n).
+
+    Raises for targets shorter than one block: the render is a whole
+    number of blocks, so a short target would broadcast-fail deep
+    inside the jitted loss with an opaque shape error."""
+    if target.shape[0] < F:
+        raise ValueError(
+            f'target has {target.shape[0]} frames; fitting needs at '
+            f'least one whole {F}-frame block (pad the audio or lower '
+            'block_frames)')
     import jax.numpy as jnp
-    n_blocks = max(1, target.shape[0] // F)
+    n_blocks = target.shape[0] // F
     target = jnp.asarray(target[:n_blocks * F], dtype=jnp.float32)
     if target.ndim == 1:
         target = target[:, None]
@@ -131,6 +140,16 @@ def make_loss_fn(compiled: CompiledPatch, target: np.ndarray, *,
     core = make_loss_core(compiled, n_blocks, position=position, loss=loss)
     host = compiled.stage_host(position, n_blocks)
     return lambda params: core(params, target, host)
+
+
+def resolve_steps_per_dispatch(steps: int,
+                               steps_per_dispatch: int = None) -> int:
+    """The fused chunk length ``K`` — ONE policy: callers keying chunk
+    caches on K (``fit``, ``PolyPatch.fit``) must agree with the chunks
+    :func:`fused_descent` actually builds."""
+    if steps_per_dispatch is None:
+        return max(1, min(16, int(steps)))
+    return max(1, int(steps_per_dispatch))
 
 
 def fused_descent(loss_fn, train, *, steps: int, learning_rate: float,
@@ -175,8 +194,7 @@ def fused_descent(loss_fn, train, *, steps: int, learning_rate: float,
         learning_rate=np.asarray(learning_rate, dtype=np.float32))
     opt_state = tx.init(train)
 
-    K = (min(16, steps) if steps_per_dispatch is None
-         else max(1, int(steps_per_dispatch)))
+    K = resolve_steps_per_dispatch(steps, steps_per_dispatch)
     chunk_cache = {} if chunk_cache is None else chunk_cache
 
     import jax.numpy as jnp
@@ -291,8 +309,7 @@ def fit(root: Emitter,
     def loss_train(tp, target, host, full_params):
         return core(_merge_train(full_params, tp), target, host)
 
-    K = (min(16, steps) if steps_per_dispatch is None
-         else max(1, int(steps_per_dispatch)))
+    K = resolve_steps_per_dispatch(steps, steps_per_dispatch)
     cache_root = compiled.__dict__.setdefault('_fit_chunk_cache', {})
     cache_key = (tuple(sorted(train_keys)), n_blocks,
                  loss if loss is not None else None, K)

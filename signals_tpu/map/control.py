@@ -83,6 +83,43 @@ class BadRedo(BadHistory):
         super().__init__('Cannot redo any further')
 
 
+def _engine_shape_for(sig_map: Map, node) -> tuple[int, int]:
+    """``(block_frames, rate)`` of the sink whose patch CONTAINS
+    ``node`` — the engine shape playback would actually use.  Falls
+    back to the first sink's shape (single-sink maps where the node
+    hangs off-sink), then engine defaults: with several sinks at
+    different rates, taking "the first sink" would render the plotted
+    patch at the wrong rate (pitches shift, Spec bands mislabel)."""
+    first = None
+    for dinfo in sig_map.iter_sinks():
+        sink = sig_map.get(dinfo.at)
+        if sink is None:
+            continue
+        if first is None:
+            first = sink
+        inp = getattr(sink, 'input', None)
+        if not inp:
+            continue
+        stack = [inp.sig]
+        seen: set[int] = set()
+        while stack:
+            n = stack.pop()
+            if n is None or id(n) in seen:
+                continue
+            seen.add(id(n))
+            if n is node:
+                return (getattr(sink, 'block_frames', None) or 1024,
+                        getattr(sink, 'rate', None) or 44100)
+            ports = getattr(n, '_ports', None)
+            if ports:
+                stack.extend(p.sig for p in ports.values()
+                             if p.sig is not None)
+    if first is not None:
+        return (getattr(first, 'block_frames', None) or 1024,
+                getattr(first, 'rate', None) or 44100)
+    return 1024, 44100
+
+
 class Command(abc.ABC):
 
     @abc.abstractmethod
@@ -698,16 +735,11 @@ class CommandSet:
                     and node.summary_q.empty()):
                 # nothing queued: one-shot device render of the tap's
                 # upstream patch, fetching only the display summary.
-                # Engine shape follows the patch's sink when one is
-                # bound (the rate playback would run at), engine
-                # defaults otherwise.
+                # Engine shape follows the sink whose patch CONTAINS
+                # this vis node (the rate playback would run at),
+                # engine defaults otherwise.
                 from signals_tpu.compiler import compile_node
-                bf, rate = 1024, 44100
-                for dinfo in controller.map.iter_sinks():
-                    sink = controller.map.get(dinfo.at)
-                    bf = getattr(sink, 'block_frames', None) or bf
-                    rate = getattr(sink, 'rate', None) or rate
-                    break
+                bf, rate = _engine_shape_for(controller.map, node)
                 compiled = compile_node(node, block_frames=bf, rate=rate)
                 compiled.render_vis(
                     n_blocks=max(1, -(-self.frames // bf)))
@@ -768,7 +800,7 @@ class CommandSet:
             parser.add_argument('params', type=cls._parse_param,
                                 nargs='+')
             parser.add_argument('--steps', type=int, default=200)
-            parser.add_argument('--lr', type=float, default=0.02)
+            parser.add_argument('--lr', type=float, default=0.05)
             parser.add_argument('--seconds', type=float, default=None)
 
         def affect(self, controller: 'Controller') -> None:
@@ -777,6 +809,8 @@ class CommandSet:
             from signals_tpu.compiler import compile_node
             from signals_tpu.runtime.wavio import read_wav
 
+            if self.steps < 1:
+                raise BadCommandSyntax('--steps must be >= 1')
             node = controller.map.find(self.at)
             block_frames, rate = 1024, 44100
             if isinstance(node, dev.SinkDevice):
@@ -796,6 +830,11 @@ class CommandSet:
                     f'rate {rate} (resample the file first)')
             if self.seconds is not None:
                 target = target[:max(1, int(self.seconds * rate))]
+            if target.shape[0] < block_frames:
+                raise CommandError(
+                    f'{self.path}: {target.shape[0]} frames of target '
+                    f'audio; fitting needs at least one whole '
+                    f'{block_frames}-frame block')
 
             # resolve + validate the trainables against the params the
             # compiled program actually takes as input, so a typo'd or

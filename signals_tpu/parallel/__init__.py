@@ -77,9 +77,11 @@ class PolyPatch:
         # pin scopes every compile and trace this instance performs
         self._platform: typing.Optional[str] = None
         if mesh is not None:
-            from signals_tpu.compiler import filters as _filters
+            # always pin (not just when it differs from the default NOW):
+            # the trace runs at first render call, where the process
+            # default may have flipped since construction
             p = str(np.asarray(mesh.devices).flat[0].platform).lower()
-            if p in ('cpu', 'gpu', 'tpu') and p != _filters.default_backend():
+            if p in ('cpu', 'gpu', 'tpu'):
                 self._platform = p
         with self._platform_ctx():
             self._build(root, n_voices=n_voices, overrides=overrides,
@@ -654,7 +656,9 @@ class PolyPatch:
 
         from signals_tpu.learn import (FitResult, _conform_target,
                                        _merge_train, _split_train,
-                                       fused_descent, spectral_loss)
+                                       fused_descent,
+                                       resolve_steps_per_dispatch,
+                                       spectral_loss)
 
         compiled = self.compiled
         F = compiled.block_frames
@@ -682,8 +686,7 @@ class PolyPatch:
         # host-staged inputs, learning rate and the non-trainable params
         # are chunk *inputs*, so re-fitting this PolyPatch only ever
         # compiles once per (trainable set, target length, loss, K) shape
-        K = (min(16, steps) if steps_per_dispatch is None
-             else max(1, int(steps_per_dispatch)))
+        K = resolve_steps_per_dispatch(steps, steps_per_dispatch)
         cache_key = (tuple(sorted(train_keys)), n_blocks, position,
                      loss if loss is not spectral_loss else None, K)
         params_dev = jax.tree.map(jnp.asarray, params)

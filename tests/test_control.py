@@ -428,3 +428,49 @@ def test_io_error_is_clean_in_interactive_mode():
     out = ctl.stdout.getvalue()
     assert 'IO error:' in out
     assert 'Traceback' not in out
+
+
+def test_plot_engine_shape_follows_containing_sink():
+    """The on-device plot render takes block_frames/rate from the sink
+    whose patch CONTAINS the vis node — not whichever sink happens to
+    iterate first (two-sink maps would otherwise render the plotted
+    patch at the wrong engine shape)."""
+    from signals_tpu.map.control import _engine_shape_for
+    ctl = make_controller()
+    run(ctl,
+        'sink 7a default',
+        'sink 8a default',
+        '+ 1a signals_tpu.nodes.fixed.Fixed value=[[440]]',
+        '+ 2a signals_tpu.nodes.osc.Sine',
+        '+ 3a signals_tpu.nodes.vis.Wave',
+        '> 1a 2a.hertz', '> 2a 3a.input',
+        '> 3a 8a.input')     # the vis patch feeds sink 8a, NOT 7a
+    sink_a = ctl.map.find(Coordinates.parse('7a'))
+    sink_b = ctl.map.find(Coordinates.parse('8a'))
+    sink_a.block_frames = 256
+    sink_b.block_frames = 2048
+    vis = ctl.map.find(Coordinates.parse('3a'))
+    bf, rate = _engine_shape_for(ctl.map, vis)
+    assert bf == 2048 and rate == sink_b.rate
+    # a node in no sink's patch falls back to the FIRST sink's shape
+    orphan = ctl.map.find(Coordinates.parse('1a'))
+    run(ctl, '>/ 2a.hertz')
+    bf2, _ = _engine_shape_for(ctl.map, orphan)
+    assert bf2 == 256
+
+
+def test_fit_command_validates_steps_and_target_length(tmp_path):
+    from signals_tpu.map.control import BadCommandSyntax, CommandError
+    ctl = make_controller()
+    run(ctl,
+        'sink 7a default',
+        '+ 1a signals_tpu.nodes.fixed.Fixed value=[[440]]',
+        '+ 2a signals_tpu.nodes.osc.Sine',
+        '> 1a 2a.hertz', '> 2a 7a.input')
+    target = tmp_path / 'target.wav'
+    run(ctl, f'bounce 7a {target} 0.1')
+    with pytest.raises(BadCommandSyntax, match='steps'):
+        run(ctl, f'fit 7a {target} 1a.value --steps 0')
+    # a sub-block target errors cleanly, not with a jit shape trace
+    with pytest.raises(CommandError, match='whole'):
+        run(ctl, f'fit 7a {target} 1a.value --seconds 0.005')

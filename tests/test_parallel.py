@@ -980,3 +980,31 @@ def test_cpu_mesh_plans_for_cpu_in_tpu_process(monkeypatch):
                        block_frames=F, rate=RATE, layout='channels')
     ref, _ = single.render(n_blocks=4)
     assert np.abs(out - ref).max() <= 1e-5
+
+
+def test_platform_pin_is_thread_local():
+    """The platform pin is a ContextVar: pinning 'cpu' on one thread
+    (a CPU-mesh render entering its wrapper) must not leak CPU plans
+    into a trace running concurrently on another thread (e.g. the
+    realtime transport thread first-tracing a TPU patch)."""
+    import threading
+
+    from signals_tpu.compiler import filters as _filters
+
+    seen = {}
+    ready = threading.Event()
+    release = threading.Event()
+
+    def other_thread():
+        ready.wait(5)
+        seen['other'] = _filters._PLATFORM.get()
+        release.set()
+
+    t = threading.Thread(target=other_thread)
+    t.start()
+    with _filters.platform_override('cpu'):
+        assert _filters.default_backend() == 'cpu'
+        ready.set()
+        release.wait(5)
+    t.join(5)
+    assert seen['other'] == 'auto'
