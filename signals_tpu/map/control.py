@@ -824,10 +824,11 @@ class CommandSet:
                 root = node
 
             target, target_rate = read_wav(self.path)
+            resampled = ''
             if target_rate != rate:
-                raise CommandError(
-                    f'{self.path}: target rate {target_rate} != patch '
-                    f'rate {rate} (resample the file first)')
+                from signals_tpu.core.resample import resample
+                target = resample(target, target_rate, rate)
+                resampled = f' (target resampled {target_rate} -> {rate} Hz)'
             if self.seconds is not None:
                 target = target[:max(1, int(self.seconds * rate))]
             if target.shape[0] < block_frames:
@@ -886,7 +887,7 @@ class CommandSet:
             losses = result.losses
             print(f'fit {self.path.name}: loss {losses[0]:.4g} -> '
                   f'{losses[-1]:.4g} over {self.steps} steps; '
-                  + ' '.join(report), file=controller.stdout)
+                  + ' '.join(report) + resampled, file=controller.stdout)
 
     class Export(LineCommand):
         """Export the patch diagram as SVG: ``export <path.svg> [layout]``."""

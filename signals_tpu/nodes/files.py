@@ -56,10 +56,21 @@ class SoundFileBase(Emitter, abc.ABC):
 class FileReader(SoundFileBase):
     """Reads blocks at the requested absolute position (reference
     ``files.py:70-86``).  Out-of-range frames are zero (the reference
-    under-returns and violates its own shape contract there)."""
+    under-returns and violates its own shape contract there).
+
+    ``conform_rate=True`` resamples the file to the ENGINE rate
+    (windowed-sinc, :mod:`signals_tpu.core.resample`) so any-rate files
+    play pitch-correct; the default ``False`` keeps the reference's
+    raw-frame semantics (a 48 kHz file in a 44.1 kHz patch plays ~8.8%
+    slow there).  Resampling is a pure function of the absolute
+    position — block renders and seeks stay sample-exact, and both
+    engines share this ``host_read`` so parity is untouched."""
 
     #: compiler: lower as a staged host input
     is_host_source = True
+
+    class State(SoundFileBase.State):
+        conform_rate: bool = Param(False, validate=instance_of(bool))
 
     @classmethod
     def flags(cls) -> SignalFlags:
@@ -75,7 +86,25 @@ class FileReader(SoundFileBase):
         return self._open().channels
 
     def host_read(self, position: int, frames: int, rate: int) -> np.ndarray:
-        return self._open().read(position, frames)
+        buf = self._open()
+        file_rate = int(getattr(buf, 'rate', rate) or rate)
+        if not self._state.conform_rate or file_rate == rate:
+            return buf.read(position, frames)
+        from signals_tpu.core.resample import sinc_interpolate
+        taps = 32
+        half = taps // 2
+        ratio = file_rate / rate
+        # the engine frames [position, position+frames) live at file
+        # times k * ratio; read the covering file segment plus the
+        # kernel's reach on both sides (readers zero-fill out-of-range)
+        start = int(np.floor(position * ratio)) - half
+        stop = int(np.ceil((position + frames) * ratio)) + half + 1
+        seg = buf.read(start, stop - start)
+        pos = ((position + np.arange(frames, dtype=np.float64)) * ratio
+               - start)
+        out = sinc_interpolate(seg, pos, cutoff=min(1.0, rate / file_rate),
+                               taps=taps)
+        return out.astype(np.float32)
 
     def kernel(self, ctx: KernelCtx):
         # only the pull engine lands here; the compiler replaces this node
