@@ -631,7 +631,7 @@ class PolyPatch:
     def fit(self, target, trainable, *, steps: int = 200,
             learning_rate: float = 0.02, loss=None,
             steps_per_dispatch: int = None, position: int = 0,
-            apply: bool = True):
+            apply: bool = True, relative_lr: bool = False):
         """Gradient-fit parameters of the poly patch against target MIX
         audio — distributed differentiable synthesis as an API.
 
@@ -649,6 +649,9 @@ class PolyPatch:
         :func:`signals_tpu.learn.fused_descent`).  With ``apply=True``
         fitted overrides are written back via :meth:`set_override`
         (mesh-safe) and fitted shared params into the live node states.
+        ``relative_lr=True`` scales each parameter's Adam step by
+        ``max(|initial|, 0.01)`` so one rate serves mixed scales (see
+        :func:`signals_tpu.learn.fit`).
         Returns a :class:`signals_tpu.learn.FitResult`.
         """
         import jax
@@ -690,11 +693,15 @@ class PolyPatch:
         cache_key = (tuple(sorted(train_keys)), n_blocks, position,
                      loss if loss is not spectral_loss else None, K)
         params_dev = jax.tree.map(jnp.asarray, params)
+        lr_scale = (jax.tree.map(
+            lambda v: jnp.maximum(jnp.abs(jnp.asarray(v)), 0.01), train)
+            if relative_lr else None)
         train, losses = fused_descent(
             loss_fn, train, steps=steps, learning_rate=learning_rate,
             steps_per_dispatch=steps_per_dispatch,
             loss_args=(target, host, params_dev),
-            chunk_cache=self._fit_chunk_cache.setdefault(cache_key, {}))
+            chunk_cache=self._fit_chunk_cache.setdefault(cache_key, {}),
+            lr_scale=lr_scale)
 
         final = _merge_train(params, train)
         if apply:
