@@ -801,6 +801,50 @@ def test_poly_fit_sharded_matches_unsharded():
     assert res.losses[-1] < res.losses[0] * 0.05
 
 
+def test_poly_fit_relative_lr_mixed_scales():
+    """``PolyPatch.fit(relative_lr=True)``: ONE default-scale learning
+    rate descends a kHz-scale shared cutoff and sub-unit per-voice gains
+    in the same poly fit (the multipliers ride the cached chunk as data,
+    mirroring :func:`signals_tpu.learn.fit`'s ``relative_lr``)."""
+    V = 8
+    freqs = np.linspace(200, 900, V).astype(np.float32)
+    rng = np.random.default_rng(7)
+    tgt_g = rng.uniform(0.4, 0.9, V).astype(np.float32)
+
+    def sub_voice(cut_v):
+        hz = fixed(220.0)
+        saw = Sawtooth()
+        saw.hertz = hz
+        cut = fixed(cut_v)
+        lp = LowPass()
+        lp.input = saw
+        lp.cutoff = cut
+        vol = fixed(0.5)
+        g = Gain()
+        g.left = lp
+        g.right = vol
+        return g, hz, cut, vol
+
+    root, hz, cut, vol = sub_voice(2000.0)
+    p = PolyPatch(root, n_voices=V,
+                  overrides={(hz, 'value'): freqs, (vol, 'value'): tgt_g},
+                  block_frames=F, rate=RATE, layout='channels')
+    target, _ = p.render(n_blocks=24)
+
+    root, hz, cut, vol = sub_voice(600.0)
+    poly = PolyPatch(root, n_voices=V,
+                     overrides={(hz, 'value'): freqs,
+                                (vol, 'value'): np.full(V, 0.2, np.float32)},
+                     block_frames=F, rate=RATE, layout='channels')
+    res = poly.fit(target, [(cut, 'value'), (vol, 'value')], steps=200,
+                   learning_rate=0.05, relative_lr=True)
+    assert res.losses[-1] < res.losses[0] * 0.1
+    fitted_cut = float(cut.get_state().value[0, 0])
+    assert 1200 < fitted_cut < 3200, fitted_cut
+    fitted = _fitted_override(poly, vol)
+    assert np.abs(fitted - tgt_g).max() < 0.1, fitted
+
+
 def test_carry_blocks_engage_only_for_static_crits():
     """Plan gate for multi-block carry segments: a fixed-cutoff filter's
     crits are static (m > 1 is bit-identical to per-block replay, so it
