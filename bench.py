@@ -18,7 +18,10 @@ import sys
 import time
 
 # persistent XLA compilation cache: repeat bench runs (and the driver's
-# runs) skip the slow tunnel compiles
+# runs) skip the slow tunnel compiles.  The env var alone is NOT enough
+# when a platform plugin pre-imports jax at interpreter startup (config
+# defaults are captured then), so utils.enable_persistent_compile_cache
+# applies it via jax.config.update in main().
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
                       os.path.expanduser('~/.cache/signals_tpu_xla'))
 
@@ -794,6 +797,9 @@ def main(argv=None):
     # Every record carries its backend: a CPU debug run must never be
     # mistaken for (or archived as) a TPU measurement.
     import jax
+
+    from signals_tpu.utils import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     backend = jax.default_backend()
     device_kind = str(jax.devices()[0].device_kind)
     on_accel = backend not in ('cpu',)

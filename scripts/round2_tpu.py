@@ -16,6 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
                       os.path.expanduser('~/.cache/signals_tpu_xla'))
+# the env var alone is a no-op where a platform plugin pre-imports jax
+# at interpreter startup; jax.config.update works regardless
+from signals_tpu.utils import enable_persistent_compile_cache  # noqa: E402
+enable_persistent_compile_cache()
 
 import numpy as np
 

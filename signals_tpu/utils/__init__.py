@@ -84,3 +84,30 @@ def trace(log_dir: str = '/tmp/signals_tpu_trace'):
         yield log_dir
     finally:
         jax.profiler.stop_trace()
+
+
+def enable_persistent_compile_cache(path: str = None, *,
+                                    min_compile_seconds: float = 1.0) -> str:
+    """Point JAX's persistent compilation cache at ``path`` (default
+    ``$JAX_COMPILATION_CACHE_DIR`` or ``~/.cache/signals_tpu_xla``) and
+    return the directory used.
+
+    Setting the ``JAX_COMPILATION_CACHE_DIR`` environment variable from
+    Python is NOT enough in environments where a platform plugin
+    pre-imports ``jax`` at interpreter startup (config env defaults are
+    captured at first import — observed live: the env var set in
+    ``bench.py`` left ``jax_compilation_cache_dir`` at ``None`` and every
+    bench run recompiled everything through the tunnel, ~20-40 s per
+    program).  ``jax.config.update`` works regardless of import order;
+    a cache hit re-loads a tunnel-compiled executable in ~0.2 s.
+    """
+    import os
+
+    import jax
+    cache_dir = path or os.environ.get(
+        'JAX_COMPILATION_CACHE_DIR',
+        os.path.expanduser('~/.cache/signals_tpu_xla'))
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                      float(min_compile_seconds))
+    return cache_dir

@@ -77,3 +77,35 @@ def test_checkpoint_rejects_wrong_graph(tmp_path):
         checkpoint.load(path, expect_graph_hash='bbbb')
     # no expectation -> loads fine
     assert checkpoint.load(path)['position'] == 0
+
+
+def test_enable_persistent_compile_cache(tmp_path, monkeypatch):
+    """The helper must set the jax config value itself — exporting
+    JAX_COMPILATION_CACHE_DIR from Python is a silent no-op wherever a
+    platform plugin pre-imports jax at interpreter startup (config env
+    defaults are captured at first import).  Observed live on the TPU
+    tunnel image: bench.py's env setdefault left the cache disabled and
+    every run recompiled everything."""
+    import jax
+
+    from signals_tpu.utils import enable_persistent_compile_cache
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        # explicit path wins
+        used = enable_persistent_compile_cache(str(tmp_path / 'cc'))
+        assert used == str(tmp_path / 'cc')
+        assert jax.config.jax_compilation_cache_dir == used
+
+        # default: the env var (even when set AFTER jax import), else
+        # the shared signals_tpu cache dir
+        monkeypatch.setenv('JAX_COMPILATION_CACHE_DIR',
+                           str(tmp_path / 'env_cc'))
+        assert enable_persistent_compile_cache() == str(tmp_path / 'env_cc')
+        assert (jax.config.jax_compilation_cache_dir
+                == str(tmp_path / 'env_cc'))
+    finally:
+        jax.config.update('jax_compilation_cache_dir', prev_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          prev_min)
