@@ -816,9 +816,13 @@ def main(argv=None):
     def progress(msg):
         print(msg, file=sys.stderr, flush=True)
 
-    # CPU debug runs write their own file: a --cpu/--quick invocation must
-    # never clobber the archived hardware record in BENCH_full.json
-    record_name = 'BENCH_full.json' if on_accel else 'BENCH_full_debug.json'
+    # Only a full-length hardware sweep may write the archived record:
+    # a --quick smoke run (0.25 s batches measure the dispatch tax, not
+    # rendering) or a --cpu debug run gets its own file — observed live:
+    # a timed-out TPU --quick run left BENCH_full.json a partial record
+    record_name = ('BENCH_full.json' if on_accel and not args.quick else
+                   'BENCH_quick.json' if on_accel else
+                   'BENCH_full_debug.json')
     record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                record_name)
 
