@@ -13,6 +13,15 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 
+# persistent XLA cache: repeat suite runs skip recompiling the big mega/
+# segment programs (keyed by HLO hash, so code changes recompile; set via
+# config.update because jax is pre-imported in this image and env vars
+# are captured before conftest runs)
+from signals_tpu.utils import enable_persistent_compile_cache  # noqa: E402
+
+enable_persistent_compile_cache(
+    os.path.expanduser('~/.cache/signals_tpu_xla_tests'))
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
