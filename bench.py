@@ -107,9 +107,11 @@ def build_subtractive_voice():
     # pole-justified context (CritFilter.context_for): the LFO sweep
     # floor is 0.5*2000 - 0.5*900 = 550 Hz -> 512 frames (truncation
     # ~2e-9, far inside the 1e-5 parity budget; the numpy oracle replays
-    # the same window, so parity is untouched).  The packed segment
-    # kernel replays the context per block: 512 frames cut its per-frame
-    # work from the default's 2.0x to 1.5x.
+    # the same window, so parity is untouched).  Round 5: the swept
+    # cutoff now rides multi-block carry segments (swept_carry_m=8, the
+    # oracle mirroring the segmentation), so the 512-frame context
+    # replays once per 8 blocks: per-frame kernel work (512+8*1024)/
+    # (8*1024) = 1.0625x, vs 1.5x at per-block replay.
     lp.get_state().context = LowPass.context_for(550.0, RATE)
     gate = Square()
     gate.hertz = fixed(2.0)
@@ -619,6 +621,15 @@ def bench_poly(root, hz_node, n_voices, *, seconds=1.0, label='',
     return out
 
 
+
+def _align_blocks(n_blocks, compiled):
+    """Round a chained-batch length up to the patch's carry-segment
+    alignment (swept-carry filters define segment boundaries on absolute
+    m-block multiples; chained batches must start on them so every loop
+    iteration renders the same absolute-aligned semantics)."""
+    a = getattr(compiled, 'carry_seg_align', 1)
+    return -(-n_blocks // a) * a if a > 1 else n_blocks
+
 def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0,
                       loops=8, mix_epilogue=False, require_gen=False,
                       override_values=None):
@@ -637,7 +648,8 @@ def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0,
                      overrides={(hz_node, 'value'): freqs},
                      block_frames=BLOCK, rate=RATE, layout='channels',
                      mix_epilogue=mix_epilogue)
-    n_blocks = int(round(seconds * RATE / BLOCK))
+    n_blocks = _align_blocks(int(round(seconds * RATE / BLOCK)),
+                             poly.compiled)
     if mix_epilogue and poly.compiled.packed_mega_mix(
             n_blocks, force=True) is None:
         # never publish a plain-path number under the epilogue label
@@ -685,7 +697,7 @@ def bench_single_device(root, *, seconds=60.0, loops=8, label='',
     from signals_tpu.compiler import compile_node
     compiled = compile_node(root, block_frames=BLOCK, rate=RATE,
                             channels=channels)
-    n_blocks = int(round(seconds * RATE / BLOCK))
+    n_blocks = _align_blocks(int(round(seconds * RATE / BLOCK)), compiled)
     params = compiled.params()
     fn = compiled.render_fn(n_blocks)
     carry0 = compiled.carry0

@@ -643,6 +643,12 @@ class _Compiler:
         #: (k, stream_frames) when the batch is lowered as k packed
         #: timeline streams (CompiledPatch.packed_mega_streams)
         self.packed_family: typing.Optional[tuple] = None
+        #: whether this trace's window positions are guaranteed to start
+        #: on absolute carry-segment boundaries (the render drivers align
+        #: them; see CritFilter.swept_carry_m).  The segmented feedback
+        #: scan, whose per-step positions shift freely, leaves it False —
+        #: swept-carry filters then take the alignment-free TV scan.
+        self.carry_aligned = False
         #: id(delay) -> full input timeline ``concat(buf, u)`` covering
         #: frames [-B, total) — set by the delay-mega solver
         #: (CompiledPatch.delay_mega_core); _lower_delay serves windows
@@ -1137,6 +1143,7 @@ class CompiledPatch:
         def many(params, carry, position0, host_staged):
             comp = _Compiler(index)
             comp.mega = (F, n_blocks)
+            comp.carry_aligned = True
             comp.params = params
             comp.carry_in = carry
             comp.position = jnp.int32(position0)
@@ -1196,6 +1203,7 @@ class CompiledPatch:
             shared off-cycle subexpressions)."""
             sub = _Compiler(index)
             sub.mega = comp.mega
+            sub.carry_aligned = comp.carry_aligned
             sub.params = comp.params
             sub.carry_in = comp.carry_in
             sub.position = comp.position
@@ -1207,6 +1215,7 @@ class CompiledPatch:
         def many(params, carry, position0, host_staged):
             comp = _Compiler(index)
             comp.mega = (F, n_blocks)
+            comp.carry_aligned = True
             comp.params = params
             comp.carry_in = carry
             comp.position = jnp.int32(position0)
@@ -1440,13 +1449,19 @@ class CompiledPatch:
                                      ctx_extra, min_k=1)):
                 best_k = k
         else:
+            align0 = self.carry_seg_align
             pk = LANE_GROUP
             while pk >= 32:
                 if pk % V == 0:
                     k = pk // V
                     if _packed_k_ok(k, kmax, n_blocks, filters, F,
                                     ctx_extra):
-                        covered = k * (-(-n_blocks // k))
+                        S_k = -(-n_blocks // k)
+                        if align0 > 1:
+                            # swept-carry alignment rounds streams up to
+                            # whole segments — charge the real coverage
+                            S_k = -(-S_k // align0) * align0
+                        covered = k * S_k
                         cost = covered * (0.85 if pk == LANE_GROUP
                                           else 1.0)
                         if best_cost is None or cost < best_cost:
@@ -1456,6 +1471,12 @@ class CompiledPatch:
             return None
         k = best_k
         S = -(-n_blocks // k)
+        # swept-carry filters: streams must hold whole carry segments so
+        # every stream start lands on an absolute segment boundary (the
+        # carry semantics' alignment contract — CritFilter.swept_carry_m)
+        align = self.carry_seg_align
+        if align > 1:
+            S = -(-S // align) * align
         index = self.index
         root = self.root
         channels = V
@@ -1465,6 +1486,7 @@ class CompiledPatch:
             comp = _Compiler(index)
             comp.mega = (F, S)
             comp.packed_family = (k, S * F)
+            comp.carry_aligned = True
             comp.params = params
             comp.carry_in = carry
             comp.position = jnp.int32(position0)
@@ -1538,6 +1560,9 @@ class CompiledPatch:
             return None
         k = self._mix_plan_k(n_blocks, k, f)
         S = -(-n_blocks // k)
+        align = self.carry_seg_align
+        if align > 1:
+            S = -(-S // align) * align
         from signals_tpu.compiler.pallas_kernels import LANE_GROUP
         # the in-kernel lane-group sum needs the full-group packed layout
         # with exactly V lanes per stream (one group, or — at k == 1 —
@@ -1554,6 +1579,7 @@ class CompiledPatch:
             comp = _Compiler(index)
             comp.mega = (F, S)
             comp.packed_family = (k, S * F)
+            comp.carry_aligned = True
             comp.params = params
             comp.carry_in = carry
             comp.position = jnp.int32(position0)
@@ -1570,6 +1596,7 @@ class CompiledPatch:
                 sub = _Compiler(index)
                 sub.mega = comp.mega
                 sub.packed_family = comp.packed_family
+                sub.carry_aligned = comp.carry_aligned
                 sub.params = comp.params
                 sub.carry_in = comp.carry_in
                 sub.position = comp.position
@@ -1687,6 +1714,28 @@ class CompiledPatch:
                 return False
         return True
 
+    @property
+    def carry_seg_align(self) -> int:
+        """Blocks-per-segment alignment the patch's SWEPT-carry filters
+        impose on mega/packed render windows (1 = none): the lcm of every
+        engaged filter's ``swept_carry_m``.  Mega renders must start at
+        positions that are multiples of this many blocks for the Pallas
+        carry kernels' batch-relative segmentation to coincide with the
+        absolute-aligned product semantics; :meth:`render` aligns
+        unaligned starts with per-block steps (which compute the segment
+        phase dynamically and are correct anywhere)."""
+        import math as _math
+        from signals_tpu.compiler import filters as _filters
+        from signals_tpu.nodes.fx import CritFilter
+        if self.block_frames != _filters.CARRY_GRID_FRAMES:
+            return 1
+        m = 1
+        for n in self.index.order:
+            if isinstance(n, CritFilter):
+                mm = n.swept_carry_m(self.index.seg_carry_blocks)
+                m = m * mm // _math.gcd(m, mm)
+        return m
+
     def render_core(self, n_blocks: int):
         """Un-jitted ``(params, carry, position0, host_staged) ->
         (blocks (n, F, ch), carry', taps_staged)`` on the fastest
@@ -1776,8 +1825,34 @@ class CompiledPatch:
 
         Tap blocks (visualization, file writers) are delivered to their
         nodes' ``consume_tap`` on the host after the device call.
+
+        Starts that don't land on an absolute carry-segment boundary
+        (swept-carry filters, :attr:`carry_seg_align`) render a
+        per-block prefix up to the next boundary — the single-block path
+        computes the segment phase dynamically — then continue with the
+        aligned multi-block program, so the output equals the oracle's
+        absolute-aligned semantics at ANY start position.
         """
         import jax
+        align = self.carry_seg_align
+        F = self.block_frames
+        if (align > 1 and n_blocks > 1 and position % F == 0
+                and (position // F) % align):
+            pre = min(align - (position // F) % align, n_blocks)
+            if carry is None:
+                carry = jax.tree.map(lambda x: x, self.carry0)
+            chunks = []
+            for i in range(pre):
+                a, carry = self.render(
+                    position=position + i * F, n_blocks=1, carry=carry,
+                    deliver_taps=deliver_taps)
+                chunks.append(a)
+            if n_blocks > pre:
+                a, carry = self.render(
+                    position=position + pre * F, n_blocks=n_blocks - pre,
+                    carry=carry, deliver_taps=deliver_taps)
+                chunks.append(a)
+            return np.concatenate(chunks, axis=0), carry
         params = self.params()
         if carry is None:
             carry = jax.tree.map(lambda x: x, self.carry0)

@@ -95,17 +95,21 @@ SEG_SOURCE_GEN = 'auto'
 #: block.  With the default context == block_frames == 1024, per-block
 #: segments spend HALF of every kernel's time replaying context; ``m``
 #: blocks/segment cut the per-frame work from ``(C+F)/F`` to
-#: ``(C+m*F)/(m*F)``.  Engaged ONLY for filters whose crit inputs are
-#: all ``Fixed``/unconnected (:meth:`~signals_tpu.nodes.fx.CritFilter.
-#: crits_static`): with per-block-identical coefficients the carried
-#: state differs from the oracle's replayed state only by the filter's
-#: response beyond the context window, which flushes to zero in f32 —
+#: ``(C+m*F)/(m*F)``.  For filters whose crit inputs are all
+#: ``Fixed``/unconnected (:meth:`~signals_tpu.nodes.fx.CritFilter.
+#: crits_static`) the carry is an invisible optimization: with
+#: per-block-identical coefficients the carried state differs from the
+#: replayed state only by the filter's response beyond the context
+#: window, which flushes to zero in f32 —
 #: measured BIT-IDENTICAL output (max abs diff 0.0 at context=512,
-#: 2 kHz cutoff).  Swept filters keep per-block replay (m = 1): there
-#: the carried state differs at first order in the sweep rate — use a
-#: pole-justified short ``context``
-#: (:meth:`~signals_tpu.nodes.fx.CritFilter.context_for`) to cut their
-#: replay cost instead.  'auto' = 8 (participates in the graph hash, so
+#: 2 kHz cutoff).  For SWEPT crits (round 5) the carry is *product
+#: semantics*: state carries across the segment with per-block
+#: coefficients (the kernels' ``blocks_per_seg`` mode), segments
+#: aligned to absolute multiples of ``m *`` :data:`CARRY_GRID_FRAMES`,
+#: and the numpy pull oracle replays the identical segmentation — see
+#: :meth:`~signals_tpu.nodes.fx.CritFilter.swept_carry_m` for the
+#: contract (``CritFilter.State.carry = 1`` restores reference-style
+#: per-block replay).  'auto' = 8 (participates in the graph hash, so
 #: flipping it compiles separate programs); 1 restores per-block
 #: segments everywhere.
 SEG_CARRY_BLOCKS = 'auto'
@@ -115,6 +119,16 @@ def resolve_seg_carry_blocks() -> int:
     if SEG_CARRY_BLOCKS == 'auto':
         return 8
     return max(1, int(SEG_CARRY_BLOCKS))
+
+
+#: the block grid SWEPT-filter carry segments are defined on (the product
+#: default block size).  Segment-carried filtering for swept crits is a
+#: *semantic* feature — the numpy pull oracle and every compiled path
+#: must agree on where segment boundaries fall — so the grid is a product
+#: constant, not an engine parameter: carry engages only when the engine
+#: block size (compiled) / the request block size (oracle) equals this.
+#: Patches compiled at other block sizes keep per-block replay.
+CARRY_GRID_FRAMES = 1024
 
 
 def resolve_mega_impl() -> str:
@@ -744,3 +758,51 @@ def sosfilt_scan(coeffs, x):
                               for t in (rc, rs, d0, d1, d2))
 
     return _get_cascade_sections()(rc, rs, d0, d1, d2, x)
+
+
+def sosfilt_tv(coeff_sets, set_idx, x, keep_mask):
+    """Time-varying SOS cascade: per-frame coefficient-set selection plus
+    a state-reset mask — the associative-scan engine behind swept-crit
+    carry segments on paths the Pallas segment kernels don't cover (the
+    per-block compiled step, narrow mega fallbacks).
+
+    ``coeff_sets``: ``(K, nsec, ch, 11)`` :func:`design_coupled` rows;
+    ``set_idx``: ``(n,)`` int32 selecting a set per frame; ``x``:
+    ``(n, ch)``; ``keep_mask``: ``(n,)`` bool — ``False`` at frame ``t``
+    drops the incoming state (both the recurrence carry and the output's
+    lagged-state taps), i.e. the filter restarts from zero state at that
+    frame.  Per section the recurrence is
+
+        s_t = r_t * A_t s_{t-1} + e x_t,
+        y_t = d0_t x_t + r_t * (d1_t s1_{t-1} + d2_t s2_{t-1}),
+
+    with ``A_t`` the selected set's scaled rotation and ``r_t`` the mask —
+    exactly the per-block coefficient switching + segment-boundary warmup
+    restart of the Pallas carry kernels
+    (:func:`~signals_tpu.compiler.pallas_kernels.sosfilt_segments_gen`
+    with ``blocks_per_seg > 1``), evaluated in O(log n) depth.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    co = jnp.asarray(coeff_sets, dtype=jnp.float32)
+    x = jnp.asarray(x, dtype=jnp.float32)
+    set_idx = jnp.asarray(set_idx, dtype=jnp.int32)
+    n, ch_x = x.shape
+    nsec, ch_c = co.shape[1], co.shape[2]
+    ch = max(ch_x, ch_c)
+    x = jnp.broadcast_to(x, (n, ch))
+    msk = jnp.asarray(keep_mask).astype(jnp.float32).reshape(n, 1)
+    for s in range(nsec):
+        sel = co[:, s][set_idx]                       # (n, ch_c, 11)
+        sel = jnp.broadcast_to(sel, (n, ch, 11))
+        ac = sel[..., 6] * msk
+        as_ = sel[..., 7] * msk
+        _, _, s1, s2 = jax.lax.associative_scan(
+            _rot_combine, (ac, as_, x, jnp.zeros_like(x)), axis=0)
+        zero = jnp.zeros((1, ch), dtype=jnp.float32)
+        s1p = jnp.concatenate([zero, s1[:-1]], axis=0)
+        s2p = jnp.concatenate([zero, s2[:-1]], axis=0)
+        x = (sel[..., 8] * x
+             + msk * (sel[..., 9] * s1p + sel[..., 10] * s2p))
+    return x

@@ -806,12 +806,20 @@ def _seg_out_dma(out_hbm, ybuf, out_sems, yslot, lg_, rc_, p, row_chunk,
 def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
                     seg_frames: int, context: int, interpret: bool,
                     reuse_flag: bool, dma_parts: int, slots_flag: int,
-                    sum_lanes: int = 0):
+                    sum_lanes: int = 0, coeff_blocks: int = 1):
     """``reuse_flag``/``dma_parts``/``slots_flag`` are the SEG_* module
     flags, required arguments so they participate in the lru_cache key —
     flipping a flag at runtime (tests, hardware bisections) can then
     never silently serve a kernel built under the previous
-    configuration."""
+    configuration.
+
+    ``coeff_blocks = m > 1``: each segment's ``seg_frames`` tail spans
+    ``m`` equal coefficient blocks — the coeff BlockSpec index map steps
+    to the block's tile at each in-segment block boundary (context
+    chunks warm up under the segment's FIRST block), mirroring
+    :func:`_build_seg_gen_call`'s carry mode for the DMA-input path.
+    Callers lay the coefficient tiles out (lane-group, block)-major (see
+    :func:`_sosfilt_segments_impl`)."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -820,10 +828,16 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
     n_seg_pad = _round_up(n_segments, group)
     lane_groups = n_seg_pad // group
     L = context + seg_frames
+    m = max(1, int(coeff_blocks))
+    if seg_frames % m:
+        raise ValueError(f'{seg_frames}-frame segments do not tile '
+                         f'{m} coefficient blocks')
     row_chunk = ROW_CHUNK
     # chunks must tile the context and the tail exactly (output DMAs copy
-    # whole chunks into the (F, v) tail region)
-    while context % row_chunk or seg_frames % row_chunk:
+    # whole chunks into the (F, v) tail region); with coefficient blocks,
+    # also each block (the coeff index map steps at block boundaries)
+    while (context % row_chunk or seg_frames % row_chunk
+           or (seg_frames // m) % row_chunk):
         row_chunk //= 2
     chunks_per_seg = L // row_chunk
     c_chunks = context // row_chunk
@@ -835,7 +849,7 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
     w = chunks_per_seg
     t_chunks = w - c_chunks
     reuse = (reuse_flag and group == 1 and c_chunks >= 1
-             and t_chunks >= 1 and w <= 6)
+             and t_chunks >= 1 and w <= 6 and m == 1)
     if sum_lanes and not (group == 1 and sum_lanes <= LANE_GROUP
                           and LANE_GROUP % sum_lanes == 0
                           and LANE_GROUP // sum_lanes <= 128):
@@ -887,6 +901,18 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
     if sum_lanes:
         scratch.append(pltpu.VMEM((y_slots, row_chunk, 128), np.float32))
 
+    if m == 1:
+        def coeff_idx(lg, rc):
+            return (0, 0, lg, 0, 0)
+    else:
+        cpb = (seg_frames // m) // row_chunk   # chunks per coeff block
+
+        def coeff_idx(lg, rc):
+            import jax.numpy as jnp
+            # context chunks warm up under the segment's FIRST block
+            blk = jnp.where(rc < c_chunks, 0, (rc - c_chunks) // cpb)
+            return (0, 0, lg * m + blk, 0, 0)
+
     def call(coeffs, x):
         # x: (T_pad, v) — or (T_pad, v//128, 128) for wide channels —
         # with T_pad covering the padded segment range
@@ -894,8 +920,7 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
             kernel,
             grid=(lane_groups, chunks_per_seg),
             in_specs=[
-                pl.BlockSpec((nsec, 5, 1, 8, 128),
-                             lambda lg, rc: (0, 0, lg, 0, 0),
+                pl.BlockSpec((nsec, 5, 1, 8, 128), coeff_idx,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
@@ -927,7 +952,7 @@ def _seg_coeff_sel(coeffs, nsec, n_segments, n_seg_pad, group, vpad):
 def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
                      context: int,
                      interpret: typing.Optional[bool] = None,
-                     sum_groups: int = 0):
+                     sum_groups: int = 0, blocks_per_seg: int = 1):
     """Filter ``n_segments`` overlapping timeline segments, zero-state,
     with per-segment coefficients, returning only each segment's tail.
 
@@ -949,6 +974,13 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
     fallback sums in a different order, so results agree to f32
     reassociation (~1 ulp per summand), not bit-exactly.
 
+    ``blocks_per_seg = m > 1``: every ``m`` consecutive coefficient
+    blocks form ONE state-carry segment (``m * seg_frames`` frames, one
+    ``context`` warmup under the first block's coefficients, per-block
+    coefficients inside) — the swept-filter carry mode on the DMA-input
+    path, mirroring :func:`sosfilt_segments_gen`.  Requires
+    ``n_segments % m == 0``.
+
     Differentiable: the primal runs the Pallas kernel; the VJP runs
     through the associative-scan reference (see the autodiff section).
     """
@@ -957,6 +989,10 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
     if interpret is None:
         from signals_tpu.compiler.filters import default_backend
         interpret = default_backend() != 'tpu'
+    blocks_per_seg = max(1, int(blocks_per_seg))
+    if n_segments % blocks_per_seg:
+        raise ValueError(f'n_segments {n_segments} must be a multiple of '
+                         f'blocks_per_seg {blocks_per_seg}')
     x = jnp.asarray(x, dtype=jnp.float32)
     coeffs = jnp.asarray(coeffs, dtype=jnp.float32)
     T, ch = x.shape
@@ -971,11 +1007,13 @@ def sosfilt_segments(coeffs, x, *, n_segments: int, seg_frames: int,
     if T_need > T:
         x = jnp.pad(x, ((0, T_need - T), (0, 0)))
     return _segments_cv(int(n_segments), int(seg_frames), int(context),
-                        bool(interpret), int(sum_groups))(coeffs, x)
+                        bool(interpret), int(sum_groups),
+                        int(blocks_per_seg))(coeffs, x)
 
 
 def _sosfilt_segments_impl(coeffs, x, *, n_segments: int, seg_frames: int,
-                           context: int, interpret: bool, sum_groups: int):
+                           context: int, interpret: bool, sum_groups: int,
+                           blocks_per_seg: int = 1):
     """Kernel body of :func:`sosfilt_segments` on canonical (broadcast,
     f32, window-padded) inputs.  Recursions (wide-channel split, lane
     packing, epilogue fallback) stay inside the impl so the custom-VJP
@@ -983,6 +1021,7 @@ def _sosfilt_segments_impl(coeffs, x, *, n_segments: int, seg_frames: int,
     import jax
     import jax.numpy as jnp
 
+    m = max(1, int(blocks_per_seg))
     T, chx = x.shape
     nsec = coeffs.shape[1]
     if 128 % chx and chx % 128:
@@ -1018,7 +1057,7 @@ def _sosfilt_segments_impl(coeffs, x, *, n_segments: int, seg_frames: int,
                     x[:, j * LANE_GROUP:(j + 1) * LANE_GROUP],
                     n_segments=n_segments, seg_frames=seg_frames,
                     context=context, interpret=interpret,
-                    sum_groups=LANE_GROUP)
+                    sum_groups=LANE_GROUP, blocks_per_seg=m)
                 for j in range(chx // LANE_GROUP)], axis=2)
             return cols.reshape(n_segments, seg_frames, -1,
                                 sum_groups // LANE_GROUP).sum(axis=3)
@@ -1028,7 +1067,7 @@ def _sosfilt_segments_impl(coeffs, x, *, n_segments: int, seg_frames: int,
                 x[:, j * LANE_GROUP:(j + 1) * LANE_GROUP],
                 n_segments=n_segments, seg_frames=seg_frames,
                 context=context, interpret=interpret,
-                sum_groups=sum_groups)
+                sum_groups=sum_groups, blocks_per_seg=m)
             for j in range(chx // LANE_GROUP)]
         return jnp.concatenate(parts, axis=2)
 
@@ -1037,7 +1076,8 @@ def _sosfilt_segments_impl(coeffs, x, *, n_segments: int, seg_frames: int,
         # epilogue kernel doesn't cover: full output + external sum
         y = _sosfilt_segments_impl(coeffs, x, n_segments=n_segments,
                                    seg_frames=seg_frames, context=context,
-                                   interpret=interpret, sum_groups=0)
+                                   interpret=interpret, sum_groups=0,
+                                   blocks_per_seg=m)
         if chx % sum_groups:
             raise ValueError(f'sum_groups {sum_groups} must divide the '
                              f'channel count {chx}')
@@ -1061,7 +1101,10 @@ def _sosfilt_segments_impl(coeffs, x, *, n_segments: int, seg_frames: int,
         # producer per stream window — see ``LowerCtx.in_packed_streams``
         # — and passes 1024-lane input straight in.)
         k = 128 // chx
-        S = -(-n_segments // k)
+        # carry mode: streams must hold whole carry segments so stream
+        # starts stay segment-aligned (padding is then whole segments of
+        # zero-coefficient blocks, dropped below)
+        S = -(-n_segments // (k * m)) * m
         F_, C_ = seg_frames, context
         T_need = C_ + k * S * F_
         if T_need > T:
@@ -1075,7 +1118,7 @@ def _sosfilt_segments_impl(coeffs, x, *, n_segments: int, seg_frames: int,
             [cpad[j * S:(j + 1) * S] for j in range(k)], axis=2)
         y = _sosfilt_segments_impl(cpk, xp_, n_segments=S, seg_frames=F_,
                                    context=C_, interpret=interpret,
-                                   sum_groups=0)
+                                   sum_groups=0, blocks_per_seg=m)
         y = jnp.concatenate(
             [y[:, :, j * chx:(j + 1) * chx] for j in range(k)], axis=0)
         return y[:n_segments]
@@ -1088,13 +1131,32 @@ def _sosfilt_segments_impl(coeffs, x, *, n_segments: int, seg_frames: int,
         coeffs = jnp.pad(coeffs, ((0, 0), (0, 0), (0, vpad - chx), (0, 0)))
 
     group = LANE_GROUP // vpad
-    n_seg_pad = _round_up(n_segments, group)
+    # carry mode (m > 1): the kernel's grid unit is a CARRY SEGMENT of
+    # m coefficient blocks (m*seg_frames tail frames, one context
+    # warmup); padding happens at carry-segment granularity and the
+    # coefficient tiles are laid out (lane-group, in-segment-block)-major
+    # so the kernel's stepping index map finds block b of lane group lg
+    # at tile lg*m + b
+    n_units = n_segments // m
+    unit_frames = m * seg_frames
+    n_unit_pad = _round_up(n_units, group)
     # padded segments read rows past the timeline end: extend with zeros
-    T_need = context + n_seg_pad * seg_frames
+    T_need = context + n_unit_pad * unit_frames
     if T_need > T:
         x = jnp.pad(x, ((0, T_need - T), (0, 0)))
 
-    sel = _seg_coeff_sel(coeffs, nsec, n_segments, n_seg_pad, group, vpad)
+    if m == 1:
+        sel = _seg_coeff_sel(coeffs, nsec, n_segments, n_unit_pad, group,
+                             vpad)
+    else:
+        cpad = jnp.pad(coeffs, ((0, n_unit_pad * m - n_segments), (0, 0),
+                                (0, 0), (0, 0)))
+        lgs, blks, gs = np.meshgrid(np.arange(n_unit_pad // group),
+                                    np.arange(m), np.arange(group),
+                                    indexing='ij')
+        perm = ((lgs * group + gs) * m + blks).reshape(-1)
+        sel = _seg_coeff_sel(cpad[perm], nsec, n_unit_pad * m,
+                             n_unit_pad * m, group, vpad)
 
     x = x.reshape(x.shape[0], vpad // 128, 128)
     if sum_groups:
@@ -1103,10 +1165,10 @@ def _sosfilt_segments_impl(coeffs, x, *, n_segments: int, seg_frames: int,
                              f'channel count {chx}')
         try:
             call = _build_seg_call(int(x.shape[0]), vpad, nsec,
-                                   n_segments, seg_frames, context,
+                                   n_units, unit_frames, context,
                                    interpret, SEG_CONTEXT_REUSE,
                                    SEG_DMA_PARTS, SEG_SLOTS,
-                                   sum_lanes=sum_groups)
+                                   sum_lanes=sum_groups, coeff_blocks=m)
         except ValueError:
             # epilogue layout unavailable (reuse disabled, huge context):
             # full kernel + external grouped sum — same values up to f32
@@ -1115,17 +1177,20 @@ def _sosfilt_segments_impl(coeffs, x, *, n_segments: int, seg_frames: int,
                                        n_segments=n_segments,
                                        seg_frames=seg_frames,
                                        context=context, interpret=interpret,
-                                       sum_groups=0)
+                                       sum_groups=0, blocks_per_seg=m)
             return y.reshape(n_segments, seg_frames, -1,
                              sum_groups).sum(axis=3)
-        y = call(sel, x)                          # (n_seg_pad, F, 128)
-        return y[:n_segments, :, :chx // sum_groups]
-    call = _build_seg_call(int(x.shape[0]), vpad, nsec, n_segments,
-                           seg_frames, context, interpret,
-                           SEG_CONTEXT_REUSE, SEG_DMA_PARTS, SEG_SLOTS)
+        y = call(sel, x)                     # (n_unit_pad, m*F, 128)
+        y = y[:n_units, :, :chx // sum_groups]
+        return y.reshape(n_segments, seg_frames, y.shape[-1])
+    call = _build_seg_call(int(x.shape[0]), vpad, nsec, n_units,
+                           unit_frames, context, interpret,
+                           SEG_CONTEXT_REUSE, SEG_DMA_PARTS, SEG_SLOTS,
+                           coeff_blocks=m)
     y = call(sel, x)
-    y = y.reshape(y.shape[0], y.shape[1], vpad)   # (n_seg_pad, F, vpad)
-    return y[:n_segments, :, :chx]
+    y = y.reshape(y.shape[0], y.shape[1], vpad)  # (n_unit_pad, m*F, vpad)
+    y = y[:n_units, :, :chx]
+    return y.reshape(n_segments, seg_frames, chx)
 
 
 # --- generator-fed segments: zero-input-DMA cascade --------------------------
@@ -1630,21 +1695,67 @@ def _chunked_segments_ref(n_segments, seg_frames, context, sum_groups,
 
 @functools.lru_cache(maxsize=64)
 def _segments_cv(n_segments: int, seg_frames: int, context: int,
-                 interpret: bool, sum_groups: int):
+                 interpret: bool, sum_groups: int,
+                 blocks_per_seg: int = 1):
     import jax
 
     from signals_tpu.compiler.filters import sosfilt_scan
 
+    m = max(1, int(blocks_per_seg))
+
     def prim(coeffs, x):
         return _sosfilt_segments_impl(
             coeffs, x, n_segments=n_segments, seg_frames=seg_frames,
-            context=context, interpret=interpret, sum_groups=sum_groups)
+            context=context, interpret=interpret, sum_groups=sum_groups,
+            blocks_per_seg=m)
+
+    if m == 1:
+        def seg_ref(co_c, xb_c):
+            return jax.vmap(sosfilt_scan)(co_c, xb_c)[:, context:, :]
+
+        return _make_cv(prim, _chunked_segments_ref(
+            n_segments, seg_frames, context, sum_groups, seg_ref))
+
+    # carry mode: the reference threads per-block coefficients through
+    # each m-block segment with sosfilt_stream — the kernel's semantics
+    # exactly (context warmup under block 0's coeffs, carried state)
+    unit_frames = m * seg_frames
 
     def seg_ref(co_c, xb_c):
-        return jax.vmap(sosfilt_scan)(co_c, xb_c)[:, context:, :]
+        from signals_tpu.compiler.filters import sosfilt_stream
+        import jax.numpy as jnp
 
-    return _make_cv(prim, _chunked_segments_ref(
-        n_segments, seg_frames, context, sum_groups, seg_ref))
+        def one_seg(co_m, xw):
+            # co_m: (m, nsec, ch, 11); xw: (C + m*F, ch)
+            nsec_, ch = co_m.shape[1], xw.shape[1]
+            z = jnp.zeros((nsec_, 2, ch), dtype=jnp.float32)
+            if context:
+                _, z = sosfilt_stream(co_m[0], xw[:context], z)
+
+            def body(z, args):
+                co_b, xb = args
+                yb, z2 = sosfilt_stream(co_b, xb, z)
+                return z2, yb
+
+            xb = xw[context:].reshape(m, seg_frames, ch)
+            _, ys = jax.lax.scan(body, z, (co_m, xb))
+            return ys.reshape(unit_frames, ch)
+
+        return jax.vmap(one_seg)(co_c, xb_c)
+
+    inner = _chunked_segments_ref(n_segments // m, unit_frames, context,
+                                  0, seg_ref)
+
+    def ref(coeffs, x):
+        co_m = coeffs.reshape((n_segments // m, m) + coeffs.shape[1:])
+        yb = inner(co_m, x)
+        yb = yb.reshape(n_segments, seg_frames, yb.shape[-1])
+        if sum_groups:
+            yb = yb.reshape(n_segments, seg_frames, -1,
+                            sum_groups).sum(axis=3)
+        return yb
+
+    return _make_cv(prim, ref)
 
 
 @functools.lru_cache(maxsize=64)

@@ -782,20 +782,60 @@ class PullCtx(KernelCtx):
         return out.astype(FLOAT)
 
     def sosfilt_stream(self, coeffs, x, zi):
-        import scipy.signal
-        coeffs = np.asarray(coeffs, dtype=np.float64)[:, :, :6]
+        """Stateful SOS cascade in the COUPLED form, float64.
+
+        The state convention matters beyond numerics: carrying state
+        across a per-block COEFFICIENT change is realization-dependent
+        (a TDF2 ``zi`` and a coupled-form ``(s1, s2)`` encode the past
+        differently, so the continuation under new coefficients
+        differs at first order in the coefficient step).  Every
+        compiled path — ``filters.sosfilt_stream``, the Pallas carry
+        kernels, ``sosfilt_tv`` — carries the coupled state, so the
+        oracle must thread the SAME state variables; an earlier scipy
+        ``sosfilt(zi=...)`` implementation silently pinned TDF2 and
+        diverged from the compiled engine the moment a streaming or
+        carry-segment filter's crits moved between blocks.  Trajectories
+        from zero state under constant coefficients are identical either
+        way (same transfer function), which is why only swept-coefficient
+        paths ever noticed.
+
+        Requires the 11-column :func:`~signals_tpu.compiler.filters.
+        design_coupled` layout; the coupled taps are used as designed
+        (f32-rounded — bit-identical to the compiled engine's) with the
+        recurrence run in f64.
+        """
+        co = np.asarray(coeffs, dtype=np.float64)
         x64 = np.asarray(x, dtype=np.float64)
-        nsec, chc, _ = coeffs.shape
+        nsec, chc = co.shape[0], co.shape[1]
         ch = max(chc, x64.shape[1], zi.shape[-1])
-        x64 = np.broadcast_to(x64, (x64.shape[0], ch))
+        x64 = np.broadcast_to(x64, (x64.shape[0], ch)).copy()
         zi = np.broadcast_to(np.asarray(zi, dtype=np.float64),
                              (nsec, 2, ch))
-        out = np.empty_like(x64)
         zf = np.empty((nsec, 2, ch))
-        for c in range(ch):
-            sos = np.ascontiguousarray(coeffs[:, min(c, chc - 1), :])
-            out[:, c], zfc = scipy.signal.sosfilt(
-                sos, x64[:, c], axis=0,
-                zi=np.ascontiguousarray(zi[:, :, c]))
-            zf[:, :, c] = zfc
-        return out.astype(FLOAT), zf.astype(FLOAT)
+        if co.shape[-1] >= 11:
+            params = [tuple(np.broadcast_to(co[s, :, 6 + k], (ch,))
+                            for k in range(5)) for s in range(nsec)]
+        else:
+            params = []
+            for s in range(nsec):
+                b0, b1, b2 = co[s, :, 0], co[s, :, 1], co[s, :, 2]
+                a1, a2 = co[s, :, 4], co[s, :, 5]
+                rc = -0.5 * a1
+                rs = np.sqrt(np.maximum(a2 - 0.25 * a1 * a1, 1e-300))
+                d0 = b0
+                d1 = b1 - a1 * b0
+                d2 = (b2 - a2 * b0 + rc * d1) / rs
+                params.append(tuple(np.broadcast_to(p, (ch,))
+                                    for p in (rc, rs, d0, d1, d2)))
+        n = x64.shape[0]
+        for s in range(nsec):
+            rc, rs, d0, d1, d2 = params[s]
+            s1 = zi[s, 0].copy()
+            s2 = zi[s, 1].copy()
+            for t in range(n):
+                xt = x64[t].copy()
+                x64[t] = d0 * xt + d1 * s1 + d2 * s2
+                s1, s2 = rc * s1 - rs * s2 + xt, rs * s1 + rc * s2
+            zf[s, 0] = s1
+            zf[s, 1] = s2
+        return x64.astype(FLOAT), zf.astype(FLOAT)

@@ -2,16 +2,21 @@
 
 Elementwise effects (Mix/RingMod/Gain/Amp) compile to fused VPU ops.  The
 critically-tuned Butterworth filters keep the reference's *stateless
-context-window* semantics exactly — re-pull 100 frames of upstream context,
-filter from zero initial state, return the tail (``fx.py:82-106``) — but the
-design math and the IIR recurrence are TPU-native closed forms
-(:mod:`signals_tpu.compiler.filters`) since the cutoff is a traced per-block
-signal and ``scipy`` is host-only.
+context-window* semantics — re-pull context frames, filter from zero
+initial state, return the tail (``fx.py:82-106``) — but the design math
+and the IIR recurrence are TPU-native closed forms
+(:mod:`signals_tpu.compiler.filters`) since the cutoff is a traced
+per-block signal and ``scipy`` is host-only.  Swept (non-``Fixed``) crits
+additionally carry state across multi-block segments
+(:meth:`CritFilter.swept_carry_m` — round 5's product semantics, closer
+to a true time-varying filter and what lets the swept patch ride the
+multi-block Pallas carry kernels at static-crit throughput).
 """
 
 from __future__ import annotations
 
 import abc
+import typing
 
 import numpy as np
 
@@ -168,6 +173,11 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         context: int = Param(1024, validate=all_of(instance_of(int), ge(1)))
         #: structural: exact carried-state IIR instead of context windows
         streaming: bool = Param(False, validate=instance_of(bool))
+        #: structural: blocks per state-carry segment for SWEPT crits
+        #: (0 = engine default ``SEG_CARRY_BLOCKS``, 1 = per-block
+        #: context replay — the reference's time-varying-cutoff
+        #: semantics).  See :meth:`swept_carry_m`.
+        carry: int = Param(0, validate=all_of(instance_of(int), ge(0)))
 
     @classmethod
     def flags(cls) -> SignalFlags:
@@ -240,11 +250,11 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         differs from the replayed one only by the filter's response
         beyond the context window, which flushes to zero in f32 for any
         adequate context (measured: max abs diff exactly 0.0 at
-        context=512, cutoff 2 kHz).  Swept filters must keep per-block
-        replay — with per-block coefficient changes the carried state
-        differs from the oracle's replayed state at FIRST ORDER in the
-        sweep rate (the state's recent history was filtered under the
-        previous block's coefficients), far outside parity budgets."""
+        context=512, cutoff 2 kHz).  Swept filters carry too — but as
+        *product semantics*, not an invisible optimization (per-block
+        coefficient changes make the carried state differ from replay
+        at FIRST ORDER in the sweep rate), so their segmentation is
+        pinned and oracle-mirrored: see :meth:`swept_carry_m`."""
         from signals_tpu.nodes.fixed import Fixed
         for pname in self.port_names():
             if pname == 'input':
@@ -253,6 +263,58 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
             if sig is not None and type(sig) is not Fixed:
                 return False
         return True
+
+    def swept_carry_m(self, engine_m: typing.Optional[int] = None) -> int:
+        """Blocks per state-carry segment for SWEPT (non-``Fixed``) crits
+        — the *product semantics* of time-varying filtering on the
+        compiled fast paths, round 5's closure of the dynamic/static
+        throughput gap (the LFO-swept headline patch paid per-block
+        context replay the static patch didn't;
+        ``compiler/filters.py:92-111`` round 4).
+
+        Semantics (identical in the numpy pull oracle and every compiled
+        path): on the :data:`~signals_tpu.compiler.filters.
+        CARRY_GRID_FRAMES` block grid, blocks group into segments of
+        ``m`` aligned to ABSOLUTE frame multiples of ``m * F``; at each
+        segment start the filter state restarts from zero and warms up
+        over the ``context`` window under the segment's first block's
+        coefficients; inside a segment the state carries across blocks
+        while coefficients switch per block.  A pure function of
+        absolute time — seekable and batch-split invariant, like the
+        per-block replay it generalizes (which is the ``m = 1`` case,
+        and remains the semantics at non-grid evaluations: 1-frame
+        control samples, context-shifted sub-windows).
+
+        This deliberately diverges from the reference's per-block
+        zero-state replay (``/root/reference/src/signals/chain/fx.py:
+        82-106``): a real time-varying filter carries state through a
+        sweep; per-block restart injects boundary transients the carry
+        removes — and it is what lets the swept patch ride the
+        multi-block Pallas carry kernels.  ``State.carry = 1`` restores
+        reference-style replay.
+
+        Returns 1 when carry does not engage: streaming filters (exact
+        carried state already), static crits (carry is bit-identical to
+        replay there — handled by :meth:`_carry_blocks`), or
+        ``carry = 1``.
+        """
+        if self._state.streaming:
+            return 1
+        m = self._state.carry
+        if m == 0:
+            m = (_filters.resolve_seg_carry_blocks() if engine_m is None
+                 else engine_m)
+        if m <= 1 or self.crits_static():
+            return 1
+        return m
+
+    def _crits_hist(self, ctx, stride: int, count: int,
+                    ahead: int = 0) -> tuple:
+        """Per-crit block-rate history samples on the absolute
+        ``stride``-frame grid (``(count, ch)`` each, oldest first) — the
+        coefficient inputs of the swept-carry paths."""
+        return tuple(ctx.in_grid_samples(p, stride, count, ahead)
+                     for p in self._crit_port_names())
 
     def _carry_blocks(self, ctx, nb: int) -> int:
         """Blocks per state-carry segment for a DMA-input lowering: the
@@ -443,11 +505,129 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         grid = getattr(ctx, 'block_grid', None)
         if grid is not None:
             return self._mega_kernel(ctx, grid, nyquist)
+        FC = _filters.CARRY_GRID_FRAMES
+        req = getattr(ctx, 'request', None)
+        if req is not None:
+            # numpy pull oracle: carry engages on whole-block-aligned
+            # requests — including a downstream consumer's context pull
+            # when its context is a block multiple (both engines then
+            # see those frames as grid blocks; ragged windows take plain
+            # replay in both).  See swept_carry_m's contract.
+            m = self.swept_carry_m()
+            loc = req.loc
+            if (m > 1 and loc.shape.frames % FC == 0
+                    and loc.position % FC == 0):
+                return self._pull_carry_kernel(ctx, m, nyquist)
+        elif getattr(ctx, 'compiler', None) is not None:
+            comp = ctx.compiler
+            m = self.swept_carry_m(comp.index.seg_carry_blocks)
+            if (m > 1 and comp.block_frames == FC
+                    and ctx.window.offset % FC == 0
+                    and ctx.nframes % FC == 0
+                    and ctx.window.stride == 1):
+                return self._tv_carry_kernel(
+                    ctx, m, nyquist, grid=(FC, ctx.nframes // FC))
         coeffs = _filters.design_coupled(ctx.xp, self.type_code(),
                                          self._crits(ctx), nyquist)
         x = ctx.in_context('input', self.context_frames())
         y = ctx.sosfilt(coeffs, x)
         return y[-ctx.nframes:]
+
+    def _pull_carry_kernel(self, ctx, m: int, nyquist):
+        """Swept-carry semantics in the pull oracle: statelessly replay
+        each requested block's containing segment — ``context`` warmup
+        under the segment's first block's coefficients from zero state,
+        then the blocks up to the requested one with per-block
+        coefficients, state threaded (in the COUPLED form — see
+        ``PullCtx.sosfilt_stream``).  A pure function of the request
+        (the oracle stays stateless); mirrors the compiled carry kernels
+        exactly.  Multi-block requests (a downstream block-multiple
+        context pull) evaluate blockwise and concatenate."""
+        from signals_tpu.core import Request, Shape
+        loc = ctx.request.loc
+        F = _filters.CARRY_GRID_FRAMES
+        n_blocks = loc.shape.frames // F
+        beta0 = loc.position // F
+
+        def one_block(beta):
+            seg0 = (beta // m) * m
+            zi = None
+            out = None
+            ch = self.channels
+            for b in range(seg0, beta + 1):
+                bloc = loc._replace(position=b * F,
+                                    shape=Shape(F, loc.shape.channels))
+                bctx = type(ctx)(self, Request(
+                    requestor=ctx.request.requestor,
+                    port=ctx.request.port, loc=bloc))
+                coeffs = _filters.design_coupled(
+                    np, self.type_code(), self._crits(bctx), nyquist)
+                if b == seg0:
+                    xw = bctx.in_context('input', self.context_frames())
+                    ch = max(ch, xw.shape[1], coeffs.shape[1])
+                    zi = np.zeros((coeffs.shape[0], 2, ch), dtype=F32)
+                    y, zi = bctx.sosfilt_stream(coeffs, xw, zi)
+                    out = y[-F:]
+                else:
+                    xb = bctx.in_('input')
+                    xb = np.broadcast_to(xb, (F, max(xb.shape[1], ch)))
+                    out, zi = bctx.sosfilt_stream(coeffs, xb, zi)
+            return out
+
+        blocks = [one_block(beta0 + i) for i in range(n_blocks)]
+        ch = max(b.shape[1] for b in blocks)
+        return np.concatenate(
+            [np.broadcast_to(b, (F, ch)) for b in blocks], axis=0)
+
+    def _tv_carry_kernel(self, ctx, m: int, nyquist, grid=None):
+        """Swept-carry semantics on the compiled paths the Pallas
+        segment kernels don't cover (the per-block step, narrow/odd mega
+        fallbacks): each block is an independent time-varying scan
+        (:func:`~signals_tpu.compiler.filters.sosfilt_tv`) over its
+        ``context + m*F``-frame lookback window, with the per-frame
+        coefficient selection and the segment-boundary state reset
+        computed from the TRACED absolute position — correct at any
+        alignment (the segment phase is dynamic), which is what lets the
+        per-block transport path serve seeks anywhere while the oracle
+        stays block-for-block exact."""
+        F_, nb = grid if grid is not None else (ctx.nframes, 1)
+        C = self.context_frames()
+        count = nb + m - 1
+        crit_s = self._crits_hist(ctx, F_, count, nb - 1)  # (count, ch_i)
+        chs = max(g.shape[1] for g in crit_s)
+        Cx = C + (m - 1) * F_
+        x = ctx.in_context('input', Cx)          # (Cx + nb*F, ch)
+        if ctx.xp is np:                          # window-collection pass
+            ch = max(x.shape[1], chs, self.channels)
+            return np.zeros((nb * F_, ch), dtype=F32)
+        import jax
+        import jax.numpy as jnp
+        crits = tuple(jnp.broadcast_to(g, (count, chs)).reshape(1, -1)
+                      for g in crit_s)
+        coeffs = _filters.design_coupled(jnp, self.type_code(), crits,
+                                         nyquist)  # (nsec, count*chs, 11)
+        nsec = coeffs.shape[0]
+        co_sets = coeffs.reshape(nsec, count, chs, 11).transpose(
+            1, 0, 2, 3)                           # (count, nsec, chs, 11)
+        n = C + m * F_                            # frames per block chain
+        pos0 = (jnp.asarray(ctx.compiler.position, jnp.int32)
+                + jnp.int32(ctx.window.offset))
+        beta0 = jnp.floor_divide(pos0, jnp.int32(F_))
+        b_idx = jnp.arange(nb, dtype=jnp.int32)[:, None]       # (nb, 1)
+        phi = (beta0 + b_idx) % jnp.int32(m)
+        t = jnp.arange(n, dtype=jnp.int32)[None, :]            # (1, n)
+        a = pos0 + b_idx * jnp.int32(F_) - jnp.int32(Cx) + t
+        blk_rel = (jnp.floor_divide(a, jnp.int32(F_)) - beta0
+                   + jnp.int32(m - 1))            # index into co_sets
+        g_t = jnp.clip(blk_rel, b_idx + jnp.int32(m - 1) - phi,
+                       b_idx + jnp.int32(m - 1))
+        keep = t != (jnp.int32(m - 1) - phi) * jnp.int32(F_)   # (nb, n)
+        widx = (jnp.arange(nb, dtype=jnp.int32)[:, None] * F_
+                + jnp.arange(n, dtype=jnp.int32)[None, :])
+        xw = x[widx]                               # (nb, n, ch)
+        y = jax.vmap(_filters.sosfilt_tv,
+                     in_axes=(None, 0, 0, 0))(co_sets, g_t, xw, keep)
+        return y[:, -F_:, :].reshape(nb * F_, y.shape[-1])
 
     def _family_prologue(self, ctx, grid, fam, mode):
         """Shared eligibility + memoized compute of the packed stream
@@ -554,6 +734,24 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         # crits_static).  Unlike the generator path the timeline can't be
         # synthesized past nb_s, so m is the largest divisor of nb_s
         # within SEG_CARRY_BLOCKS instead of padding.
+        if not self.crits_static() and F_ == _filters.CARRY_GRID_FRAMES:
+            # SWEPT crits: carry segments with per-block coefficients
+            # (blocks_per_seg) — the plan rounds S to whole segments so
+            # stream starts stay on absolute boundaries; a ragged tail
+            # (defensive) pads with edge-coefficient blocks whose output
+            # is dropped (causal: real blocks are unaffected)
+            m = self.swept_carry_m(ctx.compiler.index.seg_carry_blocks)
+            if m > 1:
+                import jax.numpy as jnp
+                nb_p = -(-nb_s // m) * m
+                co_p = (co if nb_p == nb_s else jnp.concatenate(
+                    [co, jnp.broadcast_to(co[-1:], (nb_p - nb_s,)
+                                          + co.shape[1:])], axis=0))
+                y = sosfilt_segments(co_p, xp_, n_segments=nb_p,
+                                     seg_frames=F_, context=C,
+                                     sum_groups=sum_groups,
+                                     blocks_per_seg=m)
+                return y[:nb_s]
         m = self._carry_blocks(ctx, nb_s)
         if m > 1:
             y = sosfilt_segments(co[::m], xp_, n_segments=nb_s // m,
@@ -635,8 +833,15 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
         # with edge coeffs; the padded rows are the streams' natural
         # continuation (the generator synthesizes past nb_s) and are
         # dropped below.
-        m = (min(ctx.compiler.index.seg_carry_blocks, nb_s)
-             if self.crits_static() else 1)
+        if self.crits_static():
+            m = min(ctx.compiler.index.seg_carry_blocks, nb_s)
+        elif F_ == _filters.CARRY_GRID_FRAMES:
+            # SWEPT crits: same carry mode, with the per-block
+            # coefficients the kernel's stepping index map already
+            # consumes — the round-5 closure of the dynamic/static gap
+            m = self.swept_carry_m(ctx.compiler.index.seg_carry_blocks)
+        else:
+            m = 1
         nb_p = -(-nb_s // m) * m
         if nb_p != nb_s:
             co = jnp.concatenate(
@@ -664,6 +869,10 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
             out = self._family_kernel(ctx, grid, fam)
             if out is not None:
                 return out
+        if F_ == _filters.CARRY_GRID_FRAMES:
+            m_sw = self.swept_carry_m(ctx.compiler.index.seg_carry_blocks)
+            if m_sw > 1:
+                return self._mega_carry(ctx, grid, nyquist, m_sw)
         C = self.context_frames()
         # per-block coefficients from per-block control samples (aligned to
         # a common channel count before flattening)
@@ -757,9 +966,71 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
     def _crits_grid(self, ctx) -> tuple:
         raise NotImplementedError
 
+    def _mega_carry(self, ctx, grid, nyquist, m: int):
+        """Mega-window lowering under swept-crit carry segments
+        (:meth:`swept_carry_m`).  Fast path: the DMA segment kernel with
+        per-block coefficients inside each ``m``-block carry segment
+        (``blocks_per_seg``) — requires the window to start on an
+        absolute ``m``-block boundary, which the render drivers
+        guarantee (``CompiledPatch.render`` aligns unaligned starts with
+        per-block steps; plans round stream lengths).  Windows that
+        cannot assume alignment (the segmented feedback scan, whose
+        per-step positions shift freely) or whose geometry the kernel
+        can't hold take the alignment-free time-varying scan instead
+        (:meth:`_tv_carry_kernel` — the segment phase is computed from
+        the traced position per block)."""
+        import jax.numpy as jnp
+        F_, nb = grid
+        C = self.context_frames()
+        aligned = (getattr(ctx.compiler, 'carry_aligned', False)
+                   # the window itself must start on a segment boundary
+                   # (context pulls of this filter lower it at shifted
+                   # whole-block windows; their phase is handled by the
+                   # TV fallback below)
+                   and ctx.window.offset % (m * F_) == 0)
+        if (aligned and _filters.resolve_mega_impl() == 'pallas'
+                and C % 128 == 0):
+            ch_in = ctx.in_channels('input') or 1
+            grids = self._crits_grid(ctx)
+            chs = max(g.shape[1] for g in grids)
+            chx = max(ch_in, chs)
+            if chx >= 32 and (128 % chx == 0 or chx % 128 == 0):
+                from signals_tpu.compiler.pallas_kernels import (
+                    sosfilt_segments)
+                crits = tuple(jnp.broadcast_to(g, (nb, chs)).reshape(1, -1)
+                              for g in grids)
+                coeffs = _filters.design_coupled(
+                    jnp, self.type_code(), crits, nyquist)
+                nsec = coeffs.shape[0]
+                co = coeffs.reshape(nsec, nb, chs, 11).transpose(
+                    1, 0, 2, 3)
+                x = ctx.in_context('input', C)       # (C + nb*F, ch)
+                q, r = divmod(nb, m)
+                outs = []
+                if q:
+                    y = sosfilt_segments(
+                        co[:q * m], x[:C + q * m * F_],
+                        n_segments=q * m, seg_frames=F_, context=C,
+                        blocks_per_seg=m)
+                    outs.append(y.reshape(q * m * F_, y.shape[-1]))
+                if r:
+                    # trailing partial segment (the window ends before
+                    # the next absolute boundary): one r-block segment
+                    y = sosfilt_segments(
+                        co[q * m:], x[q * m * F_:],
+                        n_segments=r, seg_frames=F_, context=C,
+                        blocks_per_seg=r if r > 1 else 1)
+                    outs.append(y.reshape(r * F_, y.shape[-1]))
+                return (outs[0] if len(outs) == 1
+                        else jnp.concatenate(outs, axis=0))
+        return self._tv_carry_kernel(ctx, m, nyquist, grid=grid)
+
 
 class SingleCritFilter(CritFilter, abc.ABC):
     cutoff: Receiver.BoundPort = port('cutoff')
+
+    def _crit_port_names(self) -> tuple:
+        return ('cutoff',)
 
     def _crits(self, ctx: KernelCtx) -> tuple:
         return (ctx.in_block_rate('cutoff'),)
@@ -771,6 +1042,9 @@ class SingleCritFilter(CritFilter, abc.ABC):
 class DoubleCritFilter(CritFilter, abc.ABC):
     low: Receiver.BoundPort = port('low')
     high: Receiver.BoundPort = port('high')
+
+    def _crit_port_names(self) -> tuple:
+        return ('low', 'high')
 
     def _crits(self, ctx: KernelCtx) -> tuple:
         return (ctx.in_block_rate('low'), ctx.in_block_rate('high'))
@@ -842,6 +1116,9 @@ class GainParametricFilter(ParametricFilter, abc.ABC):
 
     gain: Receiver.BoundPort = port('gain')
 
+    def _crit_port_names(self) -> tuple:
+        return ('freq', 'gain', 'q')
+
     def _crits(self, ctx: KernelCtx) -> tuple:
         return (ctx.in_block_rate('freq'), ctx.in_block_rate('gain'),
                 ctx.in_block_rate('q'))
@@ -854,6 +1131,9 @@ class GainParametricFilter(ParametricFilter, abc.ABC):
 
 class GainlessParametricFilter(ParametricFilter, abc.ABC):
     """Parametric types without a gain: crits (freq, q)."""
+
+    def _crit_port_names(self) -> tuple:
+        return ('freq', 'q')
 
     def _crits(self, ctx: KernelCtx) -> tuple:
         return (ctx.in_block_rate('freq'), ctx.in_block_rate('q'))

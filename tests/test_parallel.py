@@ -846,11 +846,14 @@ def test_poly_fit_relative_lr_mixed_scales():
 
 
 def test_carry_blocks_engage_only_for_static_crits():
-    """Plan gate for multi-block carry segments: a fixed-cutoff filter's
-    crits are static (m > 1 is bit-identical to per-block replay, so it
-    engages); an LFO-swept cutoff is not (per-block replay stays).  Both
-    render through the gen+epilogue family and match the sum-of-solo
-    oracle within the per-voice parity budget."""
+    """Multi-block carry segments through the gen+epilogue family for
+    BOTH crit classes: a fixed-cutoff filter engages as an invisible
+    optimization (bit-identical to per-block replay); an LFO-swept
+    cutoff engages as product semantics (round 5: per-block coefficients
+    inside carried segments, the pull oracle replaying the identical
+    segmentation — CritFilter.swept_carry_m).  Both render through the
+    packed family and match the sum-of-solo oracle within the per-voice
+    parity budget."""
     import jax
     import jax.numpy as jnp
 
