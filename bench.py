@@ -546,6 +546,186 @@ def bench_fit_step(*, n_voices=64, seconds=1.0):
             'source_gen_engaged': compiled.packed_gen_engaged(n_blocks)}
 
 
+def bench_fit_full(*, n_voices=64, seconds=12.0, steps=48):
+    """Config 9: the FLAGSHIP-SIZED fit — three per-voice parameters
+    (hertz, cutoff, gain: ``3 * n_voices`` trainables) recovered
+    against ``seconds`` of target audio through the checkpointed
+    backward (the scan-reference VJPs chunk at
+    ``pallas_kernels.REF_CHUNK_SEGMENTS``, so the bwd peak memory is one
+    chunk's scan intermediates, not the whole batch's).  Records fused
+    steps/s, the loss trajectory, recovered-parameter errors, and the
+    device's peak memory — the numbers that say whether differentiable
+    synthesis survives a real multi-second matching task."""
+    import jax
+    import time as _time
+
+    from signals_tpu.nodes.fx import Gain, LowPass
+    from signals_tpu.nodes.osc import Sawtooth
+    from signals_tpu.parallel import PolyPatch
+
+    def build():
+        hz = fixed(110.0)
+        saw = Sawtooth()
+        saw.hertz = hz
+        cut = fixed(2000.0)
+        lp = LowPass()
+        lp.input = saw
+        lp.cutoff = cut
+        vol = fixed(0.5)
+        g = Gain()
+        g.left = lp
+        g.right = vol
+        return g, hz, cut, vol
+
+    rng = np.random.default_rng(7)
+    tgt_hz = _poly_freqs(n_voices)
+    tgt_cut = np.linspace(900.0, 3500.0, n_voices).astype(np.float32)
+    tgt_vol = (rng.uniform(0.2, 0.9, n_voices).astype(np.float32)
+               / n_voices)
+
+    root_t, hz_t, cut_t, vol_t = build()
+    p_t = PolyPatch(root_t, n_voices=n_voices,
+                    overrides={(hz_t, 'value'): tgt_hz,
+                               (cut_t, 'value'): tgt_cut,
+                               (vol_t, 'value'): tgt_vol},
+                    block_frames=BLOCK, rate=RATE, layout='channels')
+    n_blocks = _align_blocks(int(round(seconds * RATE / BLOCK)),
+                             p_t.compiled)
+    target, _ = p_t.render(n_blocks=n_blocks)
+
+    # start mistuned: +-2% hz (inside the spectral loss's pull basin —
+    # see learn.spectral_loss's frequency note), uniform 1800 Hz
+    # cutoffs, uniform gains
+    start_hz = (tgt_hz * (1.0 + rng.uniform(-0.02, 0.02, n_voices))
+                ).astype(np.float32)
+    root, hz, cut, vol = build()
+    poly = PolyPatch(root, n_voices=n_voices,
+                     overrides={(hz, 'value'): start_hz,
+                                (cut, 'value'):
+                                    np.full(n_voices, 1800.0, np.float32),
+                                (vol, 'value'):
+                                    np.full(n_voices, 0.5 / n_voices,
+                                            np.float32)},
+                     block_frames=BLOCK, rate=RATE, layout='channels')
+
+    t0 = _time.perf_counter()
+    res = poly.fit(np.asarray(target),
+                   [(hz, 'value'), (cut, 'value'), (vol, 'value')],
+                   steps=steps, learning_rate=0.03, relative_lr=True,
+                   apply=True)
+    wall = _time.perf_counter() - t0
+
+    def fitted(node):
+        for n, _p, _axis, stacked in poly._channel_overrides:
+            if n is node:
+                return np.asarray(stacked).reshape(-1)
+        raise KeyError(node)
+
+    fit_hz = fitted(hz)
+    fit_cut = fitted(cut)
+    fit_vol = fitted(vol)
+    mem = {}
+    try:
+        stats = jax.devices()[0].memory_stats()
+        mem = {'peak_bytes_in_use': int(stats.get('peak_bytes_in_use', 0)),
+               'bytes_in_use': int(stats.get('bytes_in_use', 0))}
+    except Exception:
+        pass
+    samples = n_blocks * BLOCK
+    return {'label': f'fit-full-{n_voices}v',
+            'n_voices': n_voices, 'target_seconds': samples / RATE,
+            'trainables': 3 * n_voices, 'steps': steps,
+            'steps_per_sec': steps / wall,
+            'x_realtime_fwd_bwd': steps * samples / RATE / wall,
+            'loss_first': float(res.losses[0]),
+            'loss_last': float(res.losses[-1]),
+            'loss_ratio': float(res.losses[-1] / res.losses[0]),
+            'hz_err_cents_median': float(np.median(np.abs(
+                1200 * np.log2(fit_hz / tgt_hz)))),
+            'cut_err_rel_median': float(np.median(
+                np.abs(fit_cut - tgt_cut) / tgt_cut)),
+            'vol_err_rel_median': float(np.median(
+                np.abs(fit_vol - tgt_vol) / tgt_vol)),
+            **mem}
+
+
+def bench_edit_latency():
+    """Interactive edit-to-sound latency (SURVEY §7 hard part #2):
+    structural edit during live playback -> first audible block of the
+    new program, COLD (a never-before-compiled graph: the background
+    warmup compiles while the old program keeps serving — the stream
+    must not stall) and WARM (the target program already jitted: swap at
+    the next batch boundary).  ``blocks_rendered_during_cold_compile``
+    is the continuity evidence — the old program's output while the new
+    one compiled; a synchronous swap would show ~0 there and a
+    compile-long dropout."""
+    import time as _time
+
+    from signals_tpu.nodes.dev import Rack, SinkDevice
+    from signals_tpu.nodes.fx import Gain, LowPass
+    from signals_tpu.nodes.osc import Sine, Square
+
+    rack = Rack()
+    rack.scan()
+    hz = fixed(440.0)
+    osc = Sine()
+    osc.hertz = hz
+    g = Gain()
+    g.left = osc
+    g.right = fixed(1.0)
+    sink = SinkDevice(rack.get_sink('null'), block_frames=BLOCK,
+                      realtime=False)
+    sink.get_state().channels = 1
+    sink.input = g
+    sink.start()
+    tr = sink._transport
+    deadline = _time.monotonic() + 120
+    while _time.monotonic() < deadline and tr.position < 8 * BLOCK:
+        _time.sleep(0.05)
+
+    def wait_swap(t0):
+        deadline = _time.monotonic() + 300
+        while _time.monotonic() < deadline:
+            ts = tr.last_swap_time
+            if ts is not None and ts >= t0:
+                return ts
+            _time.sleep(0.01)
+        raise RuntimeError('structural swap never landed')
+
+    # COLD: a structure this process (and the persistent compile cache,
+    # with high probability) has never seen — the context value is a
+    # time-salted 128-multiple, which changes the program's shapes
+    lp = LowPass()
+    lp.input = osc
+    lp.cutoff = fixed(1200.0)
+    lp.get_state().context = 128 * (int(_time.time()) % 89 + 3)
+    sq = Square()
+    sq.hertz = hz
+    t0 = _time.monotonic()
+    pos0 = tr.position
+    g.left = lp
+    ts = wait_swap(t0)
+    cold_ms = (ts - t0) * 1e3
+    blocks_during = (tr.position - pos0) // BLOCK
+
+    # WARM: revert (the original program is still jitted), measure the
+    # revert's own latency — a pure batch-boundary swap
+    _time.sleep(0.2)
+    t0 = _time.monotonic()
+    g.left = osc
+    ts = wait_swap(t0)
+    warm_ms = (ts - t0) * 1e3
+    err = tr.error
+    sink.stop()
+    sink.close()
+    batch_ms = tr.blocks_per_call * BLOCK / RATE * 1e3
+    return {'edit_latency_cold_ms': cold_ms,
+            'edit_latency_warm_ms': warm_ms,
+            'audible_adds_up_to_batch_ms': batch_ms,
+            'blocks_rendered_during_cold_compile': int(blocks_during),
+            'transport_error': repr(err) if err else None}
+
+
 def bench_poly(root, hz_node, n_voices, *, seconds=1.0, label='',
                layout='channels', fetch='f32'):
     """Non-``f32`` fetches encode the mix **on device** before the host
@@ -629,6 +809,91 @@ def _align_blocks(n_blocks, compiled):
     iteration renders the same absolute-aligned semantics)."""
     a = getattr(compiled, 'carry_seg_align', 1)
     return -(-n_blocks // a) * a if a > 1 else n_blocks
+
+def bench_poly_stream(root, hz_node, n_voices, *, batch_seconds=60.0,
+                      batches=6, rounds=3, mix_epilogue=True):
+    """Production pipelined lossless bounce: double-buffered batch
+    dispatches — batch ``k``'s SLAC payload crosses the host link while
+    batch ``k+1`` renders on device (the CompiledPatch.
+    render_encoded_stream pattern at poly scale, with the static
+    adaptively-capped slice so the transfer needs no host sync to
+    start).  ``x_realtime`` counts wall from first dispatch to the last
+    payload byte on host, carry chained across batches.  Bit-exactness
+    (payload decodes to the device mix's PCM16) is asserted OUTSIDE the
+    timed region."""
+    import jax
+    import jax.numpy as jnp
+
+    from signals_tpu.parallel import PolyPatch
+    from signals_tpu.runtime import codecs
+    freqs = _poly_freqs(n_voices)
+    poly = PolyPatch(root, n_voices=n_voices,
+                     overrides={(hz_node, 'value'): freqs},
+                     block_frames=BLOCK, rate=RATE, layout='channels',
+                     mix_epilogue=mix_epilogue)
+    n_blocks = _align_blocks(int(round(batch_seconds * RATE / BLOCK)),
+                             poly.compiled)
+    params, _ = poly.params()
+    carry0 = poly.init_carry()
+    fn = poly.render_fn(n_blocks)
+    host = poly.compiled.stage_host(0, n_blocks)
+    samples = n_blocks * BLOCK
+
+    @jax.jit
+    def enc(params, carry, position, host):
+        mix, carry2 = fn(params, carry, position, host)
+        buf, total = codecs.slac2_encode_jax(mix.reshape(samples, -1))
+        return buf, total, carry2
+
+    # warmup + cap calibration + bit-exactness evidence
+    buf, total, _ = enc(params, jax.tree.map(lambda x: x, carry0), 0, host)
+    n0 = int(total)
+    payload = np.asarray(buf[:n0])
+    mix0, _ = poly.render(n_blocks=n_blocks)
+    pcm = np.clip(np.round(np.asarray(mix0).reshape(samples, -1)
+                           * 32767.0), -32768, 32767).astype(np.int16)
+    dec = codecs.slac2_decode_np(payload, samples * pcm.shape[1],
+                                 channels=pcm.shape[1])
+    bit_exact = bool(np.array_equal(dec, pcm))
+    step = 1 << 18
+    cap = min(buf.shape[0], -(-int(n0 * 1.2) // step) * step)
+
+    def run_stream():
+        carry = jax.tree.map(lambda x: x, carry0)
+        pending = []
+        got = 0
+        t0 = time.perf_counter()
+        for k in range(batches):
+            buf, total, carry = enc(params, carry,
+                                    k * n_blocks * BLOCK, host)
+            pending.append((buf[:cap], buf, total))
+            if len(pending) >= 2:
+                head, b, t = pending.pop(0)
+                n = int(t)
+                got += np.asarray(head)[:n].shape[0] if n <= cap else (
+                    np.asarray(head).shape[0]
+                    + np.asarray(b[cap:n]).shape[0])
+        while pending:
+            head, b, t = pending.pop(0)
+            n = int(t)
+            got += np.asarray(head)[:n].shape[0] if n <= cap else (
+                np.asarray(head).shape[0] + np.asarray(b[cap:n]).shape[0])
+        return time.perf_counter() - t0, got
+
+    best = float('inf')
+    got = 0
+    for _ in range(rounds):
+        wall, got = run_stream()
+        best = min(best, wall)
+    total_samples = batches * samples
+    return {'label': f'poly-{n_voices}-slac-stream', 'n_voices': n_voices,
+            'batch_seconds': n_blocks * BLOCK / RATE, 'batches': batches,
+            'x_realtime': total_samples / RATE / best,
+            'samples_per_sec': total_samples / best,
+            'wall_total_s': best,
+            'bytes_per_sample': n0 / samples,
+            'payload_bit_exact_vs_pcm16': bit_exact}
+
 
 def bench_poly_device(root, hz_node, n_voices, *, seconds=60.0,
                       loops=8, mix_epilogue=False, require_gen=False,
@@ -834,6 +1099,7 @@ def main(argv=None):
     # a timed-out TPU --quick run left BENCH_full.json a partial record
     record_name = ('BENCH_full.json' if on_accel and not args.quick else
                    'BENCH_quick.json' if on_accel else
+                   'BENCH_quick_debug.json' if args.quick else
                    'BENCH_full_debug.json')
     record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                record_name)
@@ -923,6 +1189,15 @@ def main(argv=None):
     guard('c4_poly64_f32_fetch',
           lambda: bench_poly(voice4f, hz4f, 64, seconds=seconds,
                              label='poly-64-f32'))
+    # the production PIPELINED lossless bounce (round 5): batch k+1
+    # renders while batch k's SLAC payload crosses the link — wall
+    # counts first dispatch to last byte, bit-exact vs the device mix
+    progress('bench: config 4 slac STREAM (pipelined bounce)...')
+    voice4st, hz4st = build_subtractive_voice()
+    guard('c4_poly64_slac_stream',
+          lambda: bench_poly_stream(voice4st, hz4st, 64,
+                                    batch_seconds=seconds,
+                                    batches=2 if args.quick else 6))
 
     # headline parity evidence: the 64-voice mix under product defaults
     # (the exact path the device-resident headline measures) vs the numpy
@@ -1202,6 +1477,22 @@ def main(argv=None):
           lambda: bench_fit_step(
               n_voices=64,
               seconds=1.0 if not args.quick else 0.25))
+
+    # interactive edit-to-sound latency (round 5): structural edit
+    # during live playback, cold (background compile, old program keeps
+    # serving) vs warm (batch-boundary swap)
+    progress('bench: edit-to-sound latency (async swap)...')
+    guard('edit_latency', bench_edit_latency)
+
+    # config 9 (round 5): the flagship-sized fit — 3 per-voice params
+    # (hz, cutoff, gain = 192 trainables) against 12 s of target audio
+    # through the checkpointed backward, recording convergence + memory
+    progress('bench: config 9 (full-voice fit, 64 voices x 12 s)...')
+    guard('c9_fit_full_voice',
+          lambda: bench_fit_full(
+              n_voices=64,
+              seconds=12.0 if not args.quick else 1.0,
+              steps=48 if not args.quick else 4))
 
     extra['parity_max_abs_err'] = parity
     # per-config tolerances (see PARITY_TOL); a NaN (check failed to run)

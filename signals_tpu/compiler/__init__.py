@@ -1978,6 +1978,122 @@ class CompiledPatch:
                             self.rate)
         return np.asarray(payload), frames, carry2
 
+    #: streaming-fetch slice granularity for the SLAC live length: the
+    #: worst-case device buffer is ~2 bytes/sample, but typical payloads
+    #: are ~0.4; the stream fetches a STATIC slice (dispatchable before
+    #: the host knows the live length, so the transfer overlaps the next
+    #: batch's render) sized adaptively from the previous batch's
+    #: observed length, rounded to this step so retraces stay rare.
+    STREAM_CAP_STEP = 1 << 18
+    #: initial cap guess, bytes per sample (SLAC's typical rate + margin)
+    STREAM_CAP_GUESS = 0.6
+
+    def render_encoded_stream(self, *, position: int = 0, n_blocks: int,
+                              batch_blocks: int,
+                              subtype: str = 'slac',
+                              carry: typing.Optional[dict] = None,
+                              deliver_taps: bool = True):
+        """Pipelined batched :meth:`render_encoded`: yields ``(payload,
+        frames)`` per batch with batch ``k+1``'s render DISPATCHED (its
+        carry dependency stays on device) before batch ``k``'s payload is
+        fetched — the host-link transfer then overlaps the next batch's
+        device render, which is what pushes long lossless bounces past
+        the sequential render→fetch wall (round-4 verdict: every
+        host-delivery path sat below the 1000x north star while the link
+        itself had headroom; the residual was exactly this
+        serialization).
+
+        For ``'slac'`` the live compressed length is only known on
+        device, and fetching it before slicing would re-serialize the
+        pipeline (the dynamic slice dispatch lands behind the next
+        batch's queued render).  Instead a STATIC slice of
+        adaptively-capped length is dispatched immediately after each
+        render — transferable concurrently with the following render —
+        and the rare overshoot (cap < live length) fetches the remainder
+        with a second, dynamic slice.  The cap starts at
+        :attr:`STREAM_CAP_GUESS` bytes/sample and tracks 1.25x the last
+        observed length, rounded to :attr:`STREAM_CAP_STEP` so the slice
+        program retraces only when the signal's compressibility moves
+        materially.
+
+        Every yielded payload is independently decodable (each batch
+        encodes from fresh codec state); the ``.slac`` v3 container
+        (``runtime/sndfile.SlacWriter``) concatenates them losslessly.
+        """
+        import jax
+        import jax.numpy as jnp
+        params = self.params()
+        if carry is None:
+            carry = jax.tree.map(lambda x: x, self.carry0)
+        align = self.carry_seg_align
+        if align > 1:
+            batch_blocks = -(-batch_blocks // align) * align
+        F = self.block_frames
+        worst = None
+        cap = None
+        if subtype == 'slac':
+            worst_bps = 2.25        # escape-coded ceiling + headers
+            worst = int(batch_blocks * F * self.channels * worst_bps)
+            cap = min(worst, -(-int(batch_blocks * F * self.channels
+                                    * self.STREAM_CAP_GUESS)
+                               // self.STREAM_CAP_STEP)
+                      * self.STREAM_CAP_STEP)
+
+        pending: list = []
+        pos = position
+        done = 0
+
+        def dispatch():
+            nonlocal carry, pos, done
+            nb = min(batch_blocks, n_blocks - done)
+            fn = self._encoded_fn(nb, subtype)
+            host = self.stage_host(pos, nb)
+            payload, carry, taps = fn(params, carry, pos, host)
+            if subtype == 'slac':
+                buf, total = payload
+                # static-cap slice: dispatchable NOW (no host sync), so
+                # its transfer overlaps the next batch's render
+                head = buf[:cap] if cap < worst else buf
+                pending.append((head, buf, total, nb, pos, taps))
+            else:
+                pending.append((payload, None, None, nb, pos, taps))
+            pos += nb * F
+            done += nb
+
+        def adapt(observed: int):
+            nonlocal cap
+            want = min(worst, -(-int(observed * 1.25)
+                                // self.STREAM_CAP_STEP)
+                       * self.STREAM_CAP_STEP)
+            cap = max(want, self.STREAM_CAP_STEP)
+
+        while done < n_blocks and len(pending) < 2:
+            dispatch()
+        while pending:
+            head, buf, total, nb, p0, taps = pending.pop(0)
+            if done < n_blocks:
+                dispatch()
+            if subtype == 'slac':
+                n = int(total)
+                if n <= head.shape[0]:
+                    out = np.asarray(head)[:n]
+                else:
+                    out = np.concatenate(
+                        [np.asarray(head),
+                         np.asarray(buf[head.shape[0]:n])])
+                adapt(n)
+            else:
+                out = np.asarray(head)
+            if deliver_taps and self.tap_nodes:
+                for uid, node in self.tap_nodes.items():
+                    if not node.get_state().enabled:
+                        continue
+                    if uid in taps:
+                        arr = np.asarray(taps[uid])
+                        for i in range(nb):
+                            node.consume_tap(arr[i], p0 + i * F, self.rate)
+            yield out, nb * F
+
     def _encoded_fn(self, n_blocks: int, subtype: str):
         import jax
         import jax.numpy as jnp

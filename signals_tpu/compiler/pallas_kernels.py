@@ -189,20 +189,37 @@ def _tree_sum(terms):
         terms = nxt
     return terms[0]
 
-def _run_cascade(coef_ref, xread, ybuf, yslot, state_ref, *, nsec: int,
+def _coef_params(coef_ref, nsec: int, blk=None):
+    """Per-section coupled taps from the coeff BlockSpec block.  With
+    ``blk`` (a traced chunk-local coefficient-block index, carry mode)
+    the block holds the segment's WHOLE per-block tile stack
+    ``(nsec, 5, 1, m*8, 128)`` — fetched once per segment, amortized
+    over its chunks — and the tile is a dynamic in-VMEM sublane slice.
+    (Per-step BlockSpec tiles measured ~10-16 us of unoverlapped fetch
+    per grid step on v5e — 1.7x the whole kernel — whether the index
+    map was affine or not; one block per segment makes the fetch 1/17th
+    as frequent and fully hidden.)"""
+    from jax.experimental import pallas as pl
+    if blk is None:
+        return [tuple(coef_ref[s, k, 0] for k in range(5))
+                for s in range(nsec)]
+    return [tuple(coef_ref[s, k, 0, pl.ds(blk * 8, 8), :]
+                  for k in range(5))
+            for s in range(nsec)]
+
+
+def _run_cascade(params, xread, ybuf, yslot, state_ref, *, nsec: int,
                  row_chunk: int, unroll: int):
     """The biquad cascade over one row chunk: rows come from ``xread(r)``
     (a VMEM input slot, or the generator's synthesized chunk), filtered
     rows land in ``ybuf[yslot]``, and the (2*nsec, 8, 128) carry crosses
-    chunks in ``state_ref``.  The ONE copy of the recurrence shared by
+    chunks in ``state_ref``.  ``params``: per-section coupled taps from
+    :func:`_coef_params`.  The ONE copy of the recurrence shared by
     the DMA kernels (:func:`_seg_kernel`, :func:`_seg_kernel_reuse`) and
     the generator kernel (:func:`_seg_kernel_gen`) — their numerics must
     never drift.
     """
     import jax
-
-    params = [tuple(coef_ref[s, k, 0] for k in range(5))
-              for s in range(nsec)]
 
     def load_state():
         return tuple(state_ref[i] for i in range(2 * nsec))
@@ -502,7 +519,8 @@ def _sosfilt_pallas_impl(coeffs, x, *, interpret: bool):
 def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
                 in_sems, out_sems, *scratch, nsec: int, row_chunk: int,
                 c_chunks: int, seg_frames: int, group: int, v: int,
-                unroll: int, parts: int, slots: int, sum_lanes: int = 0):
+                unroll: int, parts: int, slots: int, sum_lanes: int = 0,
+                coeff_blocks: int = 1, cpb: int = 1):
     """One (lane_group, row_chunk) grid step.
 
     Lanes are ``group`` consecutive segments x ``v`` channels (group*v =
@@ -625,7 +643,13 @@ def _seg_kernel(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
     def _():
         state_ref[...] = jnp.zeros_like(state_ref)
 
-    _run_cascade(coef_ref, lambda r: xbuf[slot, r], ybuf, slot,
+    if coeff_blocks == 1:
+        blk = None
+    else:
+        blk = jnp.minimum(jnp.maximum(rc - c_chunks, 0) // cpb,
+                          coeff_blocks - 1)
+    _run_cascade(_coef_params(coef_ref, nsec, blk),
+                 lambda r: xbuf[slot, r], ybuf, slot,
                  state_ref, nsec=nsec, row_chunk=row_chunk,
                  unroll=unroll)
 
@@ -761,7 +785,8 @@ def _seg_kernel_reuse(coef_ref, x_hbm, out_hbm, xbuf, ybuf, state_ref,
         state_ref[...] = jnp.zeros_like(state_ref)
 
     xslot = a_cur % w
-    _run_cascade(coef_ref, lambda r: xbuf[xslot, r], ybuf, yslot,
+    _run_cascade(_coef_params(coef_ref, nsec),
+                 lambda r: xbuf[xslot, r], ybuf, yslot,
                  state_ref, nsec=nsec, row_chunk=row_chunk,
                  unroll=unroll)
 
@@ -882,7 +907,8 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
         kernel = functools.partial(
             _seg_kernel, nsec=nsec, row_chunk=row_chunk,
             c_chunks=c_chunks, seg_frames=seg_frames, group=group, v=v,
-            unroll=unroll, parts=parts, slots=slots, sum_lanes=sum_lanes)
+            unroll=unroll, parts=parts, slots=slots, sum_lanes=sum_lanes,
+            coeff_blocks=m, cpb=(seg_frames // m) // row_chunk)
         x_slots = y_slots = slots
 
     out_dims = ((n_seg_pad, tail, 128) if sum_lanes
@@ -901,17 +927,8 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
     if sum_lanes:
         scratch.append(pltpu.VMEM((y_slots, row_chunk, 128), np.float32))
 
-    if m == 1:
-        def coeff_idx(lg, rc):
-            return (0, 0, lg, 0, 0)
-    else:
-        cpb = (seg_frames // m) // row_chunk   # chunks per coeff block
-
-        def coeff_idx(lg, rc):
-            import jax.numpy as jnp
-            # context chunks warm up under the segment's FIRST block
-            blk = jnp.where(rc < c_chunks, 0, (rc - c_chunks) // cpb)
-            return (0, 0, lg * m + blk, 0, 0)
+    def coeff_idx(lg, rc):
+        return (0, 0, lg, 0, 0)
 
     def call(coeffs, x):
         # x: (T_pad, v) — or (T_pad, v//128, 128) for wide channels —
@@ -920,7 +937,7 @@ def _build_seg_call(T: int, v: int, nsec: int, n_segments: int,
             kernel,
             grid=(lane_groups, chunks_per_seg),
             in_specs=[
-                pl.BlockSpec((nsec, 5, 1, 8, 128), coeff_idx,
+                pl.BlockSpec((nsec, 5, 1, m * 8, 128), coeff_idx,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
@@ -1157,6 +1174,7 @@ def _sosfilt_segments_impl(coeffs, x, *, n_segments: int, seg_frames: int,
         perm = ((lgs * group + gs) * m + blks).reshape(-1)
         sel = _seg_coeff_sel(cpad[perm], nsec, n_unit_pad * m,
                              n_unit_pad * m, group, vpad)
+        sel = sel.reshape(nsec, 5, n_unit_pad // group, m * 8, 128)
 
     x = x.reshape(x.shape[0], vpad // 128, 128)
     if sum_groups:
@@ -1210,7 +1228,8 @@ OSC_SINE, OSC_SQUARE, OSC_SAW, OSC_TRIANGLE = 0, 1, 2, 3
 def _seg_kernel_gen(coef_ref, toff_ref, lanef_ref, out_hbm, xgen, ybuf,
                     state_ref, out_sems, *scratch, nsec: int,
                     row_chunk: int, c_chunks: int, seg_frames: int,
-                    unroll: int, osc_code: int, sum_lanes: int):
+                    unroll: int, osc_code: int, sum_lanes: int,
+                    coeff_blocks: int = 1, cpb: int = 1):
     """Generator-fed variant of :func:`_seg_kernel_reuse` (group == 1,
     the packed 1024-lane family layout): no input DMA at all — each
     chunk's rows are synthesized on the VPU.
@@ -1302,7 +1321,13 @@ def _seg_kernel_gen(coef_ref, toff_ref, lanef_ref, out_hbm, xgen, ybuf,
     def _():
         state_ref[...] = jnp.zeros_like(state_ref)
 
-    _run_cascade(coef_ref, lambda r: xgen[r], ybuf, yslot, state_ref,
+    if coeff_blocks == 1:
+        blk = None
+    else:
+        blk = jnp.minimum(jnp.maximum(rc - c_chunks, 0) // cpb,
+                          coeff_blocks - 1)
+    _run_cascade(_coef_params(coef_ref, nsec, blk),
+                 lambda r: xgen[r], ybuf, yslot, state_ref,
                  nsec=nsec, row_chunk=row_chunk, unroll=unroll)
 
     @pl.when(rc >= c_chunks)
@@ -1332,10 +1357,11 @@ def _build_seg_gen_call(nsec: int, n_segments: int, seg_frames: int,
     """``n_segments`` counts coefficient BLOCKS; with ``blocks_per_seg =
     m > 1`` the kernel's grid groups every ``m`` consecutive blocks into
     one state-carry segment of ``m * seg_frames`` frames whose context
-    warmup runs once, under the first block's coefficients — the coeff
-    BlockSpec index map steps to block ``lg*m + (rc - c_chunks) // cpb``
-    at each in-segment block boundary (Pallas re-fetches the 40 KB tile
-    only when the index changes)."""
+    warmup runs once, under the first block's coefficients.  The
+    segment's WHOLE per-block coefficient stack rides one BlockSpec
+    block (callers reshape to ``(nsec, 5, n_seg, m*8, 128)``), fetched
+    once per segment and sliced per chunk in-VMEM
+    (:func:`_coef_params`)."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1362,7 +1388,8 @@ def _build_seg_gen_call(nsec: int, n_segments: int, seg_frames: int,
     kernel = functools.partial(
         _seg_kernel_gen, nsec=nsec, row_chunk=row_chunk,
         c_chunks=c_chunks, seg_frames=seg_total, unroll=unroll,
-        osc_code=osc_code, sum_lanes=sum_lanes)
+        osc_code=osc_code, sum_lanes=sum_lanes, coeff_blocks=m,
+        cpb=cpb)
     out_dims = ((n_seg, seg_total, 128) if sum_lanes
                 else (n_seg, seg_total, 8, 128))
     scratch = [
@@ -1374,22 +1401,15 @@ def _build_seg_gen_call(nsec: int, n_segments: int, seg_frames: int,
     if sum_lanes:
         scratch.append(pltpu.VMEM((2, row_chunk, 128), np.float32))
 
-    if m == 1:
-        def coeff_idx(lg, rc):
-            return (0, 0, lg, 0, 0)
-    else:
-        def coeff_idx(lg, rc):
-            import jax.numpy as jnp
-            # context chunks warm up under the segment's FIRST block
-            blk = jnp.where(rc < c_chunks, 0, (rc - c_chunks) // cpb)
-            return (0, 0, lg * m + blk, 0, 0)
+    def coeff_idx(lg, rc):
+        return (0, 0, lg, 0, 0)
 
     def call(coeffs, toff, lanef):
         return pl.pallas_call(
             kernel,
             grid=(n_seg, chunks_per_seg),
             in_specs=[
-                pl.BlockSpec((nsec, 5, 1, 8, 128), coeff_idx,
+                pl.BlockSpec((nsec, 5, 1, m * 8, 128), coeff_idx,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1486,6 +1506,12 @@ def _sosfilt_segments_gen_impl(coeffs, toff, lanef, *, n_segments: int,
     nsec = coeffs.shape[1]
     sel = _seg_coeff_sel(coeffs, nsec, n_segments, n_segments, 1,
                          LANE_GROUP)
+    if blocks_per_seg > 1:
+        # whole-segment coefficient blocks: each lane group's m tiles
+        # ride ONE BlockSpec block (fetched once per segment and sliced
+        # in-kernel), so the fetch amortizes over the segment's chunks
+        sel = sel.reshape(nsec, 5, n_segments // blocks_per_seg,
+                          blocks_per_seg * 8, 128)
     toff = toff.reshape(8, 128)
     lanef = lanef.reshape(3, 8, 128)
     inv_row = jnp.full((1, 8, 128), jnp.float32(1.0 / rate),

@@ -682,18 +682,42 @@ class CommandSet:
                 raise BadPlaybackTarget(self.at, sink)
             if self.subtype != 'float32':
                 from signals_tpu.runtime import sndfile
-                payload, frames = sink.render_offline_encoded(
-                    seconds=self.seconds, subtype=self.subtype)
+                if self.subtype == 'adpcm':
+                    # ADPCM batches pad their final codec block, so batch
+                    # payloads don't concatenate exactly: single-shot
+                    payload, frames = sink.render_offline_encoded(
+                        seconds=self.seconds, subtype=self.subtype)
+                    w = sndfile.open_writer(
+                        self.path, rate=sink.rate,
+                        channels=sink.get_state().channels,
+                        subtype=self.subtype)
+                    try:
+                        w.write_encoded(payload, frames)
+                    finally:
+                        w.close()
+                    print(f'wrote {self.path}: {frames} frames '
+                          f'({self.subtype}, device-encoded)',
+                          file=controller.stdout)
+                    return
                 w = sndfile.open_writer(
                     self.path, rate=sink.rate,
                     channels=sink.get_state().channels,
                     subtype=self.subtype)
+                total = 0
                 try:
-                    w.write_encoded(payload, frames)
+                    # pipelined streaming bounce: batch k+1 renders on
+                    # device while batch k's payload crosses the host
+                    # link and lands in the file
+                    for payload, frames in \
+                            sink.render_offline_encoded_stream(
+                                seconds=self.seconds,
+                                subtype=self.subtype):
+                        w.write_encoded(payload, frames)
+                        total += frames
                 finally:
                     w.close()
-                print(f'wrote {self.path}: {frames} frames '
-                      f'({self.subtype}, device-encoded)',
+                print(f'wrote {self.path}: {total} frames '
+                      f'({self.subtype}, device-encoded, streamed)',
                       file=controller.stdout)
                 return
             audio = sink.render_offline(seconds=self.seconds)

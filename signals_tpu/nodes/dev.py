@@ -306,6 +306,34 @@ class SinkDevice(Device, Receiver, ExplicitChannels):
             position=position, n_blocks=n_blocks, subtype=subtype)
         return payload, frames
 
+    #: streaming-bounce batch length (seconds of audio per device
+    #: dispatch).  Long enough to amortize the per-dispatch round trip,
+    #: short enough that the double-buffered pipeline overlaps transfers
+    #: with the next batch's render from early in the bounce.
+    bounce_batch_seconds = 60.0
+
+    def render_offline_encoded_stream(self, *, seconds: float = None,
+                                      n_blocks: int = None,
+                                      position: int = 0,
+                                      subtype: str = 'mulaw',
+                                      batch_seconds: float = None):
+        """Iterator of ``(payload, frames)`` batches with the next
+        batch's render dispatched before the current payload is fetched
+        (:meth:`CompiledPatch.render_encoded_stream`) — the production
+        long-bounce path: the host-link transfer rides concurrently with
+        the device render instead of after it."""
+        if n_blocks is None:
+            n_blocks = max(1, int(round(seconds * self.rate
+                                        / self.block_frames)))
+        if batch_seconds is None:
+            batch_seconds = self.bounce_batch_seconds
+        batch_blocks = max(1, int(round(batch_seconds * self.rate
+                                        / self.block_frames)))
+        compiled = self._compile()
+        return compiled.render_encoded_stream(
+            position=position, n_blocks=n_blocks,
+            batch_blocks=min(batch_blocks, n_blocks), subtype=subtype)
+
     # --- pull-engine compatibility (reference dev.py:167-179) --------------
 
     def pull_block(self, frames: int = None) -> np.ndarray:

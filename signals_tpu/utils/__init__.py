@@ -86,7 +86,7 @@ def trace(log_dir: str = '/tmp/signals_tpu_trace'):
         jax.profiler.stop_trace()
 
 
-def enable_persistent_compile_cache(path: str = None, *,
+def enable_persistent_compile_cache(path: 'str | None' = None, *,
                                     min_compile_seconds: float = 1.0) -> str:
     """Point JAX's persistent compilation cache at ``path`` (default
     ``$JAX_COMPILATION_CACHE_DIR`` or ``~/.cache/signals_tpu_xla``) and
@@ -104,7 +104,7 @@ def enable_persistent_compile_cache(path: str = None, *,
     import os
 
     import jax
-    cache_dir = path or os.environ.get(
+    cache_dir = path if path is not None else os.environ.get(
         'JAX_COMPILATION_CACHE_DIR',
         os.path.expanduser('~/.cache/signals_tpu_xla'))
     jax.config.update('jax_compilation_cache_dir', cache_dir)

@@ -87,6 +87,60 @@ def test_structural_edit_recompiles_during_playback():
     assert sink._transport is None or sink._transport.error is None
 
 
+def test_structural_edit_keeps_audio_continuous():
+    """The async compile-and-swap (round 5): during the recompile a
+    structural edit triggers, the OLD program keeps rendering — blocks
+    keep flowing (no compile-long stall) and the captured audio has no
+    silent gap; the new structure lands one batch after its background
+    warmup completes (``Transport._swap_async``)."""
+    rack = Rack()
+    rack.scan()
+    hz = fixed(440.0)
+    osc = Sine()
+    osc.hertz = hz
+    g = Gain()
+    g.left = osc
+    g.right = fixed(1.0)
+    sink = SinkDevice(rack.get_sink('null'), block_frames=512,
+                      realtime=False)
+    sink.get_state().channels = 1
+    sink.input = g
+    sink.capture(True)
+    sink.start()
+    tr = sink._transport
+    deadline = time.time() + 30
+    while time.time() < deadline and tr.position < 16 * 512:
+        time.sleep(0.05)
+    pos0 = tr.position
+    sq = Square()
+    sq.hertz = hz
+    t0 = time.monotonic()
+    g.left = sq                       # structural: triggers a recompile
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        ts = tr.last_swap_time
+        if ts is not None and ts >= t0:
+            break
+        time.sleep(0.02)
+    assert tr.last_swap_time is not None, 'swap never landed'
+    blocks_during = (tr.position - pos0) // 512
+    sink.stop()
+    sink.close()
+    assert tr.error is None
+    # continuity: the old program kept rendering while the new compiled
+    assert blocks_during >= 1, blocks_during
+    audio = sink.captured()[:, 0]
+    # no silent gap anywhere after startup: both waveforms are loud, so
+    # every 512-sample window must carry energy
+    w = audio[512:len(audio) // 512 * 512].reshape(-1, 512)
+    rms = np.sqrt((w ** 2).mean(axis=1))
+    assert w.shape[0] > 4
+    assert rms.min() > 0.05, float(rms.min())
+    # and the edit did land (square duty at the tail)
+    tail_duty = float((np.abs(audio[-2048:]) > 0.9).mean())
+    assert tail_duty > 0.95, tail_duty
+
+
 def test_echo_tail_survives_traced_mute():
     """Carry continuity across a traced edit: muting an echo patch's
     source between batches must leave the delay line ringing (the tail

@@ -845,6 +845,78 @@ def test_poly_fit_relative_lr_mixed_scales():
     assert np.abs(fitted - tgt_g).max() < 0.1, fitted
 
 
+@pytest.mark.slow
+def test_poly_fit_full_voice_three_params_long_target():
+    """The c9 bench shape at CPU scale (bench_fit_full): THREE per-voice
+    parameters (hertz, cutoff, gain) fitted simultaneously against a
+    target longer than ``REF_CHUNK_SEGMENTS`` blocks — the backward runs
+    the checkpointed chunked scan reference, so peak memory stays one
+    chunk's intermediates.  Convergence: loss drops, per-voice cutoff
+    and gain recover, and the (hard) per-voice hertz error improves from
+    its mistuned start."""
+    from signals_tpu.nodes.fx import Gain, LowPass
+    from signals_tpu.nodes.osc import Sawtooth
+    from signals_tpu.parallel import PolyPatch
+
+    from conftest import fixed
+
+    V, F, RATE_ = 8, 1024, 44100
+    NB = 80          # > pallas_kernels.REF_CHUNK_SEGMENTS (64)
+
+    def build():
+        hz = fixed(110.0)
+        saw = Sawtooth()
+        saw.hertz = hz
+        cut = fixed(2000.0)
+        lp = LowPass()
+        lp.input = saw
+        lp.cutoff = cut
+        vol = fixed(0.5)
+        g = Gain()
+        g.left = lp
+        g.right = vol
+        return g, hz, cut, vol
+
+    rng = np.random.default_rng(3)
+    tgt_hz = (110.0 * 2 ** (np.arange(V) % 12 / 12.0)).astype(np.float32)
+    tgt_cut = np.linspace(900.0, 3200.0, V).astype(np.float32)
+    tgt_vol = (rng.uniform(0.3, 0.9, V).astype(np.float32) / V)
+
+    root_t, hz_t, cut_t, vol_t = build()
+    p_t = PolyPatch(root_t, n_voices=V,
+                    overrides={(hz_t, 'value'): tgt_hz,
+                               (cut_t, 'value'): tgt_cut,
+                               (vol_t, 'value'): tgt_vol},
+                    block_frames=F, rate=RATE_, layout='channels')
+    target, _ = p_t.render(n_blocks=NB)
+
+    start_hz = (tgt_hz * (1.0 + rng.uniform(-0.02, 0.02, V))
+                ).astype(np.float32)
+    root, hz, cut, vol = build()
+    poly = PolyPatch(root, n_voices=V,
+                     overrides={(hz, 'value'): start_hz,
+                                (cut, 'value'):
+                                    np.full(V, 1800.0, np.float32),
+                                (vol, 'value'):
+                                    np.full(V, 0.5 / V, np.float32)},
+                     block_frames=F, rate=RATE_, layout='channels')
+    res = poly.fit(np.asarray(target),
+                   [(hz, 'value'), (cut, 'value'), (vol, 'value')],
+                   steps=48, learning_rate=0.03, relative_lr=True,
+                   apply=True)
+    assert res.losses[-1] < 0.5 * res.losses[0], res.losses[:3]
+
+    fit_hz = _fitted_override(poly, hz)
+    fit_cut = _fitted_override(poly, cut)
+    fit_vol = _fitted_override(poly, vol)
+    cents0 = np.abs(1200 * np.log2(start_hz / tgt_hz))
+    cents1 = np.abs(1200 * np.log2(fit_hz / tgt_hz))
+    assert np.median(cents1) < 0.7 * np.median(cents0), (
+        np.median(cents0), np.median(cents1))
+    assert np.median(np.abs(fit_cut - tgt_cut) / tgt_cut) < 0.4
+    assert np.median(np.abs(fit_vol - tgt_vol) / tgt_vol) < 0.25
+
+
 def test_carry_blocks_engage_only_for_static_crits():
     """Multi-block carry segments through the gen+epilogue family for
     BOTH crit classes: a fixed-cutoff filter engages as an invisible

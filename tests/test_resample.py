@@ -41,6 +41,52 @@ def test_upsample_keeps_pitch_and_rejects_images():
     assert floor_db < -75, floor_db
 
 
+def test_mastering_tier_64_taps_hits_minus_90db():
+    """The 64-tap quality tier (round 5): alias/image floor measured
+    <= -90 dB both directions — the mastering-grade knob for
+    ``FileReader.resample_taps`` / fit-target conversion."""
+    t = np.arange(48000) / 48000
+    x = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    y = resample(x, 48000, 44100, taps=64)
+    pk, floor_db = _peak_and_floor(y[2000:-2000], 44100)
+    assert abs(pk - 1000) < 3, pk
+    assert floor_db < -90, floor_db
+    t = np.arange(22050) / 22050
+    x = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    y = resample(x, 22050, 44100, taps=64)
+    pk, floor_db = _peak_and_floor(y[2000:-2000], 44100)
+    assert abs(pk - 1000) < 3, pk
+    assert floor_db < -90, floor_db
+
+
+def test_filereader_resample_taps_tier(tmp_path):
+    """``FileReader.resample_taps = 64`` flows through ``conform_rate``
+    playback (structural param; output differs from the 32-tap tier but
+    stays pitch-correct)."""
+    from signals_tpu.nodes.files import FileReader
+    from signals_tpu.runtime import wavio
+    rate_file, rate_engine = 48000, 44100
+    t = np.arange(rate_file) / rate_file
+    x = (0.5 * np.sin(2 * np.pi * 660 * t)).astype(np.float32)
+    path = tmp_path / 'tone48k.wav'
+    wavio.write_wav(path, x[:, None], rate_file)
+    rd = FileReader()
+    st = rd.get_state()
+    st.path = str(path)
+    st.conform_rate = True
+    st.resample_taps = 64
+    y = rd.host_read(1024, 8192, rate_engine)[:, 0]
+    s = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+    f = np.fft.rfftfreq(len(y), 1 / rate_engine)
+    assert abs(f[s.argmax()] - 660) < 6
+    rd32 = FileReader()
+    st2 = rd32.get_state()
+    st2.path = str(path)
+    st2.conform_rate = True
+    y32 = rd32.host_read(1024, 8192, rate_engine)[:, 0]
+    assert not np.array_equal(y, y32)     # the tier genuinely changes taps
+
+
 def test_dc_exact_and_identity_rates():
     dc = resample(np.ones(5000, np.float32), 48000, 44100)
     assert np.abs(dc[100:-100] - 1.0).max() < 1e-6

@@ -302,12 +302,25 @@ class TestSlacContainer:
         pcm = np.clip(np.round(x * 32767.0), -32768, 32767)
         assert np.array_equal(np.round(got * 32767.0).astype(np.int32),
                               pcm.astype(np.int32))
-        # a second payload must be refused (predictors chain from start)
+        # second payloads: v2 appends write the v3 multi-segment
+        # container (each payload independently decodable — the
+        # pipelined streaming bounce); v1 cannot multi-segment
         w2 = sndfile.open_writer(tmp_path / 'two.slac', rate=44100,
                                  channels=1, subtype='slac')
-        w2.write_encoded(payload, x.shape[0])
-        with pytest.raises(sndfile.SoundFileError):
-            w2.write_encoded(payload, x.shape[0])
+        w2.write_encoded(payload, x.shape[0], version=version)
+        if version == 1:
+            with pytest.raises(sndfile.SoundFileError):
+                w2.write_encoded(payload, x.shape[0], version=version)
+            w2.close()
+        else:
+            w2.write_encoded(payload, x.shape[0], version=version)
+            w2.close()
+            r2 = sndfile.open_reader(tmp_path / 'two.slac')
+            assert r2.frames == 2 * x.shape[0]
+            got2 = r2.read(0, r2.frames)
+            assert np.array_equal(
+                np.round(got2 * 32767.0).astype(np.int32),
+                np.concatenate([pcm, pcm]).astype(np.int32))
 
     def test_bounce_command_slac(self, tmp_path):
         import io
