@@ -546,32 +546,52 @@ def bench_fit_step(*, n_voices=64, seconds=1.0):
             'source_gen_engaged': compiled.packed_gen_engaged(n_blocks)}
 
 
-def bench_fit_full(*, n_voices=64, seconds=12.0, steps=48):
+def bench_fit_full(*, n_voices=64, seconds=12.0, steps=300):
     """Config 9: the FLAGSHIP-SIZED fit — three per-voice parameters
     (hertz, cutoff, gain: ``3 * n_voices`` trainables) recovered
-    against ``seconds`` of target audio through the checkpointed
-    backward (the scan-reference VJPs chunk at
+    against ``seconds`` of per-voice (stem) target audio through the
+    checkpointed backward (the scan-reference VJPs chunk at
     ``pallas_kernels.REF_CHUNK_SEGMENTS``, so the bwd peak memory is one
     chunk's scan intermediates, not the whole batch's).  Records fused
     steps/s, the loss trajectory, recovered-parameter errors, and the
     device's peak memory — the numbers that say whether differentiable
-    synthesis survives a real multi-second matching task."""
+    synthesis survives a real multi-second matching task.
+
+    The voice is a TWO-PARTIAL SINE (F0 + 3*F0, shared trainable hz)
+    through the swept lowpass: sines are the waveforms whose frequency
+    gradient naive autodiff gets right (a sawtooth's wrap
+    discontinuities' dropped delta terms bias ``d/d hz`` so descent
+    diverges under any loss — measured, see
+    ``learn.per_channel_spectral_loss``'s notes), and the second
+    partial is what separates cutoff from gain per voice.  The loss is
+    the per-channel spectral stem loss (the mix spectrum cannot
+    separate voices)."""
     import jax
     import time as _time
 
-    from signals_tpu.nodes.fx import Gain, LowPass
-    from signals_tpu.nodes.osc import Sawtooth
-    from signals_tpu.parallel import PolyPatch
+    from signals_tpu import learn as _learn
+    from signals_tpu.compiler import compile_node
+    from signals_tpu.nodes.fx import Gain, LowPass, Mix
+    from signals_tpu.nodes.osc import Sine
 
-    def build():
-        hz = fixed(110.0)
-        saw = Sawtooth()
-        saw.hertz = hz
-        cut = fixed(2000.0)
+    def build(hzv, cutv, volv):
+        hz = fixed(np.asarray(hzv, np.float32).reshape(1, -1))
+        o1 = Sine()
+        o1.hertz = hz
+        h3 = Gain()
+        h3.left = hz
+        h3.right = fixed(3.0)
+        o2 = Sine()
+        o2.hertz = h3
+        mx = Mix()
+        mx.left = o1
+        mx.right = o2
+        mx.mix = fixed(0.7)
+        cut = fixed(np.asarray(cutv, np.float32).reshape(1, -1))
         lp = LowPass()
-        lp.input = saw
+        lp.input = mx
         lp.cutoff = cut
-        vol = fixed(0.5)
+        vol = fixed(np.asarray(volv, np.float32).reshape(1, -1))
         g = Gain()
         g.left = lp
         g.right = vol
@@ -579,51 +599,31 @@ def bench_fit_full(*, n_voices=64, seconds=12.0, steps=48):
 
     rng = np.random.default_rng(7)
     tgt_hz = _poly_freqs(n_voices)
-    tgt_cut = np.linspace(900.0, 3500.0, n_voices).astype(np.float32)
-    tgt_vol = (rng.uniform(0.2, 0.9, n_voices).astype(np.float32)
-               / n_voices)
+    tgt_cut = np.linspace(350.0, 1200.0, n_voices).astype(np.float32)
+    tgt_vol = rng.uniform(0.3, 0.9, n_voices).astype(np.float32)
 
-    root_t, hz_t, cut_t, vol_t = build()
-    p_t = PolyPatch(root_t, n_voices=n_voices,
-                    overrides={(hz_t, 'value'): tgt_hz,
-                               (cut_t, 'value'): tgt_cut,
-                               (vol_t, 'value'): tgt_vol},
-                    block_frames=BLOCK, rate=RATE, layout='channels')
-    n_blocks = _align_blocks(int(round(seconds * RATE / BLOCK)),
-                             p_t.compiled)
-    target, _ = p_t.render(n_blocks=n_blocks)
+    root_t, *_ = build(tgt_hz, tgt_cut, tgt_vol)
+    ct = compile_node(root_t, block_frames=BLOCK, rate=RATE,
+                      channels=n_voices)
+    n_blocks = _align_blocks(int(round(seconds * RATE / BLOCK)), ct)
+    target, _ = ct.render(n_blocks=n_blocks, deliver_taps=False)
 
-    # start mistuned: +-2% hz (inside the spectral loss's pull basin —
-    # see learn.spectral_loss's frequency note), uniform 1800 Hz
-    # cutoffs, uniform gains
     start_hz = (tgt_hz * (1.0 + rng.uniform(-0.02, 0.02, n_voices))
                 ).astype(np.float32)
-    root, hz, cut, vol = build()
-    poly = PolyPatch(root, n_voices=n_voices,
-                     overrides={(hz, 'value'): start_hz,
-                                (cut, 'value'):
-                                    np.full(n_voices, 1800.0, np.float32),
-                                (vol, 'value'):
-                                    np.full(n_voices, 0.5 / n_voices,
-                                            np.float32)},
-                     block_frames=BLOCK, rate=RATE, layout='channels')
-
+    root, hz, cut, vol = build(start_hz,
+                               np.full(n_voices, 800.0, np.float32),
+                               np.full(n_voices, 0.5, np.float32))
     t0 = _time.perf_counter()
-    res = poly.fit(np.asarray(target),
-                   [(hz, 'value'), (cut, 'value'), (vol, 'value')],
-                   steps=steps, learning_rate=0.03, relative_lr=True,
-                   apply=True)
+    res = _learn.fit(root, np.asarray(target),
+                     [(hz, 'value'), (cut, 'value'), (vol, 'value')],
+                     rate=RATE, block_frames=BLOCK, steps=steps,
+                     learning_rate=0.005, relative_lr=True,
+                     loss=_learn.per_channel_spectral_loss)
     wall = _time.perf_counter() - t0
 
-    def fitted(node):
-        for n, _p, _axis, stacked in poly._channel_overrides:
-            if n is node:
-                return np.asarray(stacked).reshape(-1)
-        raise KeyError(node)
-
-    fit_hz = fitted(hz)
-    fit_cut = fitted(cut)
-    fit_vol = fitted(vol)
+    fit_hz = hz.get_state().value.reshape(-1)
+    fit_cut = cut.get_state().value.reshape(-1)
+    fit_vol = vol.get_state().value.reshape(-1)
     mem = {}
     try:
         stats = jax.devices()[0].memory_stats()
@@ -642,6 +642,8 @@ def bench_fit_full(*, n_voices=64, seconds=12.0, steps=48):
             'loss_ratio': float(res.losses[-1] / res.losses[0]),
             'hz_err_cents_median': float(np.median(np.abs(
                 1200 * np.log2(fit_hz / tgt_hz)))),
+            'hz_err_cents_start': float(np.median(np.abs(
+                1200 * np.log2(start_hz / tgt_hz)))),
             'cut_err_rel_median': float(np.median(
                 np.abs(fit_cut - tgt_cut) / tgt_cut)),
             'vol_err_rel_median': float(np.median(

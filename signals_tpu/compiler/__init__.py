@@ -1001,6 +1001,7 @@ class CompiledPatch:
         self._render_cache: dict[int, typing.Any] = {}
         self._encoded_cache: dict[tuple, typing.Any] = {}
         self._vis_cache: dict[int, typing.Any] = {}
+        self._align_sensitive_cache: dict[int, bool] = {}
 
     def _collect_host_spec(self, compiler: _Compiler) -> list[tuple]:
         """(node, window, key) for every host-fed input discovered in the
@@ -1809,6 +1810,27 @@ class CompiledPatch:
 
         return many
 
+    def _plan_alignment_sensitive(self, n_blocks: int) -> bool:
+        """Whether ``render_core(n_blocks)`` picks a plan whose
+        swept-carry lowering assumes window starts on absolute segment
+        boundaries (the Pallas carry paths under ``carry_aligned``:
+        packed streams, mega, the delay solver) — mirrors render_core's
+        branch order.  The per-block vmap/scan paths and the segmented
+        feedback scan compute the segment phase DYNAMICALLY (the TV
+        scan), so they need no driver alignment — in particular the
+        realtime transport's short batches must never trigger the
+        per-block alignment prefix (observed: post-seek compile storms
+        and underruns in the 65 s soak when they did)."""
+        if n_blocks <= 1:
+            return False
+        cache = self._align_sensitive_cache
+        if n_blocks not in cache:
+            cache[n_blocks] = (
+                self.packed_mega_streams(n_blocks) is not None
+                or self._use_mega
+                or self.delay_mega_plan() is not None)
+        return cache[n_blocks]
+
     def render_fn(self, n_blocks: int):
         """Jitted :meth:`render_core` (cached per batch size)."""
         import jax
@@ -1837,7 +1859,8 @@ class CompiledPatch:
         align = self.carry_seg_align
         F = self.block_frames
         if (align > 1 and n_blocks > 1 and position % F == 0
-                and (position // F) % align):
+                and (position // F) % align
+                and self._plan_alignment_sensitive(n_blocks)):
             pre = min(align - (position // F) % align, n_blocks)
             if carry is None:
                 carry = jax.tree.map(lambda x: x, self.carry0)

@@ -82,6 +82,52 @@ class FitResult(typing.NamedTuple):
         return np.asarray(self.params[uid][pname])
 
 
+def per_channel_spectral_loss(pred, target, *, fft_sizes=(1024, 4096),
+                              waveform: float = 0.0,
+                              log_eps: float = 1e-4):
+    """Multi-resolution magnitude + log-magnitude spectral L1 computed
+    PER CHANNEL — the stem-matching loss for per-voice parameter
+    recovery.  :func:`spectral_loss` compares the channel-MEAN (mix)
+    spectrum, which cannot separate voices; here each channel's own
+    spectrum pulls its own parameters, which is what makes per-voice
+    frequency fitting conditioned at all.
+
+    Practical notes measured while building the flagship fit benchmark
+    (``bench.py bench_fit_full``):
+
+    * keep ``waveform`` at 0 when frequencies are trainable — at
+      multi-second durations the waveform-L2 term's frequency basin is
+      half a beat cycle (~0.3 Hz), far narrower than any realistic
+      mistuning, and its oscillating gradient drowns the spectral pull;
+    * frequency gradients are only trustworthy through waveforms whose
+      implementation is a SMOOTH composition (sines): naive autodiff of
+      a sawtooth drops the wrap discontinuities' delta terms, biasing
+      ``d saw/d hz`` so descent diverges under ANY loss (and the
+      triangle's ``sign()``-based implementation degenerates the same
+      way) — the standard reason differentiable-synthesis systems fit
+      sinusoidal models;
+    * the log-magnitude term is what keeps low-level partials (a
+      filtered 3rd harmonic) pulling their share.
+    """
+    import jax.numpy as jnp
+    loss = (waveform * jnp.mean((pred - target) ** 2)
+            if waveform else 0.0)
+    for n in fft_sizes:
+        if pred.shape[0] < n:
+            continue
+        win = jnp.hanning(n).astype(jnp.float32)[None, :, None]
+        hop = n // 2
+        nfr = (pred.shape[0] - n) // hop + 1
+        idx = (np.arange(nfr)[:, None] * hop + np.arange(n)[None, :])
+        ps = jnp.abs(jnp.fft.rfft(pred[idx] * win, axis=1))
+        ts = jnp.abs(jnp.fft.rfft(target[idx] * win, axis=1))
+        loss = loss + (jnp.mean(jnp.abs(ps - ts))
+                       + jnp.mean(jnp.abs(jnp.log(ps + log_eps)
+                                          - jnp.log(ts + log_eps)))
+                       ) / len(fft_sizes)
+    return loss
+
+
 def make_loss_core(compiled: CompiledPatch, n_blocks: int, *,
                    position: int = 0,
                    loss: typing.Callable = None):

@@ -6,6 +6,7 @@ import pathlib
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
@@ -22,6 +23,7 @@ def test_entry_forward_jits():
     assert not np.array_equal(np.asarray(out), np.asarray(out2))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     assert len(jax.devices()) >= 8
     graft.dryrun_multichip(8)

@@ -1,6 +1,7 @@
 """Differentiable synthesis: gradient-based patch parameter fitting."""
 
 import numpy as np
+import pytest
 
 from signals_tpu.compiler import compile_node
 from signals_tpu.learn import fit, make_loss_fn
@@ -156,6 +157,7 @@ def _subtractive_poly_root(n_voices):
     return g, hz, cut
 
 
+@pytest.mark.slow
 def test_gradients_flow_through_pallas_family_paths():
     """The headline round-4 fix: ``value_and_grad`` through the packed
     Pallas cascade (MEGA_FILTER_IMPL='pallas', interpret on CPU) works
@@ -268,6 +270,7 @@ def test_fit_fused_dispatch_matches_per_step():
     assert abs(v1 - v2) < 1e-4, (v1, v2)
 
 
+@pytest.mark.slow
 def test_cascade_analytic_adjoint_matches_autodiff():
     """``sosfilt_scan`` carries a hand-written VJP (one reversed
     associative scan per section — the adjoint of a linear recurrence

@@ -26,6 +26,8 @@ from signals_tpu.nodes.fx import Gain, HighPass, LowPass, Mix
 from signals_tpu.nodes.osc import Sawtooth, Sine
 from tests.conftest import fixed, pull_blocks
 
+pytestmark = pytest.mark.slow   # compile-heavy: full-suite tier
+
 F, RATE = 1024, 44100
 
 

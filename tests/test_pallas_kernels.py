@@ -498,6 +498,7 @@ def test_sosfilt_segments_gen_bit_exact_source():
     assert np.abs(gots - refs).max() / np.abs(refs).max() < 1e-5
 
 
+@pytest.mark.slow
 def test_kernel_grads_match_scan_reference():
     """custom_vjp coverage: ``value_and_grad`` through the Pallas
     entrypoints (interpret mode) equals the gradient of the vmap/scan
@@ -555,6 +556,7 @@ def test_kernel_grads_match_scan_reference():
                                    rtol=0, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_gen_kernel_grads_flow_to_oscillator_params():
     """The generator-fed cascade is differentiable in hertz/phase/amp
     (``lanef``) and coefficients; ``toff`` (int32) gets a float0
@@ -656,6 +658,7 @@ def test_sosfilt_segments_gen_wide_lanes():
     assert np.abs(gots - ref).max() / scale < 1e-5
 
 
+@pytest.mark.slow
 def test_chunked_vjp_matches_plain_reference():
     """Above REF_CHUNK_SEGMENTS the scan-reference VJP runs as
     checkpointed chunks (bounded backward memory for long fits); the
@@ -799,6 +802,7 @@ def test_segments_gen_carry_blocks_matches_carry_reference():
     assert np.abs(got - want).max() < 1e-5
 
 
+@pytest.mark.slow
 def test_segments_gen_carry_blocks_grads_flow():
     """The custom VJP mirrors the m-block carry math: value_and_grad
     through ``blocks_per_seg > 1`` returns finite, nonzero gradients for

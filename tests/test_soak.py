@@ -7,6 +7,9 @@ seek refill, clean stop — is the production playback path."""
 
 import sys
 from pathlib import Path
+import pytest
+
+pytestmark = pytest.mark.slow   # compile-heavy: full-suite tier
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / 'scripts'))
 

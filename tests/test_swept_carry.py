@@ -82,6 +82,7 @@ def test_sosfilt_tv_matches_threaded_stream():
     assert np.abs(y - ref).max() < 1e-5
 
 
+@pytest.mark.slow
 def test_swept_carry_oracle_parity_all_paths():
     """Compiled output == pull oracle for the swept voice through the
     per-block path, chained batches, a batch-split, and an unaligned
