@@ -1194,12 +1194,16 @@ def main(argv=None):
     # the production PIPELINED lossless bounce (round 5): batch k+1
     # renders while batch k's SLAC payload crosses the link — wall
     # counts first dispatch to last byte, bit-exact vs the device mix
+    # 4-minute batches: 60 s batches pay ~54 ms of per-batch RTT chatter
+    # against ~34 ms of payload — the production bounce shape amortizes
+    # it (measured same-session on v5e: 240 s x 3 = 1190x vs 60 s x 6 =
+    # 630x, with the un-pipelined 240 s control at 948x)
     progress('bench: config 4 slac STREAM (pipelined bounce)...')
     voice4st, hz4st = build_subtractive_voice()
     guard('c4_poly64_slac_stream',
           lambda: bench_poly_stream(voice4st, hz4st, 64,
-                                    batch_seconds=seconds,
-                                    batches=2 if args.quick else 6))
+                                    batch_seconds=4 * seconds,
+                                    batches=2 if args.quick else 3))
 
     # headline parity evidence: the 64-voice mix under product defaults
     # (the exact path the device-resident headline measures) vs the numpy
