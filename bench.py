@@ -1498,7 +1498,7 @@ def main(argv=None):
           lambda: bench_fit_full(
               n_voices=64,
               seconds=12.0 if not args.quick else 1.0,
-              steps=48 if not args.quick else 4))
+              steps=300 if not args.quick else 4))
 
     extra['parity_max_abs_err'] = parity
     # per-config tolerances (see PARITY_TOL); a NaN (check failed to run)

@@ -45,6 +45,7 @@ def rows(rec):
         ('1024v static', x('c4_poly1024_static_gen_mixsum')),
         ('SLAC lossless fetch, 240 s batches',
          x('c4_poly64_slac_lossless_fetch_240s')),
+        ('sine + device-decimated plot (c1)', x('c1_sine_plot')),
         ('SLAC pipelined stream bounce', x('c4_poly64_slac_stream')),
         ('fit steps/s (fused, 64v x 1 s)',
          x('c8_fit_step_64v', 'steps_per_sec')),

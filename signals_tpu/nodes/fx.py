@@ -1023,7 +1023,70 @@ class CritFilter(StatefulEmitter, ImplicitChannels, abc.ABC):
                     outs.append(y.reshape(r * F_, y.shape[-1]))
                 return (outs[0] if len(outs) == 1
                         else jnp.concatenate(outs, axis=0))
+        if aligned:
+            # narrow/odd geometries on an ALIGNED window: evaluate per
+            # carry segment (gather + one in-segment stream scan) —
+            # (C + m*F)/(m*F) work at any channel width.  The blockwise
+            # TV scan below re-filters ~m blocks of lookback per block
+            # (~m x redundant compute; it exists for DYNAMIC segment
+            # phases) — routing aligned narrow mega windows through it
+            # cost the master-bus bench 13x (r5 midround: 211x vs r4's
+            # 2844x) until this branch.
+            return self._seg_stream_carry(ctx, grid, nyquist, m)
         return self._tv_carry_kernel(ctx, m, nyquist, grid=grid)
+
+    def _seg_stream_carry(self, ctx, grid, nyquist, m: int):
+        """Aligned-window swept-carry via per-segment streaming: gather
+        each carry segment's ``context + m*F`` window, warm up from zero
+        under the segment-start coefficients, then one ``lax.scan``
+        threads the coupled state through the m blocks with per-block
+        coefficients — the same math as the Pallas carry kernels and the
+        oracle, in pure JAX."""
+        import jax
+        import jax.numpy as jnp
+        F_, nb = grid
+        C = self.context_frames()
+        grids = self._crits_grid(ctx)
+        chs = max(g.shape[1] for g in grids)
+        crits = tuple(jnp.broadcast_to(g, (nb, chs)).reshape(1, -1)
+                      for g in grids)
+        coeffs = _filters.design_coupled(jnp, self.type_code(), crits,
+                                         nyquist)
+        nsec = coeffs.shape[0]
+        co = coeffs.reshape(nsec, nb, chs, 11).transpose(1, 0, 2, 3)
+        x = ctx.in_context('input', C)              # (C + nb*F, ch)
+        ch = x.shape[1]
+
+        def seg_eval(co_seg, xw, mm):
+            # co_seg (mm, nsec, chs, 11); xw (C + mm*F, ch)
+            chx = max(ch, chs)
+            z = jnp.zeros((nsec, 2, chx), dtype=np.float32)
+            if C:
+                _, z = _filters.sosfilt_stream(co_seg[0], xw[:C], z)
+
+            def body(z, args):
+                co_b, xb = args
+                yb, z2 = _filters.sosfilt_stream(co_b, xb, z)
+                return z2, yb
+
+            xb = jnp.broadcast_to(xw[C:], (mm * F_, chx)).reshape(
+                mm, F_, chx)
+            _, ys = jax.lax.scan(body, z, (co_seg, xb))
+            return ys.reshape(mm * F_, chx)
+
+        q, r = divmod(nb, m)
+        outs = []
+        if q:
+            idx = (np.arange(q)[:, None] * (m * F_)
+                   + np.arange(C + m * F_)[None, :])
+            xw = x[idx]                             # (q, C+m*F, ch)
+            co_q = co[:q * m].reshape((q, m) + co.shape[1:])
+            ys = jax.vmap(lambda c, w: seg_eval(c, w, m))(co_q, xw)
+            outs.append(ys.reshape(q * m * F_, ys.shape[-1]))
+        if r:
+            outs.append(seg_eval(co[q * m:], x[q * m * F_:], r))
+        return (outs[0] if len(outs) == 1
+                else jnp.concatenate(outs, axis=0))
 
 
 class SingleCritFilter(CritFilter, abc.ABC):
